@@ -1,0 +1,197 @@
+"""CLI / mode dispatcher.
+
+Reference: main.py:12-13 — ``python main.py <mode> <exp_name> [-e ENV]
+[-g GPUS] [--debug]`` with 8 modes: train, plot, visual, random-sample,
+evaluate, condition-sample, evaluate-sample, export-model (dispatch
+main.py:26-132). Same CLI surface here via ``python -m littlegan_tpu <mode>
+<exp_name> ...`` plus TPU-era flags.
+
+Differences (on purpose):
+- ``evaluate`` runs IN-PROCESS (the reference shells out to evaluate.py via
+  ``os.system``, main.py:85-104 — a process boundary we don't need),
+- ``-g/--gpu`` is accepted for compatibility but device selection is
+  JAX-native; ``--devices`` limits visible devices if given.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from argparse import ArgumentParser
+from typing import Optional, Sequence
+
+import numpy as np
+
+from littlegan_tpu.config import MODES, Config, load_config
+
+
+def build_parser() -> ArgumentParser:
+    p = ArgumentParser(prog="littlegan-tpu", description="TPU-native LittleGAN framework")
+    p.add_argument("mode", type=str, choices=list(MODES), help="run mode")
+    p.add_argument("exp_name", type=str, help="experiment name")
+    p.add_argument("-e", "--env", type=str, default="sample", help="config environment")
+    p.add_argument("-g", "--gpu", type=str, default="", help="ignored (JAX-native device selection)")
+    p.add_argument("--debug", action="store_true", help="ignore dirty git tree")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None, dest="epoch")
+    p.add_argument("--batch-size", type=int, default=None, dest="batch_size")
+    p.add_argument("--synthetic-data", action="store_true", help="use the synthetic dataset")
+    return p
+
+
+def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
+    args = build_parser().parse_args(argv)
+    overrides = {
+        k: v
+        for k, v in vars(args).items()
+        if v is not None and k not in ("synthetic_data", "gpu")
+    }
+    overrides.pop("debug", None)
+    cfg = load_config(args.env, overrides)
+    cfg = cfg.replace(debug=bool(args.debug))
+    if args.synthetic_data:
+        cfg.extra["synthetic_data"] = True
+    return cfg
+
+
+def _make_dataset(cfg: Config):
+    if cfg.extra.get("synthetic_data") or not os.path.isdir(cfg.image_path):
+        from littlegan_tpu.data import SyntheticDataset
+
+        n = max(4 * cfg.batch_size, 64)
+        print(f"Using SyntheticDataset ({n} items) — no CelebA at {cfg.image_path}")
+        return SyntheticDataset(cfg, num_items=n)
+    from littlegan_tpu.data import CelebA
+
+    return CelebA(cfg)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    cfg = parse_config(argv)
+    print("Application Params:", json.dumps(cfg.to_json_dict(), default=str)[:500])
+    print("Running Mode:", cfg.mode)
+
+    from littlegan_tpu.training.trainer import Trainer
+    from littlegan_tpu.utils.provenance import ensure_clean_tree
+    from littlegan_tpu.utils.image import save_image
+
+    if cfg.mode == "train":
+        ensure_clean_tree(cfg)  # main.py:27-29
+        data = _make_dataset(cfg)
+        print("Using Attribute:", data.label)
+        Trainer(cfg, data).train()
+
+    elif cfg.mode == "visual":  # main.py:34-36
+        logdir = os.path.join(cfg.result_dir, "log")
+        print("The result path is", logdir)
+        rc = os.system(f"tensorboard --host 0.0.0.0 --logdir {logdir}")
+        if rc != 0:
+            print("tensorboard unavailable; event files are TensorBoard-format at", logdir)
+
+    elif cfg.mode == "plot":  # main.py:37-40
+        cfg = cfg.replace(reuse=True)
+        print(Trainer(cfg, None).plot())
+
+    elif cfg.mode == "random-sample":  # main.py:41-57
+        cfg = cfg.replace(reuse=True)
+        data = _make_dataset(cfg)
+        trainer = Trainer(cfg, data)
+        it = data.epoch_iterator(0)
+        now = int(time.time())
+        rng = np.random.default_rng(cfg.seed)
+        for b in range(cfg.random_sample_batch):
+            image, cond = next(it)
+            noise = rng.normal(size=(cond.shape[0], cfg.noise_dim)).astype(np.float32)
+            trainer.predict(
+                noise, cond, image,
+                os.path.join(cfg.result_dir, "sample", f"generator-{now}-{b}.jpg"),
+                os.path.join(cfg.result_dir, "sample", f"discriminator-{now}-{b}.json"),
+                os.path.join(cfg.result_dir, "sample", f"adjuster-{now}-{b}.jpg"),
+            )
+            np.savez_compressed(
+                os.path.join(cfg.result_dir, "sample", f"input_data-{now}-{b}.npz"),
+                n=noise, c=cond, i=image,
+            )
+
+    elif cfg.mode == "evaluate-sample":  # main.py:58-81
+        cfg = cfg.replace(reuse=True)
+        data = _make_dataset(cfg)
+        trainer = Trainer(cfg, data)
+        batches = int(np.ceil(cfg.evaluate_sample_size / cfg.batch_size))
+        rng = np.random.default_rng(cfg.seed)
+        it = data.epoch_iterator(0)
+        for b in range(batches):
+            try:
+                image, cond = next(it)
+            except StopIteration:
+                it = data.epoch_iterator(b + 1)
+                image, cond = next(it)
+            noise = rng.normal(size=(cond.shape[0], cfg.noise_dim)).astype(np.float32)
+            base = b * cfg.batch_size + 1
+            gen_image, _, adj_real, adj_fake = trainer.predict(
+                noise, cond, image, None,
+                os.path.join(cfg.result_dir, "evaluate", "disc", f"{b}.json"), None,
+            )
+            for i in range(cfg.batch_size):
+                save_image(gen_image[i], os.path.join(cfg.result_dir, "evaluate", "gen", f"{base + i}.jpg"))
+                if adj_real is not None and adj_fake is not None:
+                    save_image(adj_real[i], os.path.join(cfg.result_dir, "evaluate", "adj", f"real_{base + i}.jpg"))
+                    save_image(adj_fake[i], os.path.join(cfg.result_dir, "evaluate", "adj", f"fake_{base + i}.jpg"))
+            if (b + 1) % 50 == 0:
+                print(f"evaluate-sample: {b + 1}/{batches} batches")
+
+    elif cfg.mode == "evaluate":  # main.py:82-104, in-process
+        from littlegan_tpu.eval.evaluate import evaluate_generated
+
+        stats = os.path.join(cfg.test_data_dir, cfg.evaluate_pre_calculated)
+        for sub, log in (("gen", "fid-gen.log"), ("adj", "fid-adj.log")):
+            if sub == "adj" and not cfg.train_adj:
+                continue
+            fid = evaluate_generated(
+                cfg,
+                os.path.join(cfg.result_dir, "evaluate", sub),
+                stats,
+                os.path.join(cfg.result_dir, "evaluate", log),
+            )
+            print(f"FID ({sub}): {fid}")
+
+    elif cfg.mode == "condition-sample":  # main.py:105-125
+        cfg = cfg.replace(reuse=True)
+        trainer = Trainer(cfg, None)
+        # the reference's 8 hand-picked 7-bit attribute rows (main.py:108-117)
+        cond = np.array(
+            [
+                [0, 0, 0, 0, 0, 1, 0],
+                [0, 0, 0, 0, 0, 1, 1],
+                [0, 0, 0, 0, 0, 0, 1],
+                [1, 0, 0, 0, 0, 0, 1],
+                [1, 0, 0, 0, 1, 0, 1],
+                [1, 0, 1, 0, 1, 0, 1],
+                [1, 1, 1, 0, 1, 0, 1],
+                [1, 1, 1, 1, 1, 0, 1],
+            ],
+            np.float32,
+        )
+        if cfg.cond_dim != 7:  # generalize the hardcoded sweep to any cond_dim
+            rng = np.random.default_rng(cfg.seed)
+            cond = (rng.random((8, cfg.cond_dim)) < 0.5).astype(np.float32)
+        rng = np.random.default_rng(cfg.seed)
+        for i in range(1, 1 + cfg.condition_sample_batch):
+            noise = np.repeat(rng.normal(size=(1, cfg.noise_dim)), 8, 0).astype(np.float32)
+            img = trainer._gen_jit(trainer.state.params, noise, cond)
+            save_image(np.asarray(img), os.path.join(cfg.result_dir, "sample", f"condition-gen-{i}.jpg"), (1, 8))
+
+    elif cfg.mode == "export-model":  # main.py:126-130
+        cfg = cfg.replace(reuse=True, restore=True)
+        path = Trainer(cfg, None).export_model_checkpoint()
+        print("Exported weights-only checkpoint to", path)
+
+    else:
+        print("Unknown mode:", cfg.mode)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,187 @@
+"""Layered configuration system.
+
+Re-designs the reference ``Arg`` class (reference: config.py:8-39) as a typed
+dataclass with the same three-layer merge semantics:
+
+    sample.config.json  ->  <env>.config.json  ->  CLI overrides
+
+and the same derived fields (``cond_dim = len(attr)``, ``result_dir``,
+``prefetch = prefetch_batch * batch_size``; reference: config.py:32-39).
+
+Differences from the reference, on purpose:
+- typed dataclass instead of an untyped attribute bag; unknown JSON keys are
+  still accepted (stored in ``extra``) so user env files keep working,
+- ``gpu`` is kept for CLI compatibility but device selection is JAX-native
+  (the reference only sets CUDA_VISIBLE_DEVICES, config.py:35-37),
+- TPU-specific knobs: ``compute_dtype``, ``mesh_shape``, ``donate_state``.
+
+The merged config is JSON-serializable for run provenance, matching the
+reference's ``config.json`` dump (reference: eager_trainer.py:240-241).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+MODES = (
+    "train",
+    "plot",
+    "visual",
+    "random-sample",
+    "evaluate",
+    "condition-sample",
+    "evaluate-sample",
+    "export-model",
+)
+
+
+@dataclass
+class Config:
+    """Full experiment configuration (defaults mirror reference sample.config.json)."""
+
+    # --- run identity (CLI positional in the reference, config.py:12-15) ---
+    mode: str = "train"
+    exp_name: str = "default"
+    env: str = "sample"
+    gpu: List[int] = field(default_factory=list)  # kept for CLI parity only
+    debug: bool = False
+
+    # --- data (reference: sample.config.json:2-7, dataset.py) ---
+    batch_size: int = 32
+    image_channel: int = 3
+    image_path: str = "/path/to/image"
+    attr_path: str = "/path/to/attr/list.txt"
+    image_ext: str = "jpg"
+    image_dim: int = 128
+    attr: List[int] = field(default_factory=lambda: [8, 15, 20, 22, 26, 36, 39])
+
+    # --- model (reference: sample.config.json:16-27, model.py) ---
+    noise_dim: int = 93
+    init_dim: int = 8
+    norm: str = "instance"
+    conv_filter: List[int] = field(default_factory=lambda: [384, 256, 128, 64, 32])
+    kernel_size: int = 5
+    leaky_alpha: float = 0.3
+    dropout_rate: float = 0.5
+
+    # --- optimization (reference: sample.config.json:28-37, eager_trainer.py:28-30) ---
+    l1_lambda: float = 0.02
+    lr: float = 5e-5
+    beta_1: float = 0.5
+    beta_2: float = 0.9
+    epoch: int = 100
+    use_gp: bool = False
+    gp_weight: float = 5.0
+    use_clip: bool = True
+    clip_range: float = 0.5
+    use_partition: bool = True
+    partition_interval: int = 4
+
+    # --- cadences / output (reference: sample.config.json:38-50) ---
+    freq_gen: int = 100
+    freq_test: int = 2000
+    all_result_dir: str = "result"
+    test_data_dir: str = "test-data"
+    evaluate_pre_calculated: str = "fid_stats_celeba_128_all.npz"
+    random_sample_batch: int = 4
+    condition_sample_batch: int = 100
+    evaluate_sample_size: int = 30000
+    restore: bool = True
+    reuse: bool = False
+    train_adj: bool = True
+    prefetch_batch: int = 3
+    threads: int = 8
+
+    # --- TPU-native additions (no reference equivalent) ---
+    seed: int = 0
+    compute_dtype: str = "bfloat16"  # dtype of conv/matmul compute inside the step
+    param_dtype: str = "float32"  # params + optimizer state stay f32
+    mesh_shape: Optional[List[int]] = None  # None -> 1D data mesh over all devices
+    mesh_axes: List[str] = field(default_factory=lambda: ["data"])
+    donate_state: bool = True  # donate train-state buffers into the jitted step
+    use_native_loader: bool = True  # C++ JPEG loader (falls back to PIL)
+    fid_weights: str = ""  # npz with InceptionV3 weights; "" -> deterministic random
+
+    # unknown keys from user env files are preserved here for provenance
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    # --- derived (reference: config.py:32-39) ---
+    @property
+    def cond_dim(self) -> int:
+        return len(self.attr)
+
+    @property
+    def result_dir(self) -> str:
+        return os.path.join(self.all_result_dir, self.exp_name)
+
+    @property
+    def prefetch(self) -> int:
+        return self.prefetch_batch * self.batch_size
+
+    @property
+    def image_shape(self):
+        return (self.image_dim, self.image_dim, self.image_channel)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        # include derived fields like the reference's dumped attribute bag
+        d["cond_dim"] = self.cond_dim
+        d["result_dir"] = self.result_dir
+        d["prefetch"] = self.prefetch
+        return d
+
+    def dump(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_json_dict(), f, indent=2)
+
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(Config)}
+_DERIVED = {"cond_dim", "result_dir", "prefetch"}
+
+
+def _apply_layer(base: Dict[str, Any], layer: Dict[str, Any]) -> None:
+    for key, value in layer.items():
+        if key in _DERIVED:
+            continue  # recomputed, never taken from files
+        if key in _FIELD_NAMES:
+            base[key] = value
+        else:
+            base.setdefault("extra", {})
+            base["extra"][key] = value
+
+
+def load_config(
+    env: str = "sample",
+    overrides: Optional[Dict[str, Any]] = None,
+    search_dirs: Sequence[str] = (".",),
+) -> Config:
+    """Three-layer merge: sample.config.json -> <env>.config.json -> overrides.
+
+    Mirrors reference config.py:17-31. The sample layer is optional here (the
+    dataclass defaults already encode it); the env layer is optional unless
+    ``env`` names a file that genuinely exists nowhere, in which case the env
+    layer is simply skipped (the reference hard-fails; we degrade gracefully
+    for programmatic use but CLI validates existence).
+    """
+    merged: Dict[str, Any] = {}
+    names = ["sample.config.json"]
+    if env != "sample":
+        names.append(f"{env}.config.json")
+    for name in names:
+        for d in search_dirs:
+            p = os.path.join(d, name)
+            if os.path.isfile(p):
+                with open(p) as f:
+                    _apply_layer(merged, json.load(f))
+                break
+    if overrides:
+        _apply_layer(merged, {k: v for k, v in overrides.items() if v is not None})
+    merged.setdefault("env", env)
+    return Config(**merged)

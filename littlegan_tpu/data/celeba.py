@@ -1,0 +1,160 @@
+"""CelebA input pipeline — host-side decode feeding the TPU.
+
+Capability parity with reference dataset.py:7-49, redesigned for a TPU
+training loop:
+
+- file list from ``glob(image_path/*.image_ext)`` (dataset.py:11), sorted for
+  determinism across hosts,
+- CelebA attribute parsing filtered to ``cfg.attr`` indices (dataset.py:35-46).
+  The reference pairs raw attr-file lines with glob order; we join on
+  FILENAME when the file has the standard CelebA header (count line + header
+  line) — a documented, conscious fix. Headerless files fall back to
+  line-order pairing like the reference.
+- per item: JPEG decode -> (optional center-crop+resize to image_dim) ->
+  f32 [-1,1] (``data_rescale``) with the label softened (dataset.py:25-33),
+- multi-threaded decode + batch prefetch, replacing tf.data's C++ threadpool
+  (dataset.py:19-23). A native C++ libjpeg decode path (native/) is used when
+  built; PIL otherwise.
+- batch-level shuffle: the reference shuffles AFTER batching
+  (dataset.py:21-23, SURVEY appendix quirk) so samples are never remixed
+  across batches within an epoch. We preserve batch membership determinism
+  but permute ALL batch order per epoch (full permutation instead of a
+  96-batch window — strictly better mixing, documented deviation), seeded by
+  (cfg.seed, epoch) for reproducibility.
+- the 40 attribute names (reference keeps them in Chinese, dataset.py:14-17;
+  we use the canonical English CelebA names) with ``label`` = selected subset.
+- per-host sharding hook for multi-host data parallelism: ``shard(k, n)``
+  restricts this host's file list to its k-th of n slices.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from glob import glob
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from littlegan_tpu.config import Config
+from littlegan_tpu.utils.image import data_rescale, soft
+
+CELEBA_ATTR_NAMES = [
+    "5_o_Clock_Shadow", "Arched_Eyebrows", "Attractive", "Bags_Under_Eyes", "Bald",
+    "Bangs", "Big_Lips", "Big_Nose", "Black_Hair", "Blond_Hair", "Blurry",
+    "Brown_Hair", "Bushy_Eyebrows", "Chubby", "Double_Chin", "Eyeglasses",
+    "Goatee", "Gray_Hair", "Heavy_Makeup", "High_Cheekbones", "Male",
+    "Mouth_Slightly_Open", "Mustache", "Narrow_Eyes", "No_Beard", "Oval_Face",
+    "Pale_Skin", "Pointy_Nose", "Receding_Hairline", "Rosy_Cheeks", "Sideburns",
+    "Smiling", "Straight_Hair", "Wavy_Hair", "Wearing_Earrings", "Wearing_Hat",
+    "Wearing_Lipstick", "Wearing_Necklace", "Wearing_Necktie", "Young",
+]
+
+
+def parse_attr_file(attr_path: str, attr_filter: Optional[Sequence[int]]) -> Tuple[dict, List[List[float]]]:
+    """Parse a CelebA attribute list.
+
+    Returns (by_filename, by_line): filename->values dict when the standard
+    header is present, plus the raw line-ordered values (reference fallback,
+    dataset.py:35-46). Values are raw ±1 floats (softening happens later).
+    """
+    with open(attr_path) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    by_name: dict = {}
+    by_line: List[List[float]] = []
+    start = 0
+    if lines and lines[0].strip().isdigit():
+        start = 2  # standard header: count line + attribute-name line
+    for ln in lines[start:]:
+        parts = ln.split()
+        name, vals = parts[0], parts[1:]
+        if attr_filter is not None:
+            vals = [vals[i] for i in attr_filter]
+        fvals = [float(v) for v in vals]
+        by_name[name] = fvals
+        by_line.append(fvals)
+    return by_name, by_line
+
+
+def _decode_pil(path: str, dim: int, channels: int) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path)
+    img = img.convert("RGB" if channels == 3 else "L")
+    if img.size != (dim, dim):
+        # center-crop to square then resize (the reference assumes pre-cropped
+        # 128x128 inputs and would fail otherwise: dataset.py:29 set_shape)
+        w, h = img.size
+        s = min(w, h)
+        img = img.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
+        img = img.resize((dim, dim), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.uint8)
+    if channels == 1 and arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+class CelebA:
+    """File-backed dataset with threaded decode and batch prefetch."""
+
+    def __init__(self, cfg: Config, shard_index: int = 0, shard_count: int = 1):
+        self.cfg = cfg
+        files = sorted(glob(os.path.join(cfg.image_path, f"*.{cfg.image_ext}")))
+        if not files:
+            raise FileNotFoundError(
+                f"no *.{cfg.image_ext} under {cfg.image_path} (reference dataset.py:11)"
+            )
+        by_name, by_line = parse_attr_file(cfg.attr_path, cfg.attr)
+        if by_name and os.path.basename(files[0]) in by_name:
+            pairs = [(f, by_name[os.path.basename(f)]) for f in files if os.path.basename(f) in by_name]
+        else:  # headerless fallback: line order pairing (reference behavior)
+            pairs = list(zip(files, by_line))
+        # multi-host DP: each host owns a contiguous shard of the file list
+        pairs = pairs[shard_index::shard_count]
+        self._files = [p[0] for p in pairs]
+        self._conds = np.asarray([p[1] for p in pairs], np.float32)
+        self.num_items = len(self._files)
+        self.batches = self.num_items // cfg.batch_size
+        self.all_label = list(CELEBA_ATTR_NAMES)
+        self.label = [CELEBA_ATTR_NAMES[i] for i in cfg.attr]
+        self._decoder = self._pick_decoder()
+
+    def _pick_decoder(self):
+        if self.cfg.use_native_loader:
+            try:
+                from littlegan_tpu.data.native_loader import NativeDecoder
+
+                return NativeDecoder(self.cfg.image_dim, self.cfg.image_channel)
+            except Exception:
+                pass  # fall back to PIL
+        dim, ch = self.cfg.image_dim, self.cfg.image_channel
+        return lambda path: _decode_pil(path, dim, ch)
+
+    def _load_batch(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        imgs = np.stack([self._decoder(self._files[i]) for i in idx])
+        images = data_rescale(imgs.astype(np.float32)).astype(np.float32)
+        conds = soft(self._conds[idx]).astype(np.float32)
+        return images, conds
+
+    def epoch_iterator(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield ``batches`` prefetched (image, cond) pairs.
+
+        Batch membership is fixed (reference quirk: shuffle-after-batch never
+        remixes samples across batches); batch ORDER is permuted per epoch.
+        """
+        cfg = self.cfg
+        rng = np.random.default_rng((cfg.seed, epoch))
+        order = rng.permutation(self.batches)
+        batch_indices = [
+            np.arange(b * cfg.batch_size, (b + 1) * cfg.batch_size) for b in order
+        ]
+        depth = max(2, cfg.prefetch_batch)
+        with ThreadPoolExecutor(max_workers=cfg.threads) as pool:
+            futures = [pool.submit(self._load_batch, bi) for bi in batch_indices[:depth]]
+            next_submit = depth
+            for _ in range(self.batches):
+                fut = futures.pop(0)
+                if next_submit < self.batches:
+                    futures.append(pool.submit(self._load_batch, batch_indices[next_submit]))
+                    next_submit += 1
+                yield fut.result()

@@ -1,0 +1,117 @@
+"""Two-mode FID evaluation driver (reference evaluate.py, run IN-PROCESS).
+
+Reference CLI: ``python evaluate.py {pre-calculate,calc} img_dir stats model
+out [--gpu]`` — mode ``pre-calculate`` computes dataset statistics into an
+npz (evaluate.py:27-42); any other mode is treated as calc (evaluate.py:27,43
+quirk): score a directory of generated images against the npz and append to a
+log file (evaluate.py:43-59). The reference reaches this via an ``os.system``
+subprocess (main.py:85-104); here it is a plain function call plus an
+equivalent CLI (``python -m littlegan_tpu.eval.evaluate``).
+
+Feature extraction batches images through the jitted InceptionV3 on the
+accelerator instead of a TF session (fid.py:73-106).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from glob import glob
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from littlegan_tpu.config import Config
+from littlegan_tpu.eval.fid import activation_statistics, frechet_distance
+from littlegan_tpu.eval.inception import inception_features, init_inception_params
+
+
+def _load_images(paths: Iterable[str], dim: Optional[int] = None) -> np.ndarray:
+    from PIL import Image
+
+    out = []
+    for p in paths:
+        img = Image.open(p).convert("RGB")
+        if dim is not None and img.size != (dim, dim):
+            img = img.resize((dim, dim), Image.BILINEAR)
+        out.append(np.asarray(img, np.uint8))
+    return np.stack(out)
+
+
+def compute_features(
+    images_u8: np.ndarray, cfg: Config, batch_size: int = 100, params=None
+) -> np.ndarray:
+    """0-255 NHWC uint8 -> (N, 2048) pool features, batched on device
+    (reference fid.py:73-106 batches through the TF session at 100)."""
+    if params is None:
+        params = init_inception_params(cfg.fid_weights, seed=0)
+    feat_fn = jax.jit(lambda imgs: inception_features(params, imgs))
+    n = images_u8.shape[0]
+    feats = []
+    i = 0
+    while i < n:
+        chunk = images_u8[i : i + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:  # keep shapes static for XLA
+            chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+        f = np.asarray(feat_fn(jnp.asarray(chunk, jnp.float32)))
+        feats.append(f[: batch_size - pad] if pad else f)
+        i += batch_size
+    return np.concatenate(feats, axis=0)
+
+
+def precalculate(cfg: Config, image_dir: str, out_npz: str, limit: Optional[int] = None) -> None:
+    """Dataset -> mu/sigma npz (reference evaluate.py:27-42)."""
+    files = sorted(glob(os.path.join(image_dir, f"*.{cfg.image_ext}")))
+    if limit:
+        files = files[:limit]
+    if not files:
+        raise FileNotFoundError(f"no images in {image_dir}")
+    feats = compute_features(_load_images(files), cfg)
+    mu, sigma = activation_statistics(feats)
+    np.savez_compressed(out_npz, mu=mu, sigma=sigma)
+    print(f"pre-calculate: {len(files)} images -> {out_npz}")
+
+
+def evaluate_generated(cfg: Config, gen_dir: str, stats_npz: str, log_path: str) -> float:
+    """Generated dir + stats npz -> FID, appended to log (evaluate.py:43-59)."""
+    files = sorted(glob(os.path.join(gen_dir, "*.jpg"))) + sorted(
+        glob(os.path.join(gen_dir, "*.png"))
+    )
+    if not files:
+        raise FileNotFoundError(f"no generated images in {gen_dir}")
+    feats = compute_features(_load_images(files), cfg)
+    mu_g, sigma_g = activation_statistics(feats)
+    with np.load(stats_npz) as z:
+        mu_r, sigma_r = z["mu"], z["sigma"]
+    fid = frechet_distance(mu_r, sigma_r, mu_g, sigma_g)
+    with open(log_path, "a") as f:
+        f.write(f"{time.strftime('%Y-%m-%d %H:%M:%S')} FID: {fid}\n")
+    return fid
+
+
+def main(argv=None) -> int:
+    from argparse import ArgumentParser
+
+    p = ArgumentParser(prog="littlegan-tpu-evaluate")
+    p.add_argument("mode", type=str, help="pre-calculate or calc (anything else = calc)")
+    p.add_argument("image_dir", type=str)
+    p.add_argument("stats", type=str, help="npz path (output for pre-calculate, input for calc)")
+    p.add_argument("model_dir", type=str, nargs="?", default="", help="unused; CLI-compat")
+    p.add_argument("log", type=str, nargs="?", default="fid.log")
+    p.add_argument("--gpu", type=str, default="", help="ignored; JAX-native devices")
+    p.add_argument("-e", "--env", type=str, default="sample")
+    args = p.parse_args(argv)
+    cfg = Config(env=args.env)
+    if args.mode == "pre-calculate":
+        precalculate(cfg, args.image_dir, args.stats)
+    else:  # reference quirk: any mode != pre-calculate is calc (evaluate.py:27,43)
+        fid = evaluate_generated(cfg, args.image_dir, args.stats, args.log)
+        print("FID:", fid)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

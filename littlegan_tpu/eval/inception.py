@@ -1,0 +1,246 @@
+"""InceptionV3 pool-features extractor in pure JAX (for FID).
+
+The reference extracts 2048-d ``pool_3`` activations from a 2015-vintage
+frozen InceptionV3 GraphDef executed by a TF session (fid.py:36-42,73-106).
+Here the same architecture runs as a jitted JAX function on TPU.
+
+Weights: ``Config.fid_weights`` may point to an ``.npz`` produced by
+``scripts/convert_inception.py`` (converts a torchvision ``inception_v3``
+checkpoint — the standard pytorch-FID weights). Without a weights file we
+fall back to a DETERMINISTIC random initialization (seed 0): FID values are
+then self-consistent (usable for relative comparison / regression tests) but
+not comparable to published CelebA numbers — the conversion script closes
+that gap when weights are available.
+
+Architecture follows torchvision's InceptionV3 (BN eps 1e-3, no aux head):
+stem -> 3xInceptionA -> InceptionB -> 4xInceptionC -> InceptionD ->
+2xInceptionE -> global average pool -> 2048-d features.
+
+Input contract: uint8-range [0,255] NHWC images of any square size; resized
+to 299x299 bilinear and scaled to [-1,1] (torchvision-FID preprocessing).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+Params = Dict[str, np.ndarray]
+
+
+# ----------------------------------------------------------- primitives ----
+
+
+def _conv_bn(x, p, prefix, stride=1, padding="SAME"):
+    """BasicConv2d: conv (no bias) + frozen BatchNorm(eps=1e-3) + ReLU."""
+    w = p[f"{prefix}/w"].astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x, w, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    scale = p[f"{prefix}/scale"].astype(jnp.float32)
+    offset = p[f"{prefix}/offset"].astype(jnp.float32)
+    return jax.nn.relu(y * scale + offset).astype(x.dtype)
+
+
+def _maxpool(x, window=3, stride=2, padding="VALID"):
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, window, window, 1), (1, stride, stride, 1), padding
+    )
+
+
+def _avgpool(x, window=3, stride=1, padding="SAME"):
+    ones = lax.reduce_window(
+        jnp.ones_like(x), 0.0, lax.add, (1, window, window, 1), (1, stride, stride, 1), padding
+    )
+    summed = lax.reduce_window(
+        x, 0.0, lax.add, (1, window, window, 1), (1, stride, stride, 1), padding
+    )
+    return summed / ones
+
+
+# ------------------------------------------------------- inception blocks ----
+
+
+def _inception_a(x, p, pre, pool_ch):
+    b1 = _conv_bn(x, p, f"{pre}/b1x1")
+    b5 = _conv_bn(x, p, f"{pre}/b5x5_1")
+    b5 = _conv_bn(b5, p, f"{pre}/b5x5_2")
+    b3 = _conv_bn(x, p, f"{pre}/b3x3_1")
+    b3 = _conv_bn(b3, p, f"{pre}/b3x3_2")
+    b3 = _conv_bn(b3, p, f"{pre}/b3x3_3")
+    bp = _avgpool(x)
+    bp = _conv_bn(bp, p, f"{pre}/bpool")
+    return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+def _inception_b(x, p, pre):
+    b3 = _conv_bn(x, p, f"{pre}/b3x3", stride=2, padding="VALID")
+    bd = _conv_bn(x, p, f"{pre}/bd_1")
+    bd = _conv_bn(bd, p, f"{pre}/bd_2")
+    bd = _conv_bn(bd, p, f"{pre}/bd_3", stride=2, padding="VALID")
+    bp = _maxpool(x)
+    return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+def _inception_c(x, p, pre):
+    b1 = _conv_bn(x, p, f"{pre}/b1x1")
+    b7 = _conv_bn(x, p, f"{pre}/b7_1")
+    b7 = _conv_bn(b7, p, f"{pre}/b7_2")
+    b7 = _conv_bn(b7, p, f"{pre}/b7_3")
+    bd = _conv_bn(x, p, f"{pre}/bd_1")
+    bd = _conv_bn(bd, p, f"{pre}/bd_2")
+    bd = _conv_bn(bd, p, f"{pre}/bd_3")
+    bd = _conv_bn(bd, p, f"{pre}/bd_4")
+    bd = _conv_bn(bd, p, f"{pre}/bd_5")
+    bp = _avgpool(x)
+    bp = _conv_bn(bp, p, f"{pre}/bpool")
+    return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+def _inception_d(x, p, pre):
+    b3 = _conv_bn(x, p, f"{pre}/b3_1")
+    b3 = _conv_bn(b3, p, f"{pre}/b3_2", stride=2, padding="VALID")
+    b7 = _conv_bn(x, p, f"{pre}/b7_1")
+    b7 = _conv_bn(b7, p, f"{pre}/b7_2")
+    b7 = _conv_bn(b7, p, f"{pre}/b7_3")
+    b7 = _conv_bn(b7, p, f"{pre}/b7_4", stride=2, padding="VALID")
+    bp = _maxpool(x)
+    return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+def _inception_e(x, p, pre):
+    b1 = _conv_bn(x, p, f"{pre}/b1x1")
+    b3 = _conv_bn(x, p, f"{pre}/b3_1")
+    b3a = _conv_bn(b3, p, f"{pre}/b3_2a")
+    b3b = _conv_bn(b3, p, f"{pre}/b3_2b")
+    b3 = jnp.concatenate([b3a, b3b], axis=-1)
+    bd = _conv_bn(x, p, f"{pre}/bd_1")
+    bd = _conv_bn(bd, p, f"{pre}/bd_2")
+    bda = _conv_bn(bd, p, f"{pre}/bd_3a")
+    bdb = _conv_bn(bd, p, f"{pre}/bd_3b")
+    bd = jnp.concatenate([bda, bdb], axis=-1)
+    bp = _avgpool(x)
+    bp = _conv_bn(bp, p, f"{pre}/bpool")
+    return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+# ----------------------------------------------------------- architecture ----
+
+# (name, kh, kw, in_ch, out_ch) for every BasicConv2d, in forward order.
+def _conv_specs() -> List[Tuple[str, int, int, int, int]]:
+    specs: List[Tuple[str, int, int, int, int]] = [
+        ("stem/c1", 3, 3, 3, 32),
+        ("stem/c2", 3, 3, 32, 32),
+        ("stem/c3", 3, 3, 32, 64),
+        ("stem/c4", 1, 1, 64, 80),
+        ("stem/c5", 3, 3, 80, 192),
+    ]
+    # InceptionA x3: in 192/256/288, pool 32/64/64
+    for i, (cin, pool) in enumerate([(192, 32), (256, 64), (288, 64)]):
+        pre = f"mix5{'bcd'[i]}"
+        specs += [
+            (f"{pre}/b1x1", 1, 1, cin, 64),
+            (f"{pre}/b5x5_1", 1, 1, cin, 48),
+            (f"{pre}/b5x5_2", 5, 5, 48, 64),
+            (f"{pre}/b3x3_1", 1, 1, cin, 64),
+            (f"{pre}/b3x3_2", 3, 3, 64, 96),
+            (f"{pre}/b3x3_3", 3, 3, 96, 96),
+            (f"{pre}/bpool", 1, 1, cin, pool),
+        ]
+    # InceptionB: in 288
+    specs += [
+        ("mix6a/b3x3", 3, 3, 288, 384),
+        ("mix6a/bd_1", 1, 1, 288, 64),
+        ("mix6a/bd_2", 3, 3, 64, 96),
+        ("mix6a/bd_3", 3, 3, 96, 96),
+    ]
+    # InceptionC x4: in 768, c7 = 128/160/160/192
+    for i, c7 in enumerate([128, 160, 160, 192]):
+        pre = f"mix6{'bcde'[i]}"
+        specs += [
+            (f"{pre}/b1x1", 1, 1, 768, 192),
+            (f"{pre}/b7_1", 1, 1, 768, c7),
+            (f"{pre}/b7_2", 1, 7, c7, c7),
+            (f"{pre}/b7_3", 7, 1, c7, 192),
+            (f"{pre}/bd_1", 1, 1, 768, c7),
+            (f"{pre}/bd_2", 7, 1, c7, c7),
+            (f"{pre}/bd_3", 1, 7, c7, c7),
+            (f"{pre}/bd_4", 7, 1, c7, c7),
+            (f"{pre}/bd_5", 1, 7, c7, 192),
+            (f"{pre}/bpool", 1, 1, 768, 192),
+        ]
+    # InceptionD: in 768
+    specs += [
+        ("mix7a/b3_1", 1, 1, 768, 192),
+        ("mix7a/b3_2", 3, 3, 192, 320),
+        ("mix7a/b7_1", 1, 1, 768, 192),
+        ("mix7a/b7_2", 1, 7, 192, 192),
+        ("mix7a/b7_3", 7, 1, 192, 192),
+        ("mix7a/b7_4", 3, 3, 192, 192),
+    ]
+    # InceptionE x2: in 1280/2048
+    for i, cin in enumerate([1280, 2048]):
+        pre = f"mix7{'bc'[i]}"
+        specs += [
+            (f"{pre}/b1x1", 1, 1, cin, 320),
+            (f"{pre}/b3_1", 1, 1, cin, 384),
+            (f"{pre}/b3_2a", 1, 3, 384, 384),
+            (f"{pre}/b3_2b", 3, 1, 384, 384),
+            (f"{pre}/bd_1", 1, 1, cin, 448),
+            (f"{pre}/bd_2", 3, 3, 448, 384),
+            (f"{pre}/bd_3a", 1, 3, 384, 384),
+            (f"{pre}/bd_3b", 3, 1, 384, 384),
+            (f"{pre}/bpool", 1, 1, cin, 192),
+        ]
+    return specs
+
+
+def init_inception_params(weights_path: str = "", seed: int = 0) -> Params:
+    """Load converted weights, or build a deterministic random fallback."""
+    if weights_path:
+        with np.load(weights_path) as z:
+            return {k: z[k] for k in z.files}
+    rng = np.random.default_rng(seed)
+    params: Params = {}
+    for name, kh, kw, cin, cout in _conv_specs():
+        fan_in = kh * kw * cin
+        params[f"{name}/w"] = (
+            rng.normal(0, np.sqrt(2.0 / fan_in), (kh, kw, cin, cout)).astype(np.float32)
+        )
+        params[f"{name}/scale"] = np.ones((cout,), np.float32)
+        params[f"{name}/offset"] = np.zeros((cout,), np.float32)
+    return params
+
+
+def inception_features(params: Params, images: jnp.ndarray) -> jnp.ndarray:
+    """uint8-range [0,255] NHWC -> 2048-d pool features (f32)."""
+    x = images.astype(jnp.float32)
+    if x.shape[1] != 299 or x.shape[2] != 299:
+        x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear")
+    x = x / 127.5 - 1.0  # torchvision-FID preprocessing
+
+    x = _conv_bn(x, params, "stem/c1", stride=2, padding="VALID")
+    x = _conv_bn(x, params, "stem/c2", padding="VALID")
+    x = _conv_bn(x, params, "stem/c3", padding="SAME")
+    x = _maxpool(x)
+    x = _conv_bn(x, params, "stem/c4", padding="VALID")
+    x = _conv_bn(x, params, "stem/c5", padding="VALID")
+    x = _maxpool(x)
+    x = _inception_a(x, params, "mix5b", 32)
+    x = _inception_a(x, params, "mix5c", 64)
+    x = _inception_a(x, params, "mix5d", 64)
+    x = _inception_b(x, params, "mix6a")
+    x = _inception_c(x, params, "mix6b")
+    x = _inception_c(x, params, "mix6c")
+    x = _inception_c(x, params, "mix6d")
+    x = _inception_c(x, params, "mix6e")
+    x = _inception_d(x, params, "mix7a")
+    x = _inception_e(x, params, "mix7b")
+    x = _inception_e(x, params, "mix7c")
+    return jnp.mean(x, axis=(1, 2))  # global average pool -> (N, 2048)

@@ -1,0 +1,243 @@
+"""The LittleGAN model family as ONE shared parameter pytree + pure apply fns.
+
+The reference wires five Keras models with aliased sub-modules
+(model.py:6-136, main.py:20-24):
+
+    Decoder  ⊂ Generator
+    Encoder  ⊂ Discriminator
+    Adjuster = D.encoder + own(dense, norm) + G.decoder + G.out_conv
+
+Here that topology is a single dict-of-dicts pytree with five named subtrees —
+``encoder``, ``decoder``, ``g_head``, ``out_conv``, ``d_head``, ``adj_head`` —
+and three pure apply functions. Sharing is by construction: the same subtree
+is read by every consumer, and the fused train step controls which subtree
+each loss's gradient reaches via ``stop_gradient`` (see training/step.py).
+
+Architecture (reference model.py, sample.config.json):
+  conv_filter = [384, 256, 128, 64, 32], k=5, leaky_alpha=0.3
+  Encoder  (model.py:6-27):  4x [Conv(s2) -> InstanceNorm -> LeakyReLU -> dropout*]
+           channels 3 -> 64 -> 128 -> 256 -> 384 (conv_filter[4-i]); returns all
+           4 feature maps for U-Net skips into the Adjuster.
+           *reference dropout is a no-op at train time (tf.compat.v1.layers.dropout
+           with default training=False, model.py:25) — reproduced as inert by
+           default, activatable via ``dropout_rng``.
+  Decoder  (model.py:30-51): 4x [skip-add? -> ConvT(s2) -> InstanceNorm -> LeakyReLU]
+           channels 384 -> 256 -> 128 -> 64 -> 32 (conv_filter[i]).
+  Generator (model.py:76-105): concat(noise 93, cond 7) -> Dense(8^2*384)
+           -> LeakyReLU -> reshape 8x8x384 -> InstanceNorm -> Decoder(no skips)
+           -> ConvT(3, s1, tanh).  22 weight arrays.
+  Discriminator (model.py:54-73): Encoder -> flatten(8*8*384) -> Dense(1,sigmoid)
+           + Dense(cond_dim, sigmoid).  20 weight arrays.
+  Adjuster (model.py:108-136): D.encoder(image); Dense(cond) -> LeakyReLU ->
+           InstanceNorm -> reshape; Decoder with REVERSED encoder fmaps as
+           skips; G.out_conv.  4 own weight arrays (dense+norm).
+
+All compute is NHWC; convs hit the MXU in the configured compute dtype
+(bfloat16 by default) with f32 accumulation; instance-norm stats in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from littlegan_tpu.config import Config
+from littlegan_tpu.ops.conv import conv2d, deconv2d, dense, leaky_relu
+from littlegan_tpu.ops.norm import instance_norm
+
+Params = Dict[str, jnp.ndarray]
+
+# Named-subtree views of each model, replacing the reference's fragile
+# weight-index bookkeeping (eager_trainer.py:48-63).
+GENERATOR_SUBTREES = ("g_head", "decoder", "out_conv")
+DISCRIMINATOR_SUBTREES = ("encoder", "d_head")
+ADJUSTER_TRAINABLE = ("adj_head",)  # reference trains ONLY weights[16:20]
+
+
+# ------------------------------------------------------------------ init ----
+
+
+def _glorot(rng, shape, in_axis=-2, out_axis=-1):
+    return jax.nn.initializers.glorot_uniform(in_axis=in_axis, out_axis=out_axis)(
+        rng, shape, jnp.float32
+    )
+
+
+def _conv_block(rng, kh: int, in_ch: int, out_ch: int) -> Params:
+    return {
+        "conv": {"kernel": _glorot(rng, (kh, kh, in_ch, out_ch)), "bias": jnp.zeros((out_ch,))},
+        "norm": {"gamma": jnp.ones((1,)), "beta": jnp.zeros((1,))},
+    }
+
+
+def _deconv_block(rng, kh: int, in_ch: int, out_ch: int) -> Params:
+    # TF conv2d_transpose kernel layout: (kh, kw, out_ch, in_ch); glorot fans
+    # computed on that layout exactly as Keras does (fan_in from axis -2).
+    return {
+        "conv": {"kernel": _glorot(rng, (kh, kh, out_ch, in_ch)), "bias": jnp.zeros((out_ch,))},
+        "norm": {"gamma": jnp.ones((1,)), "beta": jnp.zeros((1,))},
+    }
+
+
+def init_params(cfg: Config, rng: jax.Array) -> Params:
+    """Initialize the full shared pytree (46 arrays: 16+16+4+2+4+4)."""
+    cf = cfg.conv_filter
+    k = cfg.kernel_size
+    keys = iter(jax.random.split(rng, 16))
+
+    # encoder: channels in 3 -> cf[3], cf[3] -> cf[2], cf[2] -> cf[1], cf[1] -> cf[0]
+    enc_ch = [cfg.image_channel, cf[3], cf[2], cf[1], cf[0]]
+    encoder = {
+        f"block{i}": _conv_block(next(keys), k, enc_ch[i - 1], enc_ch[i]) for i in range(1, 5)
+    }
+    # decoder: cf[0] -> cf[1] -> cf[2] -> cf[3] -> cf[4]
+    decoder = {
+        f"block{i}": _deconv_block(next(keys), k, cf[i - 1], cf[i]) for i in range(1, 5)
+    }
+    feat = cfg.init_dim * cfg.init_dim * cf[0]
+    flat = cfg.init_dim * cfg.init_dim * cf[0]  # encoder final fmap, flattened
+    g_head = {
+        "dense": {
+            "kernel": _glorot(next(keys), (cfg.noise_dim + cfg.cond_dim, feat)),
+            "bias": jnp.zeros((feat,)),
+        },
+        "norm": {"gamma": jnp.ones((1,)), "beta": jnp.zeros((1,))},
+    }
+    out_conv = {
+        "kernel": _glorot(next(keys), (k, k, cfg.image_channel, cf[4])),
+        "bias": jnp.zeros((cfg.image_channel,)),
+    }
+    d_head = {
+        "pr": {"kernel": _glorot(next(keys), (flat, 1)), "bias": jnp.zeros((1,))},
+        "cond": {"kernel": _glorot(next(keys), (flat, cfg.cond_dim)), "bias": jnp.zeros((cfg.cond_dim,))},
+    }
+    adj_head = {
+        "dense": {
+            "kernel": _glorot(next(keys), (cfg.cond_dim, feat)),
+            "bias": jnp.zeros((feat,)),
+        },
+        "norm": {"gamma": jnp.ones((1,)), "beta": jnp.zeros((1,))},
+    }
+    return {
+        "encoder": encoder,
+        "decoder": decoder,
+        "g_head": g_head,
+        "out_conv": out_conv,
+        "d_head": d_head,
+        "adj_head": adj_head,
+    }
+
+
+def param_count(tree) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+
+# ----------------------------------------------------------------- apply ----
+
+
+def _compute_dtype(cfg: Config):
+    return jnp.dtype(cfg.compute_dtype)
+
+
+def encoder_apply(
+    enc: Params,
+    x: jnp.ndarray,
+    cfg: Config,
+    dropout_rng: Optional[jax.Array] = None,
+) -> List[jnp.ndarray]:
+    """Reference model.py:18-27 — returns ALL four feature maps.
+
+    ``dropout_rng=None`` reproduces the reference's inert dropout
+    (tf.compat.v1.layers.dropout training=False default, model.py:25).
+    """
+    x = x.astype(_compute_dtype(cfg))
+    outputs = []
+    for i in range(1, 5):
+        blk = enc[f"block{i}"]
+        x = conv2d(x, blk["conv"]["kernel"], blk["conv"]["bias"], stride=2)
+        x = instance_norm(x, blk["norm"]["gamma"], blk["norm"]["beta"])
+        x = leaky_relu(x, cfg.leaky_alpha)
+        if dropout_rng is not None:
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            keep = 1.0 - cfg.dropout_rate
+            mask = jax.random.bernoulli(sub, keep, x.shape)
+            x = jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+        outputs.append(x)
+    return outputs
+
+
+def decoder_apply(
+    dec: Params,
+    x: jnp.ndarray,
+    skips: Sequence[Optional[jnp.ndarray]],
+    cfg: Config,
+) -> jnp.ndarray:
+    """Reference model.py:43-51 — optional skip-ADD before each deconv."""
+    x = x.astype(_compute_dtype(cfg))
+    for i in range(1, 5):
+        blk = dec[f"block{i}"]
+        if skips[i - 1] is not None:
+            x = x + skips[i - 1].astype(x.dtype)
+        x = deconv2d(x, blk["conv"]["kernel"], blk["conv"]["bias"], stride=2)
+        x = instance_norm(x, blk["norm"]["gamma"], blk["norm"]["beta"])
+        x = leaky_relu(x, cfg.leaky_alpha)
+    return x
+
+
+def _out_conv(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """G's stride-1 tanh output deconv (model.py:90), shared with the Adjuster."""
+    y = deconv2d(x, params["out_conv"]["kernel"], params["out_conv"]["bias"], stride=1)
+    return jnp.tanh(y.astype(jnp.float32))
+
+
+def generator_apply(params: Params, noise: jnp.ndarray, cond: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """Reference model.py:89-105. Returns a f32 image in [-1,1]."""
+    dt = _compute_dtype(cfg)
+    x = jnp.concatenate([noise, cond], axis=-1).astype(dt)
+    x = dense(x, params["g_head"]["dense"]["kernel"], params["g_head"]["dense"]["bias"])
+    x = leaky_relu(x, cfg.leaky_alpha)
+    x = x.reshape(-1, cfg.init_dim, cfg.init_dim, cfg.conv_filter[0])
+    x = instance_norm(x, params["g_head"]["norm"]["gamma"], params["g_head"]["norm"]["beta"])
+    x = decoder_apply(params["decoder"], x, [None] * 4, cfg)
+    return _out_conv(params, x)
+
+
+def discriminator_apply(
+    params: Params,
+    image: jnp.ndarray,
+    cfg: Config,
+    dropout_rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference model.py:65-73. Returns (pr, cond) sigmoid outputs in f32."""
+    fmaps = encoder_apply(params["encoder"], image, cfg, dropout_rng)
+    flat = fmaps[-1].reshape(fmaps[-1].shape[0], -1)
+    pr = dense(flat, params["d_head"]["pr"]["kernel"], params["d_head"]["pr"]["bias"])
+    cond = dense(flat, params["d_head"]["cond"]["kernel"], params["d_head"]["cond"]["bias"])
+    return jax.nn.sigmoid(pr.astype(jnp.float32)), jax.nn.sigmoid(cond.astype(jnp.float32))
+
+
+def adjuster_apply(
+    params: Params,
+    image: jnp.ndarray,
+    cond: jnp.ndarray,
+    cfg: Config,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Reference model.py:125-136: encode image, embed cond, decode with
+    REVERSED encoder feature maps as U-Net skip-adds, share G's output conv.
+
+    Note the reference order here is dense -> LeakyReLU -> InstanceNorm ->
+    reshape (model.py:128-131), slightly different from G's dense -> LeakyReLU
+    -> reshape -> InstanceNorm; preserved (norm over all non-batch axes is
+    reshape-invariant, but order is kept faithful anyway).
+    """
+    dt = _compute_dtype(cfg)
+    fmaps = encoder_apply(params["encoder"], image, cfg, dropout_rng)
+    c = dense(cond.astype(dt), params["adj_head"]["dense"]["kernel"], params["adj_head"]["dense"]["bias"])
+    c = leaky_relu(c, cfg.leaky_alpha)
+    c = instance_norm(c, params["adj_head"]["norm"]["gamma"], params["adj_head"]["norm"]["beta"])
+    c = c.reshape(-1, cfg.init_dim, cfg.init_dim, cfg.conv_filter[0])
+    x = decoder_apply(params["decoder"], c, fmaps[::-1], cfg)
+    return _out_conv(params, x)

@@ -1,0 +1,81 @@
+"""Masked Adam — TF-v1-Adam semantics with per-leaf update masks.
+
+The reference runs three independent ``tf.compat.v1.train.AdamOptimizer``s
+(eager_trainer.py:28-30) and, under the partition schedule
+(eager_trainer.py:104-113), applies each step's update to only a subset of a
+model's weights; the *unselected* weights keep their Adam slots untouched.
+
+Here that is a single pure update function taking a per-leaf 0/1 mask:
+- masked leaves: moments, per-leaf step count, and params are all untouched,
+- unmasked leaves: standard Adam with TF-v1 bias correction
+  ``lr_t = lr * sqrt(1 - b2^t) / (1 - b1^t)`` and epsilon OUTSIDE the sqrt
+  (``var -= lr_t * m / (sqrt(v) + eps)``), eps = 1e-8 — the exact v1 update.
+
+The mask is a traced scalar per leaf, so the whole partition schedule
+(reference: eager_trainer.py:48-52,104-113) compiles into one XLA program
+with no retracing across batches.
+
+Deviation from v1 (documented): v1 Adam shares one global beta-power pair
+across all slots of an optimizer instance and ticks it on every apply; under
+partitioned training that couples bias correction across weight groups. We
+keep a per-leaf count instead — self-consistent and correct per-leaf Adam.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class AdamState(NamedTuple):
+    count: Any  # per-leaf int32 step counts
+    mu: Any  # first moments
+    nu: Any  # second moments
+
+
+def adam_init(params) -> AdamState:
+    zeros_like = lambda t: jax.tree_util.tree_map(lambda x: jnp.zeros_like(x, dtype=jnp.float32), t)
+    counts = jax.tree_util.tree_map(lambda x: jnp.zeros((), jnp.int32), params)
+    return AdamState(count=counts, mu=zeros_like(params), nu=zeros_like(params))
+
+
+def masked_adam_update(
+    grads,
+    state: AdamState,
+    params,
+    mask,
+    lr: float,
+    b1: float,
+    b2: float,
+    eps: float = 1e-8,
+):
+    """One masked Adam step. ``mask`` is a tree of scalar 0./1. per leaf
+    (may be traced). Returns (new_params, new_state)."""
+
+    def upd(g, c, m, v, p, msk):
+        g = g.astype(jnp.float32)
+        msk = jnp.asarray(msk, jnp.float32)
+        c_new = c + msk.astype(jnp.int32)
+        m_new = msk * (b1 * m + (1.0 - b1) * g) + (1.0 - msk) * m
+        v_new = msk * (b2 * v + (1.0 - b2) * jnp.square(g)) + (1.0 - msk) * v
+        t = jnp.maximum(c_new, 1).astype(jnp.float32)  # safe when mask==0
+        lr_t = lr * jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+        step = lr_t * m_new / (jnp.sqrt(v_new) + eps)
+        p_new = p - msk * step.astype(p.dtype)
+        return p_new, c_new, m_new, v_new
+
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_c = treedef.flatten_up_to(state.count)
+    flat_m = treedef.flatten_up_to(state.mu)
+    flat_v = treedef.flatten_up_to(state.nu)
+    flat_msk = treedef.flatten_up_to(mask)
+
+    out = [upd(g, c, m, v, p, k) for g, c, m, v, p, k in zip(flat_g, flat_c, flat_m, flat_v, flat_p, flat_msk)]
+    new_p = treedef.unflatten([o[0] for o in out])
+    new_c = treedef.unflatten([o[1] for o in out])
+    new_m = treedef.unflatten([o[2] for o in out])
+    new_v = treedef.unflatten([o[3] for o in out])
+    return new_p, AdamState(count=new_c, mu=new_m, nu=new_v)

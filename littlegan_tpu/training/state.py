@@ -1,0 +1,51 @@
+"""Train state: one shared param pytree + three Adam states.
+
+Replaces the reference's object graph (3 Keras models + 3 v1 Adam optimizers
+wrapped in a tf.train.Checkpoint, eager_trainer.py:28-35) with a flat,
+checkpointable NamedTuple of pytrees. The three optimizers own DISJOINT
+subtrees of the shared params:
+
+    opt_d: encoder + d_head          (D trains the shared encoder)
+    opt_g: g_head + decoder + out_conv  (G trains the shared decoder/out conv)
+    opt_a: adj_head                  (reference trains ONLY weights[16:20],
+                                      eager_trainer.py:59-63)
+
+Optimizer hyper-params follow eager_trainer.py:28-30: G and D Adam use
+(lr, beta_1=0.5, beta_2=0.9); the Adjuster's Adam uses default betas
+(0.9, 0.999).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+
+from littlegan_tpu.config import Config
+from littlegan_tpu.models import init_params
+from littlegan_tpu.training.optimizer import AdamState, adam_init
+
+G_KEYS = ("g_head", "decoder", "out_conv")
+D_KEYS = ("encoder", "d_head")
+A_KEYS = ("adj_head",)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_g: AdamState
+    opt_d: AdamState
+    opt_a: AdamState
+
+
+def subtree(params, keys):
+    return {k: params[k] for k in keys}
+
+
+def create_train_state(cfg: Config, rng: jax.Array) -> TrainState:
+    params = init_params(cfg, rng)
+    return TrainState(
+        params=params,
+        opt_g=adam_init(subtree(params, G_KEYS)),
+        opt_d=adam_init(subtree(params, D_KEYS)),
+        opt_a=adam_init(subtree(params, A_KEYS)),
+    )

@@ -1,0 +1,195 @@
+"""The fused, jitted adversarial train step — the framework's hot loop.
+
+The reference's hot loop (eager_trainer.py:115-169) runs per step:
+two data batches, noise sampling, host-side TF augmentation, a joint forward
+under TWO GradientTapes (G and D), an optional third tape for the Adjuster,
+clipping, and three Adam applies — ~6 forwards + 3 backwards in eager mode.
+
+TPU-first redesign — everything below is ONE XLA program:
+
+1. **Augmentation on device** (ops/augment.py) — no host round-trip.
+2. **One fused backward** instead of three tapes: a single scalar
+   ``total = gen_loss + disc_loss + adj_loss`` differentiated once, with
+   ``stop_gradient`` placed so each loss's gradient reaches EXACTLY the
+   parameters its reference tape would have touched:
+     - ``disc_loss`` sees ``stop_gradient(fake)``          -> no grad to G,
+     - ``gen_loss``  queries D through frozen d-params     -> no grad to D,
+     - ``adj_loss``  sees every shared subtree frozen      -> grad only to
+       adj_head (reference trains only weights[16:20], eager_trainer.py:59-63),
+       and ``stop_gradient(fake)`` as its input image.
+   The identical-forward D calls (live vs frozen params) are CSE'd by XLA.
+   (Same observation as FusedProp, arXiv:2004.03335, derived independently
+   for this pytree layout.)
+3. **Masked Adam** applies the partition schedule (training/partition.py) and
+   the adjuster warm-up gate ``batch_no > 10`` (eager_trainer.py:152) as
+   traced 0/1 masks — one compiled program for every batch index.
+4. **Gradient clipping** on D only: elementwise clip to ±clip_range
+   (eager_trainer.py:146-148).
+5. **Gradient penalty**: the reference declares ``use_gp`` but raises
+   NotImplementedError (eager_trainer.py:141-143). We implement a real
+   WGAN-GP penalty on interpolates (grad-of-grad under jit), default OFF for
+   parity with the reference's effective behavior.
+6. For data parallelism the step is jitted with a batch-sharded data axis;
+   XLA inserts the gradient all-reduce over ICI automatically (parallel/).
+
+Loss/data semantics preserved exactly (see ops/losses.py):
+noise ~ N(0,1) (eager_trainer.py:125); G consumes batch-2 conds; D's real
+input is the augmented batch-1 image; adjuster consumes
+``concat([real_1, fake])`` with conds remapped ``(c+1)/2``
+(eager_trainer.py:152-164).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from littlegan_tpu.config import Config
+from littlegan_tpu.models import adjuster_apply, discriminator_apply, generator_apply
+from littlegan_tpu.ops.augment import augment
+from littlegan_tpu.ops.losses import adjuster_loss, discriminator_loss, generator_loss
+from littlegan_tpu.training.optimizer import masked_adam_update
+from littlegan_tpu.training.partition import build_partition_masks, resolve_mask
+from littlegan_tpu.training.state import A_KEYS, D_KEYS, G_KEYS, TrainState, subtree
+
+
+class StepOutput(NamedTuple):
+    state: TrainState
+    metrics: Dict[str, jnp.ndarray]  # gen/disc/adj scalar losses
+    fake_image: jnp.ndarray
+    adj_image: jnp.ndarray  # zeros when train_adj is off
+
+
+def _freeze(params, live_keys: Tuple[str, ...]):
+    """stop_gradient on every subtree except ``live_keys``."""
+    sg = jax.lax.stop_gradient
+    return {k: (v if k in live_keys else sg(v)) for k, v in params.items()}
+
+
+def gradient_penalty(params, real: jnp.ndarray, fake: jnp.ndarray, rng: jax.Array, cfg: Config) -> jnp.ndarray:
+    """WGAN-GP on interpolates (capability the reference only stubs,
+    eager_trainer.py:141-143)."""
+    eps = jax.random.uniform(rng, (real.shape[0], 1, 1, 1))
+    inter = eps * real + (1.0 - eps) * fake
+
+    def d_pr(x):
+        pr, _ = discriminator_apply(params, x, cfg)
+        return jnp.sum(pr)
+
+    g = jax.grad(d_pr)(inter)
+    norms = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32)), axis=(1, 2, 3)) + 1e-12)
+    return jnp.mean(jnp.square(norms - 1.0))
+
+
+def total_loss_fn(params, batch1, batch2, noise, new_image, gp_rng, cfg: Config):
+    """Single differentiable scalar; stop_gradient routes each loss's grads."""
+    sg = jax.lax.stop_gradient
+    img1, cond1 = batch1
+    img2, cond2 = batch2
+
+    fake = generator_apply(params, noise, cond2, cfg)
+
+    # --- D loss: grads to encoder + d_head only (fake is data) ---
+    real_pr, real_c = discriminator_apply(params, new_image, cfg)
+    fake_pr_d, _ = discriminator_apply(params, sg(fake), cfg)
+    d_loss = discriminator_loss(cond1, real_c, real_pr, fake_pr_d)
+    if cfg.use_gp:
+        d_loss = d_loss + cfg.gp_weight * gradient_penalty(params, img1, sg(fake), gp_rng, cfg)
+
+    # --- G loss: D queried with frozen params -> grads to G subtrees only ---
+    d_frozen = _freeze(params, G_KEYS)
+    fake_pr_g, fake_c_g = discriminator_apply(d_frozen, fake, cfg)
+    g_loss = generator_loss(cond2, fake_c_g, fake_pr_g, img2, fake, cfg.l1_lambda)
+
+    total = g_loss + d_loss
+    adj_image = jnp.zeros_like(jnp.concatenate([img1, img1], axis=0))
+    a_loss = jnp.float32(0.0)
+    if cfg.train_adj:
+        # reference eager_trainer.py:152-164: input conds remapped to ~[0,1],
+        # targets stay soft ±1; input images are [real_1, fake] (fake as DATA)
+        adj_in_cond = (jnp.concatenate([cond2, cond1], axis=0) + 1.0) * 0.5
+        adj_tgt_cond = jnp.concatenate([cond2, cond1], axis=0)
+        adj_in_img = jnp.concatenate([img1, sg(fake)], axis=0)
+        adj_tgt_img = jnp.concatenate([img2, img1], axis=0)
+        adj_params = _freeze(params, A_KEYS)
+        adj_image = adjuster_apply(adj_params, adj_in_img, adj_in_cond, cfg)
+        adj_pr, adj_c = discriminator_apply(_freeze(params, ()), adj_image, cfg)
+        a_loss = adjuster_loss(adj_tgt_cond, adj_c, adj_pr, adj_tgt_img, adj_image, cfg.l1_lambda)
+        total = total + a_loss
+
+    aux = {
+        "loss/gen": g_loss,
+        "loss/disc": d_loss,
+        "loss/adj": a_loss,
+        "fake": fake,
+        "adj": adj_image,
+    }
+    return total, aux
+
+
+def train_step(
+    state: TrainState,
+    batch1: Tuple[jnp.ndarray, jnp.ndarray],
+    batch2: Tuple[jnp.ndarray, jnp.ndarray],
+    rng: jax.Array,
+    batch_no: jnp.ndarray,
+    cfg: Config,
+    part_masks: Any,
+) -> StepOutput:
+    k_noise, k_aug, k_gp = jax.random.split(rng, 3)
+    img1, _ = batch1
+    noise = jax.random.normal(k_noise, (img1.shape[0], cfg.noise_dim), jnp.float32)
+    new_image = augment(k_aug, img1)  # eager_trainer.py:127-131, on device
+
+    grads, aux = jax.grad(total_loss_fn, has_aux=True)(
+        state.params, batch1, batch2, noise, new_image, k_gp, cfg
+    )
+
+    d_grads = subtree(grads, D_KEYS)
+    if cfg.use_clip:  # eager_trainer.py:146-148 — D grads only
+        d_grads = jax.tree_util.tree_map(
+            lambda g: jnp.clip(g, -cfg.clip_range, cfg.clip_range), d_grads
+        )
+    g_grads = subtree(grads, G_KEYS)
+    a_grads = subtree(grads, A_KEYS)
+
+    g_mask = resolve_mask(part_masks["generator"], batch_no, cfg.use_partition, cfg.partition_interval)
+    d_mask = resolve_mask(part_masks["discriminator"], batch_no, cfg.use_partition, cfg.partition_interval)
+    a_mask = resolve_mask(part_masks["adjuster"], batch_no, cfg.use_partition, cfg.partition_interval)
+    if cfg.train_adj:
+        # adjuster warm-up: only after batch 10 of every epoch (eager_trainer.py:152)
+        adj_gate = (batch_no > 10).astype(jnp.float32)
+        a_mask = jax.tree_util.tree_map(lambda m: m * adj_gate, a_mask)
+    else:
+        a_mask = jax.tree_util.tree_map(lambda m: m * 0.0, a_mask)
+
+    new_g, opt_g = masked_adam_update(
+        g_grads, state.opt_g, subtree(state.params, G_KEYS), g_mask, cfg.lr, cfg.beta_1, cfg.beta_2
+    )
+    new_d, opt_d = masked_adam_update(
+        d_grads, state.opt_d, subtree(state.params, D_KEYS), d_mask, cfg.lr, cfg.beta_1, cfg.beta_2
+    )
+    # adjuster Adam uses default betas (eager_trainer.py:30)
+    new_a, opt_a = masked_adam_update(
+        a_grads, state.opt_a, subtree(state.params, A_KEYS), a_mask, cfg.lr, 0.9, 0.999
+    )
+
+    new_params = {**new_g, **new_d, **new_a}
+    metrics = {k: aux[k] for k in ("loss/gen", "loss/disc", "loss/adj")}
+    return StepOutput(
+        state=TrainState(params=new_params, opt_g=opt_g, opt_d=opt_d, opt_a=opt_a),
+        metrics=metrics,
+        fake_image=aux["fake"],
+        adj_image=aux["adj"],
+    )
+
+
+def make_train_step(cfg: Config, params, donate: bool | None = None):
+    """Build the jitted single-device train step (multi-device: parallel/)."""
+    part_masks = build_partition_masks(params)
+    donate = cfg.donate_state if donate is None else donate
+    fn = partial(train_step, cfg=cfg, part_masks=part_masks)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

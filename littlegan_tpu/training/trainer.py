@@ -1,0 +1,301 @@
+"""Trainer: the host loop around the jitted train step.
+
+Capability parity with the reference ``EagerTrainer`` (eager_trainer.py),
+redesigned for TPU throughput:
+
+- result-dir/provenance init (eager_trainer.py:231-245 -> utils/provenance.py)
+- pinned eval fixture (noise, cond, image) persisted as
+  ``test_data_<env>.npz`` with the reference's reuse contract
+  (eager_trainer.py:65-83)
+- epoch loop with the reference cadences: per-step scalar logging
+  (203-207), train-sample grids every ``freq_gen`` (216-220), fixture
+  ``predict`` every ``freq_test`` (221-226), per-epoch checkpoint (229),
+  wall-time report (227-228)
+- SIGINT -> save ``interrupt`` checkpoint + status.json -> exit(1)
+  (171-178, 182-183); auto-restore on restart (37-43)
+- ``predict`` (265-298): generation timing, D-score MSE stats vs soft
+  targets, rounded-percentage JSON, adjuster on real AND generated images,
+  tiled grids
+- ``plot`` (247-263): human-readable model/parameter summaries
+- weights-only export (300-303)
+
+TPU-specific redesign (SURVEY §7 hard part (f)): the step never syncs the
+host. Metrics stay on device; the loop keeps at most ``metrics_flush`` steps
+in flight and flushes them to the TensorBoard writer in one device_get.
+Input batches transfer via ``jax.device_put`` while the previous step
+executes (JAX dispatch is async).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import sys
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from littlegan_tpu.config import Config
+from littlegan_tpu.models import adjuster_apply, discriminator_apply, generator_apply
+from littlegan_tpu.ops.losses import mean_squared_error
+from littlegan_tpu.training.checkpoint import Checkpointer
+from littlegan_tpu.training.state import TrainState, create_train_state
+from littlegan_tpu.training.step import make_train_step
+from littlegan_tpu.utils.image import save_image, soft
+from littlegan_tpu.utils.provenance import init_result_dirs, snapshot_run
+from littlegan_tpu.utils.tensorboard import SummaryWriter
+
+
+class Trainer:
+    def __init__(self, cfg: Config, dataset=None, init_rng: Optional[jax.Array] = None):
+        self.cfg = cfg
+        self.dataset = dataset
+        init_result_dirs(cfg)
+        snapshot_run(cfg)
+
+        rng = init_rng if init_rng is not None else jax.random.PRNGKey(cfg.seed)
+        self._base_rng, fixture_rng = jax.random.split(rng)
+        self.state: TrainState = create_train_state(cfg, self._base_rng)
+        self.global_epoch = 1
+        self.global_step = 0
+
+        self.checkpointer = Checkpointer(os.path.join(cfg.result_dir, "checkpoint"))
+        if cfg.restore:
+            restored, status = self.checkpointer.restore_latest(self.state)
+            if restored is not None:
+                print("Restored checkpoint", self.checkpointer.latest_tag())
+                self.state = restored
+                self.global_epoch = int(status.get("epoch", 1))
+                self.global_step = int(status.get("step", 0))
+
+        self._writer: Optional[SummaryWriter] = None  # created lazily (train only)
+        self._init_fixture(fixture_rng)
+
+        self._train_step = make_train_step(cfg, self.state.params)
+        self._gen_jit = jax.jit(lambda p, n, c: generator_apply(p, n, c, cfg))
+        self._disc_jit = jax.jit(lambda p, i: discriminator_apply(p, i, cfg))
+        self._adj_jit = jax.jit(lambda p, i, c: adjuster_apply(p, i, c, cfg))
+
+    # ---------------------------------------------------------- fixture ----
+
+    def _init_fixture(self, rng: jax.Array) -> None:
+        """Pinned (noise, cond, image) eval triplet (eager_trainer.py:65-83)."""
+        cfg = self.cfg
+        npz = os.path.join(cfg.test_data_dir, f"test_data_{cfg.env}.npz")
+        if cfg.reuse and os.path.isfile(npz):
+            data = np.load(npz)
+            self.test_noise, self.test_cond, self.test_image = (
+                data["n"].astype(np.float32),
+                data["c"].astype(np.float32),
+                data["i"].astype(np.float32),
+            )
+            return
+        if self.dataset is not None:
+            image, cond = next(self.dataset.epoch_iterator(0))
+        else:  # plot/sample modes without a dataset: synthesize a fixture
+            k1, k2 = jax.random.split(rng)
+            image = np.asarray(
+                jax.random.uniform(k1, (cfg.batch_size, *cfg.image_shape), minval=-1, maxval=1)
+            )
+            cond = np.asarray(
+                soft(np.where(np.random.default_rng(cfg.seed).random((cfg.batch_size, cfg.cond_dim)) < 0.5, -1.0, 1.0))
+            ).astype(np.float32)
+        noise = np.asarray(jax.random.normal(rng, (cond.shape[0], cfg.noise_dim)), np.float32)
+        self.test_noise, self.test_cond, self.test_image = noise, cond, image
+        os.makedirs(cfg.test_data_dir, exist_ok=True)
+        np.savez_compressed(npz, n=noise, c=cond, i=image)
+
+    # ------------------------------------------------------------- train ----
+
+    def _save_interrupt(self, signum=None, frame=None):
+        """SIGINT semantics (eager_trainer.py:171-178): checkpoint + exit(1)."""
+        self.checkpointer.save(
+            "interrupt", self.state, {"epoch": self.global_epoch, "step": self.global_step}
+        )
+        print("\nCheckpoint has been saved (interrupt)")
+        sys.exit(1)
+
+    def train(self) -> None:
+        cfg = self.cfg
+        assert self.dataset is not None, "train mode needs a dataset"
+        prev_handler = signal.signal(signal.SIGINT, self._save_interrupt)
+        metrics_buffer = []  # (step, device-side metrics dict) — flushed lazily
+        flush_every = 16
+        try:
+            for epoch in range(self.global_epoch, cfg.epoch + 1):
+                self.global_epoch = epoch
+                print(f"Experiment: {cfg.exp_name} Epoch: {epoch} starting...")
+                start = time.time()
+                it = self.dataset.epoch_iterator(epoch)
+                batch_no = 0
+                images_done = 0
+                while True:
+                    try:  # two batches per step (eager_trainer.py:117-118)
+                        b1 = next(it)
+                        b2 = next(it)
+                    except StopIteration:
+                        break
+                    batch_no += 1
+                    self.global_step += 1
+                    step_rng = jax.random.fold_in(self._base_rng, self.global_step)
+                    out = self._train_step(
+                        self.state,
+                        jax.device_put(b1),
+                        jax.device_put(b2),
+                        step_rng,
+                        jnp.int32(batch_no),
+                    )
+                    self.state = out.state
+                    metrics_buffer.append((self.global_step, out.metrics))
+                    images_done += 2 * cfg.batch_size
+
+                    if len(metrics_buffer) >= flush_every:
+                        self._flush_metrics(metrics_buffer)
+                        metrics_buffer = []
+
+                    if batch_no % cfg.freq_gen == 0:  # eager_trainer.py:216-220
+                        save_image(
+                            np.asarray(out.fake_image),
+                            os.path.join(cfg.result_dir, "train", "gen", f"{epoch}-{batch_no}.jpg"),
+                        )
+                        if cfg.train_adj:
+                            save_image(
+                                np.asarray(out.adj_image),
+                                os.path.join(cfg.result_dir, "train", "adj", f"{epoch}-{batch_no}.jpg"),
+                            )
+                    if batch_no % cfg.freq_test == 0:  # eager_trainer.py:221-226
+                        self.predict(
+                            self.test_noise,
+                            self.test_cond,
+                            self.test_image,
+                            os.path.join(cfg.result_dir, "test", "gen", f"{epoch}-{batch_no}.jpg"),
+                            os.path.join(cfg.result_dir, "test", "disc", f"{epoch}-{batch_no}.json"),
+                            os.path.join(cfg.result_dir, "test", "adj", f"{epoch}-{batch_no}.jpg"),
+                        )
+                if metrics_buffer:
+                    self._flush_metrics(metrics_buffer)
+                    metrics_buffer = []
+                elapsed = time.time() - start
+                rate = images_done / elapsed if elapsed > 0 else 0.0
+                print(f"Time usage: {elapsed:.1f}s  ({rate:.1f} images/s)")
+                self.checkpointer.save(
+                    str(epoch), self.state, {"epoch": epoch + 1, "step": self.global_step}
+                )
+        finally:
+            signal.signal(signal.SIGINT, prev_handler)
+            self.writer.flush()
+
+    @property
+    def writer(self) -> SummaryWriter:
+        if self._writer is None:
+            self._writer = SummaryWriter(os.path.join(self.cfg.result_dir, "log"))
+        return self._writer
+
+    def _flush_metrics(self, buffer) -> None:
+        """One host sync for many steps (SURVEY §7 hard part (f))."""
+        host = jax.device_get([m for _, m in buffer])
+        for (step, _), m in zip(buffer, host):
+            pairs = [("loss/gen", m["loss/gen"]), ("loss/disc", m["loss/disc"])]
+            if self.cfg.train_adj:
+                pairs.append(("loss/adj", m["loss/adj"]))
+            self.writer.scalars(pairs, step)
+        last = host[-1]
+        print(
+            f"  step {buffer[-1][0]}: LossG {float(last['loss/gen']):.4f} "
+            f"LossD {float(last['loss/disc']):.4f} LossA {float(last['loss/adj']):.4f}"
+        )
+
+    # ----------------------------------------------------------- predict ----
+
+    def predict(
+        self,
+        noise,
+        cond,
+        image,
+        gen_image_save_path: Optional[str] = None,
+        json_save_path: Optional[str] = None,
+        adj_image_save_path: Optional[str] = None,
+    ) -> Tuple[np.ndarray, Dict, Optional[np.ndarray], Optional[np.ndarray]]:
+        """Inference + D-score stats + artifacts (eager_trainer.py:265-298)."""
+        cfg = self.cfg
+        params = self.state.params
+        start = time.time()
+        gen_image = self._gen_jit(params, jnp.asarray(noise), jnp.asarray(cond))
+        gen_image.block_until_ready()
+        print(f"Generate Time {time.time() - start:.4f}s")
+        if gen_image_save_path:
+            save_image(np.asarray(gen_image), gen_image_save_path)
+
+        real_pr, real_c = self._disc_jit(params, jnp.asarray(image))
+        fake_pr, fake_c = self._disc_jit(params, gen_image)
+        save: Dict = {"real_cond": np.asarray(cond)}
+        save["real_pr"], save["real_c"] = np.asarray(real_pr), np.asarray(real_c)
+        save["fake_pr"], save["fake_c"] = np.asarray(fake_pr), np.asarray(fake_c)
+        # MSE against softened targets (eager_trainer.py:277-289)
+        save["real_pr_mse"] = float(np.mean(np.asarray(mean_squared_error(soft(1.0), real_pr))))
+        save["real_c_mse"] = float(np.mean(np.asarray(mean_squared_error(jnp.asarray(cond), real_c))))
+        save["fake_pr_mse"] = float(np.mean(np.asarray(mean_squared_error(soft(0.0), fake_pr))))
+        save["fake_c_mse"] = float(np.mean(np.asarray(mean_squared_error(jnp.asarray(cond), fake_c))))
+        for key in ("real_cond", "real_pr", "real_c", "fake_c", "fake_pr"):
+            save[key] = np.round(save[key] * 100).astype(int).tolist()
+        if json_save_path:
+            with open(json_save_path, "w") as f:
+                json.dump(save, f)
+
+        adj_real_image, adj_fake_image = None, None
+        if cfg.train_adj:  # adjust real AND generated (eager_trainer.py:291-297)
+            adj_real_image = np.asarray(self._adj_jit(params, jnp.asarray(image), jnp.asarray(cond)))
+            adj_fake_image = np.asarray(self._adj_jit(params, gen_image, jnp.asarray(cond)))
+            if adj_image_save_path:
+                save_image(
+                    np.concatenate([adj_real_image, adj_fake_image], axis=0), adj_image_save_path
+                )
+        return np.asarray(gen_image), save, adj_real_image, adj_fake_image
+
+    # -------------------------------------------------------------- plot ----
+
+    def plot(self) -> str:
+        """Model summaries -> models.txt (eager_trainer.py:247-263)."""
+        from littlegan_tpu.models import param_count
+
+        p = self.state.params
+        sections = []
+        specs = [
+            ("Encoder", {"encoder": p["encoder"]}),
+            ("Decoder", {"decoder": p["decoder"]}),
+            ("Discriminator", {"encoder": p["encoder"], "d_head": p["d_head"]}),
+            ("Generator", {k: p[k] for k in ("g_head", "decoder", "out_conv")}),
+        ]
+        if self.cfg.train_adj:
+            specs.append(
+                ("Adjuster", {
+                    "encoder (shared w/ D)": p["encoder"],
+                    "adj_head (own)": p["adj_head"],
+                    "decoder (shared w/ G)": p["decoder"],
+                    "out_conv (shared w/ G)": p["out_conv"],
+                })
+            )
+        for name, tree in specs:
+            pad = max(0, (53 - len(name)) // 2)
+            lines = ["=" * pad + f"   Model: {name}  " + "=" * pad]
+            for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+                key = "/".join(str(getattr(pp, "key", pp)) for pp in path)
+                lines.append(f"  {key:<48} {str(leaf.shape):<18} {leaf.size}")
+            lines.append(f"  total parameters: {param_count(tree)}")
+            sections.append("\n".join(lines))
+        text = "\n\n".join(sections) + "\n"
+        out = os.path.join(self.cfg.result_dir, "models.txt")
+        with open(out, "w") as f:
+            f.write(text)
+        return text
+
+    # ------------------------------------------------------------ export ----
+
+    def export_model_checkpoint(self) -> str:
+        """Weights-only export (eager_trainer.py:300-303)."""
+        ck = Checkpointer(os.path.join(self.cfg.result_dir, "model"))
+        return ck.save("model", self.state.params)

@@ -1,0 +1,89 @@
+"""Image/label utilities.
+
+Capability parity with reference utils.py:6-56:
+- ``soft``: label smoothing ``0.96*x + 0.02`` (reference: utils.py:47-48).
+  Applied to +-1 attribute labels this yields {-0.94, 0.98} — a quirk the
+  reference training depends on (SURVEY appendix), preserved exactly.
+- ``data_rescale`` / ``inverse_rescale``: uint8 [0,255] <-> [-1,1]
+  (reference: utils.py:51-56; inverse rounds before cast).
+- ``save_image`` / ``to_grid``: near-square (or explicit) tiled grids saved
+  via PIL (reference: utils.py:6-44). Grid assembly here is vectorized
+  (einops-style reshape) instead of the reference's per-image Python loop.
+
+These are host-side utilities; ``soft``/``data_rescale`` are also safe to use
+on traced JAX arrays inside jitted code (pure elementwise math).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def soft(x):
+    """Label smoothing (reference: utils.py:47-48)."""
+    return 0.96 * x + 0.02
+
+
+def data_rescale(x):
+    """[0,255] -> [-1,1] (reference: utils.py:51-52)."""
+    return x / 127.5 - 1.0
+
+
+def inverse_rescale(y):
+    """[-1,1] -> rounded [0,255] (reference: utils.py:55-56)."""
+    return np.round((np.asarray(y, dtype=np.float32) + 1.0) * 127.5)
+
+
+def _grid_dims(n: int, shape: Tuple[Optional[int], Optional[int]]) -> Tuple[int, int]:
+    """Resolve (rows, cols) like reference utils.py:16-22.
+
+    The reference names them (width, height); ``width`` counts tiles along the
+    first (vertical) output axis. None/None -> near-square.
+    """
+    rows, cols = shape
+    if rows is None and cols is None:
+        cols = int(np.ceil(np.sqrt(n)))
+    if rows is None:
+        rows = int(np.ceil(n / cols))
+    if cols is None:
+        cols = int(np.ceil(n / rows))
+    return rows, cols
+
+
+def to_grid(batch: np.ndarray, shape: Tuple[Optional[int], Optional[int]] = (None, None)) -> np.ndarray:
+    """Tile a NHWC uint8 batch into one HWC image (reference: utils.py:16-31).
+
+    Layout matches the reference exactly: image ``index`` lands at tile
+    (row = index % rows, col = index // rows) — i.e. fills columns downward.
+    """
+    n, h, w, c = batch.shape
+    rows, cols = _grid_dims(n, shape)
+    grid = np.zeros((rows * h, cols * w, c), dtype=batch.dtype)
+    for index in range(n):
+        col, row = divmod(index, rows)
+        grid[row * h : (row + 1) * h, col * w : (col + 1) * w] = batch[index]
+    return grid
+
+
+def save_image(image, path: Optional[str] = None, shape: Tuple[Optional[int], Optional[int]] = (None, None)):
+    """Save a [-1,1] image or batch as a tiled uint8 JPEG (reference: utils.py:6-44).
+
+    3D input -> single image; 4D input -> tiled grid. ``path=None`` shows the
+    image interactively like the reference (utils.py:41-42).
+    """
+    from PIL import Image  # local import: keep jit-side modules PIL-free
+
+    arr = inverse_rescale(image).astype(np.uint8)
+    if arr.ndim == 4:
+        arr = to_grid(arr, shape)
+    if arr.shape[2] == 1:
+        img = Image.fromarray(arr[:, :, 0], "L")
+    else:
+        img = Image.fromarray(arr, "RGB")
+    if path is None:
+        img.show()
+        return img
+    img.save(path)
+    return img

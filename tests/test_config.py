@@ -1,0 +1,43 @@
+"""Config system tests (reference semantics: config.py:8-39)."""
+
+import json
+
+from littlegan_tpu.config import Config, load_config
+
+
+def test_defaults_match_reference_sample():
+    cfg = Config()
+    # spot-check the reference sample.config.json values
+    assert cfg.batch_size == 32
+    assert cfg.noise_dim == 93
+    assert cfg.conv_filter == [384, 256, 128, 64, 32]
+    assert cfg.lr == 5e-5
+    assert cfg.beta_1 == 0.5 and cfg.beta_2 == 0.9
+    assert cfg.attr == [8, 15, 20, 22, 26, 36, 39]
+
+
+def test_derived_fields():
+    cfg = Config(attr=[1, 2, 3], all_result_dir="/r", exp_name="x", prefetch_batch=3, batch_size=32)
+    # reference config.py:32-39
+    assert cfg.cond_dim == 3
+    assert cfg.result_dir == "/r/x"
+    assert cfg.prefetch == 96
+
+
+def test_three_layer_merge(tmp_path):
+    (tmp_path / "sample.config.json").write_text(json.dumps({"batch_size": 8, "lr": 1e-3}))
+    (tmp_path / "myenv.config.json").write_text(json.dumps({"lr": 2e-3, "custom_key": 7}))
+    cfg = load_config("myenv", overrides={"epoch": 5}, search_dirs=[str(tmp_path)])
+    assert cfg.batch_size == 8  # from sample layer
+    assert cfg.lr == 2e-3  # env overrides sample
+    assert cfg.epoch == 5  # CLI overrides env
+    assert cfg.extra["custom_key"] == 7  # unknown keys preserved for provenance
+
+
+def test_json_roundtrip(tmp_path):
+    cfg = Config(exp_name="t", all_result_dir=str(tmp_path))
+    p = tmp_path / "config.json"
+    cfg.dump(str(p))
+    d = json.loads(p.read_text())
+    assert d["cond_dim"] == cfg.cond_dim
+    assert d["result_dir"] == cfg.result_dir

@@ -1,0 +1,167 @@
+"""Op-level tests: instance norm math, conv/deconv TF-parity, losses, augment."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from littlegan_tpu.ops.augment import adjust_hue, augment
+from littlegan_tpu.ops.conv import conv2d, deconv2d, dense
+from littlegan_tpu.ops.losses import (
+    adjuster_loss,
+    binary_crossentropy,
+    discriminator_loss,
+    generator_loss,
+    mean_squared_error,
+)
+from littlegan_tpu.ops.norm import instance_norm
+
+
+# ----------------------------------------------------------- instance norm --
+
+
+def test_instance_norm_matches_reference_formula(np_rng):
+    # reference instance.py:105-116: axis=None, population std, eps on STD
+    x = np_rng.normal(size=(3, 5, 5, 4)).astype(np.float32)
+    gamma = np.array([1.7], np.float32)
+    beta = np.array([-0.3], np.float32)
+    got = np.asarray(instance_norm(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta)))
+
+    mean = x.mean(axis=(1, 2, 3), keepdims=True)
+    std = x.std(axis=(1, 2, 3), keepdims=True) + 1e-3  # population std + eps
+    want = (x - mean) / std * gamma + beta
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_instance_norm_scalar_params_reshape_invariant(np_rng):
+    x = np_rng.normal(size=(2, 16)).astype(np.float32)
+    g = np.ones((1,), np.float32)
+    b = np.zeros((1,), np.float32)
+    a = instance_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b))
+    c = instance_norm(jnp.asarray(x.reshape(2, 4, 4, 1)), jnp.asarray(g), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(a).ravel(), np.asarray(c).ravel(), rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------------------------- conv/deconv --
+
+
+def test_conv2d_same_shape(np_rng):
+    x = jnp.asarray(np_rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+    k = jnp.asarray(np_rng.normal(size=(5, 5, 3, 8)).astype(np.float32))
+    y = conv2d(x, k, stride=2)
+    assert y.shape == (2, 8, 8, 8)
+
+
+def test_deconv2d_is_exact_transpose_of_conv(np_rng):
+    """TF defines conv2d_transpose as the gradient of SAME conv (SURVEY hard
+    part (d)); assert our deconv == vjp of our conv for stride 2, k=5."""
+    x = jnp.asarray(np_rng.normal(size=(2, 8, 8, 6)).astype(np.float32))
+    k = jnp.asarray(np_rng.normal(size=(5, 5, 4, 6)).astype(np.float32))  # (h,w,out,in)
+
+    got = deconv2d(x, k, stride=2)
+    assert got.shape == (2, 16, 16, 4)
+
+    # the forward conv being transposed maps 4ch -> 6ch; its HWIO kernel is
+    # exactly the TF transpose layout (h,w,outT=4,inT=6) reinterpreted as
+    # (h,w,I=4,O=6) — no axis swap
+    fwd_kernel = k
+    primal = jnp.zeros((2, 16, 16, 4), jnp.float32)
+    _, vjp = jax.vjp(lambda img: conv2d(img, fwd_kernel, stride=2), primal)
+    (want,) = vjp(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_deconv2d_stride1_shape(np_rng):
+    x = jnp.asarray(np_rng.normal(size=(2, 16, 16, 4)).astype(np.float32))
+    k = jnp.asarray(np_rng.normal(size=(5, 5, 3, 4)).astype(np.float32))
+    y = deconv2d(x, k, stride=1)
+    assert y.shape == (2, 16, 16, 3)
+
+
+def test_dense_bias(np_rng):
+    x = jnp.asarray(np_rng.normal(size=(3, 7)).astype(np.float32))
+    k = jnp.asarray(np_rng.normal(size=(7, 5)).astype(np.float32))
+    b = jnp.asarray(np_rng.normal(size=(5,)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(dense(x, k, b)), np.asarray(x) @ np.asarray(k) + np.asarray(b), rtol=1e-5)
+
+
+# ------------------------------------------------------------------ losses --
+
+
+def _np_bce(t, p):
+    p = np.clip(p, 1e-7, 1 - 1e-7)
+    return np.mean(-(t * np.log(p) + (1 - t) * np.log(1 - p)), axis=-1)
+
+
+def test_bce_matches_keras_formula(np_rng):
+    t = np_rng.uniform(-1, 1, (4, 7)).astype(np.float32)  # negative targets allowed (quirk)
+    p = np_rng.uniform(0.01, 0.99, (4, 7)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(binary_crossentropy(t, p)), _np_bce(t, p), rtol=1e-5)
+
+
+def test_bce_clips_extreme_predictions():
+    out = binary_crossentropy(jnp.ones((1, 1)), jnp.zeros((1, 1)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_discriminator_loss_value(np_rng):
+    rc = np_rng.uniform(-1, 1, (4, 7)).astype(np.float32)
+    pc = np_rng.uniform(0.01, 0.99, (4, 7)).astype(np.float32)
+    rpr = np_rng.uniform(0.01, 0.99, (4, 1)).astype(np.float32)
+    fpr = np_rng.uniform(0.01, 0.99, (4, 1)).astype(np.float32)
+    got = float(discriminator_loss(rc, pc, rpr, fpr))
+    want = (
+        2 * _np_bce(rc, pc).mean()
+        + _np_bce(np.full_like(rpr, 0.98), rpr).mean()
+        + _np_bce(np.full_like(fpr, 0.02), fpr).mean()
+    )
+    assert abs(got - want) < 1e-5
+
+
+def test_generator_and_adjuster_loss_value(np_rng):
+    c = np_rng.uniform(-1, 1, (4, 7)).astype(np.float32)
+    cd = np_rng.uniform(0.01, 0.99, (4, 7)).astype(np.float32)
+    pr = np_rng.uniform(0.01, 0.99, (4, 1)).astype(np.float32)
+    a = np_rng.normal(size=(4, 8, 8, 3)).astype(np.float32)
+    b = np_rng.normal(size=(4, 8, 8, 3)).astype(np.float32)
+    got = float(generator_loss(c, cd, pr, a, b, l1_lambda=0.02))
+    want = (
+        _np_bce(np.full_like(pr, 0.98), pr).mean()
+        + _np_bce(c, cd).mean()
+        + 0.02 * np.abs(a - b).mean()
+    )
+    assert abs(got - want) < 1e-5
+    assert float(adjuster_loss(c, cd, pr, a, b, 0.02)) == pytest.approx(got)
+
+
+def test_mse_last_axis(np_rng):
+    t = np_rng.normal(size=(4, 7)).astype(np.float32)
+    p = np_rng.normal(size=(4, 7)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(mean_squared_error(t, p)), ((t - p) ** 2).mean(-1), rtol=1e-5
+    )
+
+
+# ----------------------------------------------------------------- augment --
+
+
+def test_adjust_hue_identity(np_rng):
+    x = np_rng.uniform(0, 1, (2, 4, 4, 3)).astype(np.float32)
+    y = np.asarray(adjust_hue(jnp.asarray(x), jnp.asarray(0.0)))
+    np.testing.assert_allclose(y, x, atol=1e-5)
+
+
+def test_adjust_hue_full_turn(np_rng):
+    x = np_rng.uniform(0, 1, (2, 4, 4, 3)).astype(np.float32)
+    y = np.asarray(adjust_hue(jnp.asarray(x), jnp.asarray(1.0)))
+    np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+def test_augment_shape_dtype_and_determinism(rng, np_rng):
+    x = jnp.asarray(np_rng.uniform(-1, 1, (4, 8, 8, 3)).astype(np.float32))
+    a = augment(rng, x)
+    b = augment(rng, x)
+    assert a.shape == x.shape and a.dtype == x.dtype
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # same key -> same aug
+    c = augment(jax.random.PRNGKey(1), x)
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4  # different key -> different

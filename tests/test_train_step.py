@@ -1,0 +1,229 @@
+"""Train-step tests: gradient routing, partition schedule, adjuster gating.
+
+These encode the reference's trickiest semantics (SURVEY §2 #11-13):
+- D-step grads touch encoder+heads; G-step grads touch g_head/decoder/out_conv;
+  A-step grads touch ONLY adj_head (eager_trainer.py:59-63),
+- the rotating partition schedule (eager_trainer.py:104-113),
+- adjuster warm-up after batch 10 (eager_trainer.py:152),
+- D-only gradient clipping (eager_trainer.py:146-148).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from littlegan_tpu.training import (
+    build_partition_masks,
+    create_train_state,
+    make_train_step,
+    resolve_mask,
+)
+from littlegan_tpu.training.step import total_loss_fn
+
+
+def _batches(cfg, rng):
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    b = cfg.batch_size
+    mk = lambda k: jax.random.uniform(k, (b, cfg.image_dim, cfg.image_dim, 3), minval=-1, maxval=1)
+    mkc = lambda k: jnp.where(jax.random.bernoulli(k, 0.5, (b, cfg.cond_dim)), 0.98, -0.94)
+    return (mk(k1), mkc(k2)), (mk(k3), mkc(k4))
+
+
+def _changed(a, b):
+    return {
+        "/".join(str(getattr(p, "key", p)) for p in path): bool(np.any(np.asarray(x) != np.asarray(y)))
+        for (path, x), (_, y) in zip(
+            jax.tree_util.tree_leaves_with_path(a), jax.tree_util.tree_leaves_with_path(b)
+        )
+    }
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_cfg):
+    cfg = tiny_cfg.replace(use_partition=False)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    return cfg, state
+
+
+def test_gradient_routing(setup, rng):
+    """Each loss's gradient reaches exactly its reference tape's params."""
+    cfg, state = setup
+    b1, b2 = _batches(cfg, rng)
+    noise = jax.random.normal(rng, (cfg.batch_size, cfg.noise_dim))
+    new_image = b1[0]
+    grads, aux = jax.grad(total_loss_fn, has_aux=True)(
+        state.params, b1, b2, noise, new_image, rng, cfg
+    )
+    for key in ("encoder", "decoder", "g_head", "out_conv", "d_head", "adj_head"):
+        leaves = jax.tree_util.tree_leaves(grads[key])
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves), key
+        # every subtree receives a nonzero gradient from its one loss
+        total_mag = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+        assert total_mag > 0, f"{key} got no gradient"
+
+
+def test_gradient_isolation_adjuster(setup, rng):
+    """adj_loss alone must produce gradients ONLY in adj_head
+    (reference trains only weights[16:20], eager_trainer.py:59-63)."""
+    cfg, state = setup
+    b1, b2 = _batches(cfg, rng)
+    noise = jax.random.normal(rng, (cfg.batch_size, cfg.noise_dim))
+
+    def adj_only(params):
+        _, aux = total_loss_fn(params, b1, b2, noise, b1[0], rng, cfg)
+        return aux["loss/adj"]
+
+    grads = jax.grad(adj_only)(state.params)
+    for key in ("encoder", "decoder", "g_head", "out_conv", "d_head"):
+        for l in jax.tree_util.tree_leaves(grads[key]):
+            np.testing.assert_array_equal(np.asarray(l), 0.0)
+    assert sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(grads["adj_head"])) > 0
+
+
+def test_gradient_isolation_gen_vs_disc(setup, rng):
+    """gen_loss -> G subtrees only; disc_loss -> D subtrees only."""
+    cfg, state = setup
+    b1, b2 = _batches(cfg, rng)
+    noise = jax.random.normal(rng, (cfg.batch_size, cfg.noise_dim))
+
+    def pick(params, which):
+        _, aux = total_loss_fn(params, b1, b2, noise, b1[0], rng, cfg)
+        return aux[which]
+
+    g_grads = jax.grad(lambda p: pick(p, "loss/gen"))(state.params)
+    for key in ("encoder", "d_head", "adj_head"):
+        for l in jax.tree_util.tree_leaves(g_grads[key]):
+            np.testing.assert_array_equal(np.asarray(l), 0.0)
+
+    d_grads = jax.grad(lambda p: pick(p, "loss/disc"))(state.params)
+    for key in ("g_head", "decoder", "out_conv", "adj_head"):
+        for l in jax.tree_util.tree_leaves(d_grads[key]):
+            np.testing.assert_array_equal(np.asarray(l), 0.0)
+
+
+def test_step_updates_all_when_unpartitioned(setup, rng):
+    cfg, state = setup
+    step = make_train_step(cfg, state.params, donate=False)
+    b1, b2 = _batches(cfg, rng)
+    out = step(state, b1, b2, rng, jnp.int32(50))
+    changed = _changed(state.params, out.state.params)
+    assert all(changed.values()), [k for k, v in changed.items() if not v]
+    for k in ("loss/gen", "loss/disc", "loss/adj"):
+        assert np.isfinite(float(out.metrics[k]))
+    assert out.fake_image.shape == (cfg.batch_size, cfg.image_dim, cfg.image_dim, 3)
+    assert out.adj_image.shape == (2 * cfg.batch_size, cfg.image_dim, cfg.image_dim, 3)
+
+
+def test_adjuster_warmup_gate(setup, rng):
+    """batch_no <= 10: adj_head must NOT move (eager_trainer.py:152)."""
+    cfg, state = setup
+    step = make_train_step(cfg, state.params, donate=False)
+    b1, b2 = _batches(cfg, rng)
+    out = step(state, b1, b2, rng, jnp.int32(5))
+    for l1, l2 in zip(
+        jax.tree_util.tree_leaves(state.params["adj_head"]),
+        jax.tree_util.tree_leaves(out.state.params["adj_head"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    # and the adjuster Adam state is untouched too
+    for l1, l2 in zip(
+        jax.tree_util.tree_leaves(state.opt_a), jax.tree_util.tree_leaves(out.state.opt_a)
+    ):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    # but G/D moved
+    assert any(_changed(state.params["encoder"], out.state.params["encoder"]).values())
+
+
+def test_partition_schedule_masks(tiny_cfg):
+    """Mask resolution reproduces eager_trainer.py:104-113 arithmetic."""
+    cfg = tiny_cfg
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    masks = build_partition_masks(state.params)
+
+    # every leaf belongs to exactly one group
+    for model in ("generator", "discriminator", "adjuster"):
+        for leaf in jax.tree_util.tree_leaves(masks[model]):
+            assert float(jnp.sum(leaf)) == 1.0
+
+    interval = 4  # period 5
+    # batch 5: group (5//5) % 3 = 1 -> G trains decoder.block1 only
+    m = resolve_mask(masks["generator"], jnp.int32(5), True, interval)
+    flat = {
+        "/".join(str(getattr(p, "key", p)) for p in path): float(v)
+        for path, v in jax.tree_util.tree_leaves_with_path(m)
+    }
+    assert all(v == 1.0 for k, v in flat.items() if k.startswith("decoder/block1"))
+    assert all(v == 0.0 for k, v in flat.items() if not k.startswith("decoder/block1"))
+
+    # batch 10: group 2 -> decoder blocks 2-4 + out_conv
+    m = resolve_mask(masks["generator"], jnp.int32(10), True, interval)
+    flat = {
+        "/".join(str(getattr(p, "key", p)) for p in path): float(v)
+        for path, v in jax.tree_util.tree_leaves_with_path(m)
+    }
+    assert all(v == 0.0 for k, v in flat.items() if k.startswith("g_head") or k.startswith("decoder/block1"))
+    assert all(v == 1.0 for k, v in flat.items() if k.startswith("out_conv"))
+
+    # batch 7 (not a multiple of 5): everything trains
+    m = resolve_mask(masks["generator"], jnp.int32(7), True, interval)
+    assert all(float(v) == 1.0 for v in jax.tree_util.tree_leaves(m))
+
+    # use_partition=False: always all
+    m = resolve_mask(masks["discriminator"], jnp.int32(5), False, interval)
+    assert all(float(v) == 1.0 for v in jax.tree_util.tree_leaves(m))
+
+
+def test_partitioned_step_only_updates_group(tiny_cfg, rng):
+    """1-step integration: on a partition batch only the scheduled subtree
+    changes (SURVEY §4's required partition-semantics test)."""
+    cfg = tiny_cfg.replace(use_partition=True, partition_interval=4)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, state.params, donate=False)
+    b1, b2 = _batches(cfg, rng)
+    # batch 15: period 5, group (15//5)%3 = 0 -> G: g_head, D: encoder.block1-3
+    out = step(state, b1, b2, rng, jnp.int32(15))
+    changed = _changed(state.params, out.state.params)
+    for k, v in changed.items():
+        if k.startswith("g_head") or any(k.startswith(f"encoder/block{i}") for i in (1, 2, 3)):
+            assert v, f"{k} should have changed"
+        elif k.startswith("adj_head"):
+            assert v, "adjuster trains its (single) group on partition batches"
+        else:
+            assert not v, f"{k} should NOT have changed"
+
+
+def test_masked_adam_matches_unmasked_adam(rng):
+    """mask=1 must reproduce textbook TF-v1 Adam exactly."""
+    from littlegan_tpu.training.optimizer import adam_init, masked_adam_update
+
+    params = {"w": jnp.asarray(np.random.default_rng(0).normal(size=(4, 4)).astype(np.float32))}
+    grads = {"w": jnp.asarray(np.random.default_rng(1).normal(size=(4, 4)).astype(np.float32))}
+    st = adam_init(params)
+    ones = {"w": jnp.float32(1.0)}
+    p1, st1 = masked_adam_update(grads, st, params, ones, lr=0.1, b1=0.5, b2=0.9)
+
+    g = np.asarray(grads["w"])
+    m = 0.5 * g  # (1-b1)*g
+    v = 0.1 * g**2
+    lr_t = 0.1 * np.sqrt(1 - 0.9) / (1 - 0.5)
+    want = np.asarray(params["w"]) - lr_t * m / (np.sqrt(v) + 1e-8)
+    np.testing.assert_allclose(np.asarray(p1["w"]), want, rtol=1e-5)
+
+    # mask=0: nothing moves
+    zeros = {"w": jnp.float32(0.0)}
+    p0, st0 = masked_adam_update(grads, st, params, zeros, lr=0.1, b1=0.5, b2=0.9)
+    np.testing.assert_array_equal(np.asarray(p0["w"]), np.asarray(params["w"]))
+    np.testing.assert_array_equal(np.asarray(st0.mu["w"]), 0.0)
+    assert int(st0.count["w"]) == 0
+
+
+def test_gp_enabled_runs(tiny_cfg, rng):
+    """The reference stubs GP with NotImplementedError (eager_trainer.py:141-143);
+    we actually implement it — enabling it must produce a finite loss."""
+    cfg = tiny_cfg.replace(use_gp=True, use_partition=False)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, state.params, donate=False)
+    b1, b2 = _batches(cfg, rng)
+    out = step(state, b1, b2, rng, jnp.int32(1))
+    assert np.isfinite(float(out.metrics["loss/disc"]))

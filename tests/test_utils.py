@@ -1,0 +1,53 @@
+"""Utility tests vs reference utils.py math."""
+
+import numpy as np
+
+from littlegan_tpu.utils.image import data_rescale, inverse_rescale, soft, to_grid
+
+
+def test_soft():
+    # reference utils.py:47-48 — on +-1 labels gives {-0.94, 0.98}
+    assert soft(1.0) == 0.98
+    assert abs(soft(-1.0) - (-0.94)) < 1e-12
+    assert soft(0.0) == 0.02
+
+
+def test_rescale_roundtrip():
+    x = np.arange(256, dtype=np.float32)
+    y = data_rescale(x)
+    assert y.min() == -1.0 and abs(y.max() - 1.0) < 1e-6
+    back = inverse_rescale(y)
+    np.testing.assert_array_equal(back, x)
+
+
+def test_inverse_rescale_rounds():
+    # reference utils.py:55-56 rounds before uint8 cast
+    assert inverse_rescale(np.array([0.0]))[0] == 128.0  # round(127.5) banker's-> 128? np.round(127.5)=128
+    assert inverse_rescale(np.array([-1.0]))[0] == 0.0
+    assert inverse_rescale(np.array([1.0]))[0] == 255.0
+
+
+def test_grid_near_square():
+    batch = np.arange(5 * 2 * 3 * 1, dtype=np.uint8).reshape(5, 2, 3, 1)
+    grid = to_grid(batch)
+    # n=5 -> cols=ceil(sqrt(5))=3, rows=ceil(5/3)=2 (reference utils.py:16-22)
+    assert grid.shape == (2 * 2, 3 * 3, 1)
+    # reference layout: index fills columns downward (utils.py:27-30)
+    np.testing.assert_array_equal(grid[0:2, 0:3], batch[0])
+    np.testing.assert_array_equal(grid[2:4, 0:3], batch[1])
+    np.testing.assert_array_equal(grid[0:2, 3:6], batch[2])
+
+
+def test_grid_explicit_shape():
+    batch = np.zeros((8, 4, 4, 3), dtype=np.uint8)
+    grid = to_grid(batch, (1, 8))
+    assert grid.shape == (4, 32, 3)
+
+
+def test_save_image_file(tmp_path):
+    from littlegan_tpu.utils.image import save_image
+
+    img = np.random.default_rng(0).uniform(-1, 1, (4, 8, 8, 3)).astype(np.float32)
+    p = tmp_path / "g.jpg"
+    save_image(img, str(p))
+    assert p.exists() and p.stat().st_size > 0

@@ -12,8 +12,11 @@ that transpose relationship; ``tests/test_conv.py`` asserts equality with
 ``jax.vjp`` of the forward conv.
 
 Layouts are NHWC / HWIO throughout (TPU-native; channels on the 128-lane
-minor dimension). Kernels are stored f32 and cast to the compute dtype at the
-call site; MXU accumulation is forced to f32 via ``preferred_element_type``.
+minor dimension). Kernels are stored f32 and cast to the compute dtype at
+each call; under bf16 compute the TPU MXU still accumulates partial products
+in f32 internally (bf16 in/out is the idiomatic training configuration —
+``preferred_element_type=f32`` is deliberately NOT used because its mixed
+f32-cotangent/bf16-operand transpose breaks under jax.grad).
 
 Kernel shape convention for ``deconv2d``: ``(kh, kw, out_ch, in_ch)`` — the
 kernel of the *forward* conv being transposed, which is also TF's
@@ -40,11 +43,10 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
         window_strides=(stride, stride),
         padding="SAME",
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
-        y = y + bias.astype(jnp.float32)
-    return y.astype(x.dtype)
+        y = y + bias.astype(y.dtype)
+    return y
 
 
 def deconv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None, stride: int = 2) -> jnp.ndarray:
@@ -61,19 +63,18 @@ def deconv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = Non
         padding="SAME",
         dimension_numbers=_DN,
         transpose_kernel=True,
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
-        y = y + bias.astype(jnp.float32)
-    return y.astype(x.dtype)
+        y = y + bias.astype(y.dtype)
+    return y
 
 
 def dense(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
     """Fully-connected layer (reference: tf.compat.v1.layers.Dense)."""
-    y = jnp.dot(x, kernel.astype(x.dtype), preferred_element_type=jnp.float32)
+    y = jnp.dot(x, kernel.astype(x.dtype))
     if bias is not None:
-        y = y + bias.astype(jnp.float32)
-    return y.astype(x.dtype)
+        y = y + bias.astype(y.dtype)
+    return y
 
 
 def leaky_relu(x: jnp.ndarray, alpha: float) -> jnp.ndarray:

@@ -64,11 +64,13 @@ def make_parallel_train_step(cfg: Config, params, mesh: Mesh, donate: bool | Non
     rep = _replicated(mesh)
     bsh = _batch_sharding(mesh)
 
+    from littlegan_tpu.training.step import StepOutput
+
     fn = partial(train_step, cfg=cfg, part_masks=part_masks)
     donate = cfg.donate_state if donate is None else donate
     return jax.jit(
         fn,
         in_shardings=(rep, (bsh, bsh), (bsh, bsh), rep, rep),
-        out_shardings=(rep, rep, bsh, bsh),
+        out_shardings=StepOutput(state=rep, metrics=rep, fake_image=bsh, adj_image=bsh),
         donate_argnums=(0,) if donate else (),
     )

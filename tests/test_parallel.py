@@ -1,0 +1,88 @@
+"""Multi-device tests on the fake 8-device CPU mesh (SURVEY §4).
+
+The key assertion: data-parallel training over 8 devices produces the SAME
+parameter update as single-device training on the same global batch —
+i.e. XLA's inserted gradient all-reduce reproduces the reference's
+(single-device) math exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from littlegan_tpu.parallel import make_mesh, make_parallel_train_step, replicate_state, shard_batch
+from littlegan_tpu.training import create_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def dp_cfg(tiny_cfg):
+    # global batch 8 -> 1 sample per device on the 8-device mesh
+    return tiny_cfg.replace(batch_size=8, use_partition=True, donate_state=False)
+
+
+def _global_batches(cfg, seed=7):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    mk_img = lambda k: jax.random.uniform(
+        k, (cfg.batch_size, cfg.image_dim, cfg.image_dim, 3), minval=-1, maxval=1
+    )
+    mk_cond = lambda k: jnp.where(jax.random.bernoulli(k, 0.5, (cfg.batch_size, cfg.cond_dim)), 0.98, -0.94)
+    return (mk_img(ks[0]), mk_cond(ks[1])), (mk_img(ks[2]), mk_cond(ks[3]))
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual CPU devices"
+
+
+def test_dp_step_matches_single_device(dp_cfg):
+    """psum-gradient equivalence with single-device training (SURVEY §4)."""
+    cfg = dp_cfg
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    b1, b2 = _global_batches(cfg)
+    rng = jax.random.PRNGKey(3)
+
+    single = make_train_step(cfg, state.params, donate=False)
+    out_single = single(state, b1, b2, rng, jnp.int32(20))
+
+    mesh = make_mesh(8)
+    dp_state = replicate_state(state, mesh)
+    dp = make_parallel_train_step(cfg, state.params, mesh, donate=False)
+    out_dp = dp(dp_state, shard_batch(b1, mesh), shard_batch(b2, mesh), rng, jnp.int32(20))
+
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(out_single.state.params),
+        jax.tree_util.tree_leaves_with_path(out_dp.state.params),
+    ):
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5, err_msg=key
+        )
+    for k in ("loss/gen", "loss/disc", "loss/adj"):
+        assert abs(float(out_single.metrics[k]) - float(out_dp.metrics[k])) < 1e-3, k
+
+
+def test_dp_outputs_sharded(dp_cfg):
+    cfg = dp_cfg
+    mesh = make_mesh(8)
+    state = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    dp = make_parallel_train_step(cfg, state.params, mesh, donate=False)
+    b1, b2 = _global_batches(cfg)
+    out = dp(state, shard_batch(b1, mesh), shard_batch(b2, mesh), jax.random.PRNGKey(1), jnp.int32(3))
+    # fake images stay sharded over the data axis; params replicated
+    assert len(out.fake_image.sharding.device_set) == 8
+    p_leaf = jax.tree_util.tree_leaves(out.state.params)[0]
+    assert p_leaf.sharding.is_fully_replicated
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn).lower(*args).compile()(*args)
+    assert out.shape == (8, 128, 128, 3)

@@ -120,18 +120,19 @@ class CelebA:
         self._decoder = self._pick_decoder()
 
     def _pick_decoder(self):
-        if self.cfg.use_native_loader:
-            try:
-                from littlegan_tpu.data.native_loader import NativeDecoder
-
-                return NativeDecoder(self.cfg.image_dim, self.cfg.image_channel)
-            except Exception:
-                pass  # fall back to PIL
+        """Batch decoder: callable(list of paths) -> (N, dim, dim, C) uint8."""
         dim, ch = self.cfg.image_dim, self.cfg.image_channel
-        return lambda path: _decode_pil(path, dim, ch)
+        if self.cfg.use_native_loader and self.cfg.image_ext.lower() in ("jpg", "jpeg"):
+            try:
+                from littlegan_tpu.data.native_loader import NativeBatchLoader
+
+                return NativeBatchLoader(dim, ch, threads=self.cfg.threads).load
+            except Exception as e:  # no toolchain / no libjpeg -> PIL
+                print(f"native loader unavailable ({type(e).__name__}); using PIL")
+        return lambda paths: np.stack([_decode_pil(p, dim, ch) for p in paths])
 
     def _load_batch(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        imgs = np.stack([self._decoder(self._files[i]) for i in idx])
+        imgs = self._decoder([self._files[i] for i in idx])
         images = data_rescale(imgs.astype(np.float32)).astype(np.float32)
         conds = soft(self._conds[idx]).astype(np.float32)
         return images, conds

@@ -62,27 +62,31 @@ def compute_features(
     return np.concatenate(feats, axis=0)
 
 
-def precalculate(cfg: Config, image_dir: str, out_npz: str, limit: Optional[int] = None) -> None:
+def precalculate(
+    cfg: Config, image_dir: str, out_npz: str, limit: Optional[int] = None, batch_size: int = 100
+) -> None:
     """Dataset -> mu/sigma npz (reference evaluate.py:27-42)."""
     files = sorted(glob(os.path.join(image_dir, f"*.{cfg.image_ext}")))
     if limit:
         files = files[:limit]
     if not files:
         raise FileNotFoundError(f"no images in {image_dir}")
-    feats = compute_features(_load_images(files), cfg)
+    feats = compute_features(_load_images(files), cfg, batch_size)
     mu, sigma = activation_statistics(feats)
     np.savez_compressed(out_npz, mu=mu, sigma=sigma)
     print(f"pre-calculate: {len(files)} images -> {out_npz}")
 
 
-def evaluate_generated(cfg: Config, gen_dir: str, stats_npz: str, log_path: str) -> float:
+def evaluate_generated(
+    cfg: Config, gen_dir: str, stats_npz: str, log_path: str, batch_size: int = 100
+) -> float:
     """Generated dir + stats npz -> FID, appended to log (evaluate.py:43-59)."""
     files = sorted(glob(os.path.join(gen_dir, "*.jpg"))) + sorted(
         glob(os.path.join(gen_dir, "*.png"))
     )
     if not files:
         raise FileNotFoundError(f"no generated images in {gen_dir}")
-    feats = compute_features(_load_images(files), cfg)
+    feats = compute_features(_load_images(files), cfg, batch_size)
     mu_g, sigma_g = activation_statistics(feats)
     with np.load(stats_npz) as z:
         mu_r, sigma_r = z["mu"], z["sigma"]

@@ -1,0 +1,231 @@
+// Native data loader: threaded JPEG decode -> center-crop -> bilinear resize.
+//
+// The reference's input pipeline performance comes from tf.data's C++ runtime
+// (JPEG decode + threaded prefetch, reference dataset.py:19-27). This is the
+// framework's own native equivalent: a persistent worker pool decoding whole
+// batches in parallel with no Python GIL involvement, exposed through a C ABI
+// consumed via ctypes (littlegan_tpu/data/native_loader.py).
+//
+// Build: scripts/build_native.sh  (g++ -O3 -shared -fPIC ... -ljpeg)
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ----------------------------------------------------------- jpeg decode ----
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(e->jb, 1);
+}
+
+// Decode a JPEG byte buffer to packed RGB/gray. Returns true on success and
+// fills width/height; the pixel vector is resized internally.
+bool decode_jpeg(const uint8_t* data, size_t len, int channels,
+                 std::vector<uint8_t>* pixels, int* width, int* height) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = (channels == 1) ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  const int w = cinfo.output_width, h = cinfo.output_height;
+  const int c = cinfo.output_components;
+  pixels->resize(static_cast<size_t>(w) * h * c);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = pixels->data() + static_cast<size_t>(cinfo.output_scanline) * w * c;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *width = w;
+  *height = h;
+  return true;
+}
+
+// --------------------------------------------------- crop + bilinear resize --
+
+// Center-crop to square, then bilinear-resize to (dim, dim); `channels` is
+// the packed pixel stride. Matches the PIL fallback path in data/celeba.py.
+void crop_resize(const uint8_t* src, int w, int h, int channels, int dim,
+                 uint8_t* dst) {
+  const int s = (w < h) ? w : h;
+  const int x0 = (w - s) / 2, y0 = (h - s) / 2;
+  if (s == dim) {  // fast path: already target size after crop
+    for (int y = 0; y < dim; ++y) {
+      std::memcpy(dst + static_cast<size_t>(y) * dim * channels,
+                  src + (static_cast<size_t>(y + y0) * w + x0) * channels,
+                  static_cast<size_t>(dim) * channels);
+    }
+    return;
+  }
+  const float scale = static_cast<float>(s) / dim;
+  for (int y = 0; y < dim; ++y) {
+    // PIL-style half-pixel centers
+    float fy = (y + 0.5f) * scale - 0.5f;
+    if (fy < 0) fy = 0;
+    int iy = static_cast<int>(fy);
+    if (iy > s - 2) iy = s - 2;
+    const float wy = fy - iy;
+    for (int x = 0; x < dim; ++x) {
+      float fx = (x + 0.5f) * scale - 0.5f;
+      if (fx < 0) fx = 0;
+      int ix = static_cast<int>(fx);
+      if (ix > s - 2) ix = s - 2;
+      const float wx = fx - ix;
+      const uint8_t* p00 = src + (static_cast<size_t>(iy + y0) * w + ix + x0) * channels;
+      const uint8_t* p01 = p00 + channels;
+      const uint8_t* p10 = p00 + static_cast<size_t>(w) * channels;
+      const uint8_t* p11 = p10 + channels;
+      uint8_t* out = dst + (static_cast<size_t>(y) * dim + x) * channels;
+      for (int ch = 0; ch < channels; ++ch) {
+        const float v0 = p00[ch] + (p01[ch] - p00[ch]) * wx;
+        const float v1 = p10[ch] + (p11[ch] - p10[ch]) * wx;
+        float v = v0 + (v1 - v0) * wy;
+        out[ch] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------- threads ----
+
+class WorkerPool {
+ public:
+  explicit WorkerPool(int n) : stop_(false) {
+    for (int i = 0; i < n; ++i) {
+      workers_.emplace_back([this] { Run(); });
+    }
+  }
+  ~WorkerPool() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+  void Submit(std::function<void()> fn) {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      queue_.push(std::move(fn));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  void Run() {
+    for (;;) {
+      std::function<void()> fn;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] { return stop_ || !queue_.empty(); });
+        if (stop_ && queue_.empty()) return;
+        fn = std::move(queue_.front());
+        queue_.pop();
+      }
+      fn();
+    }
+  }
+  std::mutex mu_;
+  std::condition_variable cv_;
+  std::queue<std::function<void()>> queue_;
+  std::vector<std::thread> workers_;
+  bool stop_;
+};
+
+struct Loader {
+  explicit Loader(int threads) : pool(threads) {}
+  WorkerPool pool;
+};
+
+bool load_one(const char* path, int dim, int channels, uint8_t* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  const long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(static_cast<size_t>(size));
+  const bool read_ok = std::fread(buf.data(), 1, buf.size(), f) == buf.size();
+  std::fclose(f);
+  if (!read_ok) return false;
+  std::vector<uint8_t> pixels;
+  int w = 0, h = 0;
+  if (!decode_jpeg(buf.data(), buf.size(), channels, &pixels, &w, &h)) return false;
+  crop_resize(pixels.data(), w, h, channels, dim, out);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* lg_loader_create(int threads) { return new Loader(threads > 0 ? threads : 1); }
+
+void lg_loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }
+
+// Decode `n` files in parallel into `out` (n * dim * dim * channels bytes,
+// NHWC). Returns the number of files that FAILED (0 = all good); failed
+// slots are zero-filled.
+int lg_loader_load(void* handle, const char** paths, int n, int dim,
+                   int channels, uint8_t* out) {
+  Loader* loader = static_cast<Loader*>(handle);
+  std::atomic<int> failures(0);
+  std::atomic<int> done(0);
+  std::mutex mu;
+  std::condition_variable cv;
+  const size_t item = static_cast<size_t>(dim) * dim * channels;
+  for (int i = 0; i < n; ++i) {
+    loader->pool.Submit([&, i] {
+      uint8_t* dst = out + item * i;
+      if (!load_one(paths[i], dim, channels, dst)) {
+        std::memset(dst, 0, item);
+        failures.fetch_add(1);
+      }
+      if (done.fetch_add(1) + 1 == n) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == n; });
+  return failures.load();
+}
+
+// Single-image decode (no pool) — handy for tools/tests.
+int lg_decode_file(const char* path, int dim, int channels, uint8_t* out) {
+  return load_one(path, dim, channels, out) ? 0 : 1;
+}
+
+}  // extern "C"

@@ -1,0 +1,121 @@
+"""Data pipeline tests on a synthetic CelebA tree (SURVEY §4: pipeline tests
+on synthetic JPEGs)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from littlegan_tpu.data.celeba import CelebA, parse_attr_file
+from littlegan_tpu.data.synthetic import SyntheticDataset
+
+
+@pytest.fixture(scope="module")
+def celeba_tree(tmp_path_factory):
+    """24 random 16x16 JPEGs + a standard-format attr file."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("celeba")
+    img_dir = root / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(24):
+        name = f"{i:06d}.jpg"
+        arr = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / name, quality=95)
+        names.append(name)
+    attrs = rng.choice([-1, 1], size=(24, 40))
+    lines = ["24", " ".join(f"A{i}" for i in range(40))]
+    for name, row in zip(names, attrs):
+        lines.append(name + " " + " ".join(str(v) for v in row))
+    attr_file = root / "attrs.txt"
+    attr_file.write_text("\n".join(lines))
+    return str(img_dir), str(attr_file), attrs
+
+
+def _cfg(tiny_cfg, img_dir, attr_file, **kw):
+    return tiny_cfg.replace(
+        image_path=img_dir, attr_path=attr_file, image_dim=16, batch_size=4, **kw
+    )
+
+
+def test_attr_parse_standard_header(celeba_tree):
+    _, attr_file, attrs = celeba_tree
+    by_name, by_line = parse_attr_file(attr_file, [0, 2, 4])
+    assert len(by_name) == 24 and len(by_line) == 24
+    np.testing.assert_array_equal(by_name["000000.jpg"], attrs[0][[0, 2, 4]])
+
+
+def test_attr_parse_headerless(tmp_path):
+    p = tmp_path / "raw.txt"
+    p.write_text("a.jpg 1 -1\nb.jpg -1 1\n")
+    by_name, by_line = parse_attr_file(str(p), None)
+    assert by_line == [[1.0, -1.0], [-1.0, 1.0]]
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_pipeline_batches(tiny_cfg, celeba_tree, native):
+    img_dir, attr_file, attrs = celeba_tree
+    cfg = _cfg(tiny_cfg, img_dir, attr_file, use_native_loader=native)
+    ds = CelebA(cfg)
+    assert ds.batches == 6
+    assert len(ds.label) == cfg.cond_dim
+    batches = list(ds.epoch_iterator(0))
+    assert len(batches) == 6
+    img, cond = batches[0]
+    assert img.shape == (4, 16, 16, 3) and img.dtype == np.float32
+    assert cond.shape == (4, cfg.cond_dim)
+    assert img.min() >= -1.0 and img.max() <= 1.0
+    # labels are softened ±1 (reference dataset.py:33)
+    uniq = np.unique(cond)
+    assert all(np.isclose(u, -0.94) or np.isclose(u, 0.98) for u in uniq)
+
+
+def test_native_matches_pil_decode(tiny_cfg, celeba_tree):
+    """The C++ decoder must agree with PIL on identical JPEGs (same size, no
+    resize path)."""
+    img_dir, attr_file, _ = celeba_tree
+    a = CelebA(_cfg(tiny_cfg, img_dir, attr_file, use_native_loader=True))
+    b = CelebA(_cfg(tiny_cfg, img_dir, attr_file, use_native_loader=False))
+    (img_a, _), (img_b, _) = next(a.epoch_iterator(3)), next(b.epoch_iterator(3))
+    np.testing.assert_array_equal(img_a, img_b)
+
+
+def test_epoch_shuffle_is_seeded(tiny_cfg, celeba_tree):
+    img_dir, attr_file, _ = celeba_tree
+    ds = CelebA(_cfg(tiny_cfg, img_dir, attr_file))
+    e0 = [c.sum() for _, c in ds.epoch_iterator(0)]
+    e0b = [c.sum() for _, c in ds.epoch_iterator(0)]
+    e1 = [c.sum() for _, c in ds.epoch_iterator(1)]
+    assert e0 == e0b  # deterministic per (seed, epoch)
+    assert sorted(e0) == sorted(e1)  # same batches...
+    assert e0 != e1  # ...different order (batch-level shuffle)
+
+
+def test_host_sharding(tiny_cfg, celeba_tree):
+    img_dir, attr_file, _ = celeba_tree
+    full = CelebA(_cfg(tiny_cfg, img_dir, attr_file))
+    s0 = CelebA(_cfg(tiny_cfg, img_dir, attr_file), shard_index=0, shard_count=2)
+    s1 = CelebA(_cfg(tiny_cfg, img_dir, attr_file), shard_index=1, shard_count=2)
+    assert s0.num_items + s1.num_items == full.num_items
+    assert not set(s0._files) & set(s1._files)
+
+
+def test_synthetic_contract(tiny_cfg):
+    ds = SyntheticDataset(tiny_cfg, num_items=16)
+    img, cond = next(ds.epoch_iterator(0))
+    assert img.shape == (4, 16, 16, 3)
+    img2, _ = next(ds.epoch_iterator(0))
+    np.testing.assert_array_equal(img, img2)  # deterministic
+
+
+def test_native_loader_rejects_garbage(tmp_path, tiny_cfg):
+    pytest.importorskip("ctypes")
+    from littlegan_tpu.data.native_loader import NativeBatchLoader
+
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"not a jpeg at all")
+    loader = NativeBatchLoader(16, 3, threads=2)
+    with pytest.raises(IOError):
+        loader.load([str(bad)])

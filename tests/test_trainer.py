@@ -1,0 +1,167 @@
+"""Trainer / checkpoint / TB-writer integration tests (SURVEY §4,
+reference behaviors: eager_trainer.py train loop, checkpoint/resume,
+fixture reuse, predict artifacts, provenance)."""
+
+import json
+import os
+import struct
+
+import jax
+import numpy as np
+import pytest
+
+from littlegan_tpu.data.synthetic import SyntheticDataset
+from littlegan_tpu.training.checkpoint import Checkpointer
+from littlegan_tpu.training.state import create_train_state
+from littlegan_tpu.training.trainer import Trainer
+from littlegan_tpu.utils.tensorboard import SummaryWriter, _masked_crc, crc32c
+
+
+@pytest.fixture()
+def run_cfg(tiny_cfg, tmp_path):
+    return tiny_cfg.replace(
+        epoch=1,
+        freq_gen=2,
+        freq_test=4,
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="t",
+        use_partition=True,
+        restore=True,
+        donate_state=False,
+    )
+
+
+def test_train_one_epoch_produces_artifacts(run_cfg):
+    ds = SyntheticDataset(run_cfg, num_items=8 * run_cfg.batch_size)
+    tr = Trainer(run_cfg, ds)
+    tr.train()
+    rd = run_cfg.result_dir
+    assert os.path.isfile(os.path.join(rd, "checkpoint", "ckpt-1.npz"))
+    assert os.path.isfile(os.path.join(rd, "checkpoint", "status.json"))
+    assert os.path.isfile(os.path.join(rd, "config.json"))
+    assert os.listdir(os.path.join(rd, "train", "gen"))  # freq_gen grids
+    assert os.listdir(os.path.join(rd, "test", "disc"))  # freq_test jsons
+    assert os.listdir(os.path.join(rd, "log"))  # TB events
+    # fixture persisted with the reference naming (eager_trainer.py:67)
+    assert os.path.isfile(
+        os.path.join(run_cfg.test_data_dir, f"test_data_{run_cfg.env}.npz")
+    )
+
+
+def test_resume_restores_state_and_epoch(run_cfg):
+    ds = SyntheticDataset(run_cfg, num_items=8 * run_cfg.batch_size)
+    Trainer(run_cfg, ds).train()
+    tr2 = Trainer(run_cfg, ds)  # restore=True picks up ckpt-1
+    assert tr2.global_epoch == 2
+    assert tr2.global_step == 4
+    tr2.train()  # nothing left to do (epoch=1) — must not crash
+
+
+def test_interrupt_checkpoint(run_cfg):
+    ds = SyntheticDataset(run_cfg, num_items=8 * run_cfg.batch_size)
+    tr = Trainer(run_cfg, ds)
+    with pytest.raises(SystemExit) as e:
+        tr._save_interrupt()
+    assert e.value.code == 1  # reference exits 1 (eager_trainer.py:177-178)
+    assert os.path.isfile(os.path.join(run_cfg.result_dir, "checkpoint", "ckpt-interrupt.npz"))
+    tr3 = Trainer(run_cfg, ds)
+    assert tr3.checkpointer.latest_tag() == "interrupt"
+
+
+def test_predict_artifacts(run_cfg, tmp_path):
+    ds = SyntheticDataset(run_cfg, num_items=4 * run_cfg.batch_size)
+    tr = Trainer(run_cfg, ds)
+    gen_p = str(tmp_path / "g.jpg")
+    json_p = str(tmp_path / "d.json")
+    adj_p = str(tmp_path / "a.jpg")
+    gen, save, adj_r, adj_f = tr.predict(
+        tr.test_noise, tr.test_cond, tr.test_image, gen_p, json_p, adj_p
+    )
+    assert gen.shape == tr.test_image.shape
+    assert os.path.isfile(gen_p) and os.path.isfile(adj_p)
+    d = json.load(open(json_p))
+    # rounded-percentage int lists + MSE floats (eager_trainer.py:277-289)
+    assert isinstance(d["real_pr"][0][0], int)
+    for k in ("real_pr_mse", "real_c_mse", "fake_pr_mse", "fake_c_mse"):
+        assert isinstance(d[k], float)
+    assert adj_r is not None and adj_f is not None
+
+
+def test_fixture_reuse_contract(run_cfg):
+    ds = SyntheticDataset(run_cfg, num_items=4 * run_cfg.batch_size)
+    tr1 = Trainer(run_cfg, ds)
+    cfg_reuse = run_cfg.replace(reuse=True)
+    tr2 = Trainer(cfg_reuse, ds)
+    np.testing.assert_array_equal(tr1.test_noise, tr2.test_noise)
+    np.testing.assert_array_equal(tr1.test_image, tr2.test_image)
+
+
+def test_plot_lists_all_models(run_cfg):
+    tr = Trainer(run_cfg, None)
+    text = tr.plot()
+    for name in ("Encoder", "Decoder", "Discriminator", "Generator", "Adjuster"):
+        assert f"Model: {name}" in text
+    assert os.path.isfile(os.path.join(run_cfg.result_dir, "models.txt"))
+
+
+def test_export_weights_only(run_cfg):
+    tr = Trainer(run_cfg, None)
+    path = tr.export_model_checkpoint()
+    assert os.path.isfile(path)
+    with np.load(path) as z:
+        keys = list(z.files)
+    assert any(k.startswith("encoder") for k in keys)
+    assert not any("opt" in k or "mu" in k for k in keys)  # weights only
+
+
+# ------------------------------------------------------------- checkpoint ----
+
+
+def test_checkpoint_roundtrip_exact(tiny_cfg, tmp_path):
+    state = create_train_state(tiny_cfg, jax.random.PRNGKey(0))
+    ck = Checkpointer(str(tmp_path))
+    ck.save("7", state, {"epoch": 8, "step": 99})
+    restored, status = ck.restore_latest(state)
+    assert status == {"epoch": 8, "step": 99}
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_shape_mismatch_rejected(tiny_cfg, tmp_path):
+    state = create_train_state(tiny_cfg, jax.random.PRNGKey(0))
+    ck = Checkpointer(str(tmp_path))
+    ck.save("1", state)
+    other = create_train_state(tiny_cfg.replace(noise_dim=7), jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        ck.restore("1", other)
+
+
+# ------------------------------------------------------------- tensorboard ---
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vector: 32 bytes of zeros -> 0x8a9136aa
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"123456789") == 0xE3069283
+
+
+def test_event_file_framing(tmp_path):
+    w = SummaryWriter(str(tmp_path))
+    w.scalar("loss/gen", 1.5, step=3)
+    w.scalars([("a", 1.0), ("b", 2.0)], step=4)
+    w.close()
+    fn = [f for f in os.listdir(tmp_path) if f.startswith("events")][0]
+    data = open(os.path.join(tmp_path, fn), "rb").read()
+    off, n = 0, 0
+    while off < len(data):
+        (length,) = struct.unpack("<Q", data[off : off + 8])
+        (lcrc,) = struct.unpack("<I", data[off + 8 : off + 12])
+        assert lcrc == _masked_crc(data[off : off + 8])
+        payload = data[off + 12 : off + 12 + length]
+        (pcrc,) = struct.unpack("<I", data[off + 12 + length : off + 16 + length])
+        assert pcrc == _masked_crc(payload)
+        off += 16 + length
+        n += 1
+    assert n == 3  # header + 2 scalar events
+    assert b"loss/gen" in data and b"brain.Event:2" in data

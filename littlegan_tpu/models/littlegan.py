@@ -141,6 +141,24 @@ def _compute_dtype(cfg: Config):
     return jnp.dtype(cfg.compute_dtype)
 
 
+def _norm_lrelu(x: jnp.ndarray, norm_params: Params, cfg: Config) -> jnp.ndarray:
+    """InstanceNorm -> LeakyReLU block epilogue (model.py:22-24, 46-48).
+
+    Uses the fused single-VMEM-pass Pallas kernel (ops/pallas/norm_lrelu.py)
+    when enabled and the per-sample map fits on-chip; jnp otherwise (XLA
+    fuses the fallback into the surrounding conv reasonably well).
+    """
+    if cfg.use_pallas:
+        from littlegan_tpu.ops.pallas.norm_lrelu import fused_instance_norm_lrelu, supports
+
+        if supports(x.shape, x.dtype):
+            return fused_instance_norm_lrelu(
+                x, norm_params["gamma"], norm_params["beta"], cfg.leaky_alpha
+            )
+    x = instance_norm(x, norm_params["gamma"], norm_params["beta"])
+    return leaky_relu(x, cfg.leaky_alpha)
+
+
 def encoder_apply(
     enc: Params,
     x: jnp.ndarray,
@@ -157,8 +175,7 @@ def encoder_apply(
     for i in range(1, 5):
         blk = enc[f"block{i}"]
         x = conv2d(x, blk["conv"]["kernel"], blk["conv"]["bias"], stride=2)
-        x = instance_norm(x, blk["norm"]["gamma"], blk["norm"]["beta"])
-        x = leaky_relu(x, cfg.leaky_alpha)
+        x = _norm_lrelu(x, blk["norm"], cfg)
         if dropout_rng is not None:
             dropout_rng, sub = jax.random.split(dropout_rng)
             keep = 1.0 - cfg.dropout_rate
@@ -181,8 +198,7 @@ def decoder_apply(
         if skips[i - 1] is not None:
             x = x + skips[i - 1].astype(x.dtype)
         x = deconv2d(x, blk["conv"]["kernel"], blk["conv"]["bias"], stride=2)
-        x = instance_norm(x, blk["norm"]["gamma"], blk["norm"]["beta"])
-        x = leaky_relu(x, cfg.leaky_alpha)
+        x = _norm_lrelu(x, blk["norm"], cfg)
     return x
 
 

@@ -111,6 +111,7 @@ class Config:
     # than the saved HBM round trips. Kept as an opt-in and a kernel pattern.
     use_pallas: bool = False
     use_native_loader: bool = True  # C++ JPEG loader (falls back to PIL)
+    profile_steps: int = 0  # >0: capture a jax.profiler trace of N steps -> result/<exp>/log/profile
     fid_weights: str = ""  # npz with InceptionV3 weights; "" -> deterministic random
 
     # unknown keys from user env files are preserved here for provenance

@@ -75,7 +75,20 @@ class Trainer:
         self._writer: Optional[SummaryWriter] = None  # created lazily (train only)
         self._init_fixture(fixture_rng)
 
-        self._train_step = make_train_step(cfg, self.state.params)
+        # Data parallelism: with >1 local device, train over a 1-D data mesh
+        # (XLA inserts the gradient all-reduce over ICI; parallel/train.py).
+        # The global batch is split across devices, so batch_size must divide.
+        n_dev = len(jax.devices())
+        if n_dev > 1 and cfg.batch_size % n_dev == 0:
+            from littlegan_tpu.parallel import make_mesh, make_parallel_train_step, replicate_state
+
+            self.mesh = make_mesh(n_dev)
+            self.state = replicate_state(self.state, self.mesh)
+            self._train_step = make_parallel_train_step(cfg, self.state.params, self.mesh)
+            print(f"Data-parallel training over {n_dev} devices")
+        else:
+            self.mesh = None
+            self._train_step = make_train_step(cfg, self.state.params)
         self._gen_jit = jax.jit(lambda p, n, c: generator_apply(p, n, c, cfg))
         self._disc_jit = jax.jit(lambda p, i: discriminator_apply(p, i, cfg))
         self._adj_jit = jax.jit(lambda p, i, c: adjuster_apply(p, i, c, cfg))
@@ -111,6 +124,14 @@ class Trainer:
 
     # ------------------------------------------------------------- train ----
 
+    def _put(self, batch):
+        """Host batch -> device(s): sharded over the data mesh when DP."""
+        if self.mesh is not None:
+            from littlegan_tpu.parallel import shard_batch
+
+            return shard_batch(batch, self.mesh)
+        return jax.device_put(batch)
+
     def _save_interrupt(self, signum=None, frame=None):
         """SIGINT semantics (eager_trainer.py:171-178): checkpoint + exit(1)."""
         self.checkpointer.save(
@@ -125,6 +146,12 @@ class Trainer:
         prev_handler = signal.signal(signal.SIGINT, self._save_interrupt)
         metrics_buffer = []  # (step, device-side metrics dict) — flushed lazily
         flush_every = 16
+        # tracing/profiling subsystem (SURVEY §5): capture an xplane trace of
+        # steps [10, 10+profile_steps) of the first epoch, viewable in
+        # TensorBoard's profile plugin / xprof.
+        profile_dir = os.path.join(cfg.result_dir, "log", "profile")
+        profiling = False
+        first_epoch = self.global_epoch
         try:
             for epoch in range(self.global_epoch, cfg.epoch + 1):
                 self.global_epoch = epoch
@@ -141,11 +168,20 @@ class Trainer:
                         break
                     batch_no += 1
                     self.global_step += 1
+                    if cfg.profile_steps > 0 and epoch == first_epoch:
+                        if batch_no == 10 and not profiling:
+                            jax.profiler.start_trace(profile_dir)
+                            profiling = True
+                        elif profiling and batch_no == 10 + cfg.profile_steps:
+                            jax.block_until_ready(self.state.params)
+                            jax.profiler.stop_trace()
+                            profiling = False
+                            print("profiler trace written to", profile_dir)
                     step_rng = jax.random.fold_in(self._base_rng, self.global_step)
                     out = self._train_step(
                         self.state,
-                        jax.device_put(b1),
-                        jax.device_put(b2),
+                        self._put(b1),
+                        self._put(b2),
                         step_rng,
                         jnp.int32(batch_no),
                     )
@@ -186,6 +222,8 @@ class Trainer:
                     str(epoch), self.state, {"epoch": epoch + 1, "step": self.global_step}
                 )
         finally:
+            if profiling:
+                jax.profiler.stop_trace()
             signal.signal(signal.SIGINT, prev_handler)
             self.writer.flush()
 

@@ -165,3 +165,22 @@ def test_event_file_framing(tmp_path):
         n += 1
     assert n == 3  # header + 2 scalar events
     assert b"loss/gen" in data and b"brain.Event:2" in data
+
+
+def test_trainer_uses_data_parallel_when_divisible(tiny_cfg, tmp_path):
+    """batch divisible by device count -> trainer trains over the 8-device mesh."""
+    cfg = tiny_cfg.replace(
+        batch_size=8,
+        epoch=1,
+        freq_gen=100,
+        freq_test=100,
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="dp",
+        donate_state=False,
+    )
+    ds = SyntheticDataset(cfg, num_items=4 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    assert tr.mesh is not None and tr.mesh.devices.size == 8
+    tr.train()
+    assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))

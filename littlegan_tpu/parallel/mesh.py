@@ -20,18 +20,27 @@ from jax.sharding import Mesh
 def make_mesh(
     num_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
     devices=None,
 ) -> Mesh:
-    """1-D (or reshaped) mesh over the first ``num_devices`` devices."""
+    """Mesh over the first ``num_devices`` devices.
+
+    ``shape``: explicit per-axis sizes (must multiply to the device count).
+    Default for a 2-axis mesh: trailing axis of size 2 (smallest useful model
+    split), remainder on the leading axis.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if num_devices is not None:
         devices = devices[:num_devices]
+    n = len(devices)
     arr = np.asarray(devices)
-    if len(axis_names) > 1:
-        # split devices evenly across leading axes: e.g. (data, model)
-        per = int(round(len(devices) ** (1 / len(axis_names))))
-        shape = [per] * (len(axis_names) - 1) + [-1]
+    if shape is None and len(axis_names) == 2 and n % 2 == 0:
+        shape = (n // 2, 2)
+    if shape is not None:
+        assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
         arr = arr.reshape(shape)
+    elif len(axis_names) > 1:
+        raise ValueError(f"pass an explicit shape for a {len(axis_names)}-axis mesh over {n} devices")
     return Mesh(arr, tuple(axis_names))
 
 

@@ -1,0 +1,64 @@
+"""Spatial (data x model) sharded training — the SURVEY §2 #23 stretch goal.
+
+For resolutions beyond 128² a single chip's HBM can't hold the activations of
+a large batch; the natural second sharding axis for a conv GAN is the IMAGE
+HEIGHT. This module jits the same fused train step over a 2-D
+``('data', 'model')`` mesh with image tensors sharded
+``P('data', 'model')`` on (N, H):
+
+- convolutions over H-sharded activations: XLA's SPMD partitioner inserts
+  the halo exchanges for the 5x5 kernels automatically (the reason to shard
+  H rather than W or C: NHWC keeps C on the lane dimension and W in-sublane,
+  so H is the cheapest axis to split),
+- instance-norm's per-sample reductions over (H, W, C) become cross-shard
+  all-reduces over the ``model`` axis, also inserted by XLA,
+- gradients meet replicated params exactly as in plain DP -> one all-reduce
+  over BOTH axes.
+
+No kernel changes: the step (training/step.py) is sharding-agnostic. The
+equality test vs single-device training lives in tests/test_spatial.py on a
+(4 data x 2 model) virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from littlegan_tpu.config import Config
+from littlegan_tpu.training.partition import build_partition_masks
+from littlegan_tpu.training.step import StepOutput, train_step
+
+
+def make_spatial_train_step(cfg: Config, params, mesh: Mesh, donate: bool | None = None):
+    """Jit the train step over a ('data', 'model') mesh with H-sharded images.
+
+    Batches are ((image NHWC, cond NC), ...): images sharded P('data','model')
+    on (N, H); conds sharded P('data') on N. Global batch must divide the
+    data-axis size; image height must divide the model-axis size.
+    """
+    assert set(mesh.axis_names) == {"data", "model"}, "need a ('data','model') mesh"
+    rep = NamedSharding(mesh, P())
+    img_sh = NamedSharding(mesh, P("data", "model"))
+    cond_sh = NamedSharding(mesh, P("data"))
+    batch_sh = (img_sh, cond_sh)
+
+    part_masks = build_partition_masks(params)
+    fn = partial(train_step, cfg=cfg, part_masks=part_masks)
+    donate = cfg.donate_state if donate is None else donate
+    return jax.jit(
+        fn,
+        in_shardings=(rep, batch_sh, batch_sh, rep, rep),
+        out_shardings=StepOutput(state=rep, metrics=rep, fake_image=img_sh, adj_image=img_sh),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def shard_spatial_batch(batch, mesh: Mesh):
+    img, cond = batch
+    return (
+        jax.device_put(img, NamedSharding(mesh, P("data", "model"))),
+        jax.device_put(cond, NamedSharding(mesh, P("data"))),
+    )

@@ -114,3 +114,64 @@ class Checkpointer:
             with open(status_path) as f:
                 status = json.load(f)
         return state, status
+
+
+class OrbaxCheckpointer:
+    """Orbax-backed alternative with the same API (async save, multi-host
+    aware). The default ``Checkpointer`` is the dependency-light npz format;
+    select this one with ``Config.extra['checkpoint_backend'] = 'orbax'``.
+    """
+
+    def __init__(self, directory: str):
+        import orbax.checkpoint as ocp
+
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self._ocp = ocp
+
+    def _path(self, tag: str) -> str:
+        return os.path.join(self.directory, f"ocp-{tag}")
+
+    def save(self, tag: str, tree, status: Optional[Dict[str, Any]] = None) -> str:
+        path = self._path(tag)
+        self._ckptr.save(path, args=self._ocp.args.StandardSave(tree), force=True)
+        if status is not None:
+            with open(os.path.join(self.directory, "status.json"), "w") as f:
+                json.dump(status, f)
+        return path
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def restore(self, tag: str, template):
+        self.wait()
+        return self._ckptr.restore(self._path(tag), args=self._ocp.args.StandardRestore(template))
+
+    def latest_tag(self) -> Optional[str]:
+        self.wait()
+        tags = {}
+        for fn in os.listdir(self.directory):
+            m = re.match(r"ocp-(.+)$", fn)
+            if m and os.path.isdir(os.path.join(self.directory, fn)):
+                tags[m.group(1)] = os.path.getmtime(os.path.join(self.directory, fn))
+        return max(tags, key=lambda t: tags[t]) if tags else None
+
+    def restore_latest(self, template) -> Tuple[Optional[Any], Dict[str, Any]]:
+        tag = self.latest_tag()
+        if tag is None:
+            return None, {}
+        state = self.restore(tag, template)
+        status_path = os.path.join(self.directory, "status.json")
+        status: Dict[str, Any] = {}
+        if os.path.isfile(status_path):
+            with open(status_path) as f:
+                status = json.load(f)
+        return state, status
+
+
+def make_checkpointer(cfg, directory: str):
+    """Backend selector: npz (default) or orbax (async, multi-host)."""
+    if getattr(cfg, "extra", {}).get("checkpoint_backend") == "orbax":
+        return OrbaxCheckpointer(directory)
+    return Checkpointer(directory)

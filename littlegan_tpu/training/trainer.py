@@ -42,7 +42,7 @@ import numpy as np
 from littlegan_tpu.config import Config
 from littlegan_tpu.models import adjuster_apply, discriminator_apply, generator_apply
 from littlegan_tpu.ops.losses import mean_squared_error
-from littlegan_tpu.training.checkpoint import Checkpointer
+from littlegan_tpu.training.checkpoint import Checkpointer, make_checkpointer
 from littlegan_tpu.training.state import TrainState, create_train_state
 from littlegan_tpu.training.step import make_train_step
 from littlegan_tpu.utils.image import save_image, soft
@@ -63,7 +63,7 @@ class Trainer:
         self.global_epoch = 1
         self.global_step = 0
 
-        self.checkpointer = Checkpointer(os.path.join(cfg.result_dir, "checkpoint"))
+        self.checkpointer = make_checkpointer(cfg, os.path.join(cfg.result_dir, "checkpoint"))
         if cfg.restore:
             restored, status = self.checkpointer.restore_latest(self.state)
             if restored is not None:

@@ -1,0 +1,69 @@
+"""Spatial-sharding (data x model mesh) equivalence test on 8 virtual devices."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from littlegan_tpu.parallel.mesh import make_mesh
+from littlegan_tpu.parallel.spatial import make_spatial_train_step, shard_spatial_batch
+from littlegan_tpu.training import create_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def sp_cfg(tiny_cfg):
+    return tiny_cfg.replace(batch_size=4, use_partition=False, donate_state=False)
+
+
+def _batches(cfg, seed=5):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    mk_img = lambda k: jax.random.uniform(
+        k, (cfg.batch_size, cfg.image_dim, cfg.image_dim, 3), minval=-1, maxval=1
+    )
+    mk_cond = lambda k: jnp.where(
+        jax.random.bernoulli(k, 0.5, (cfg.batch_size, cfg.cond_dim)), 0.98, -0.94
+    )
+    return (mk_img(ks[0]), mk_cond(ks[1])), (mk_img(ks[2]), mk_cond(ks[3]))
+
+
+def test_spatial_step_matches_single_device(sp_cfg):
+    """(4 data x 2 model) mesh with H-sharded images reproduces single-device
+    training — XLA's halo exchanges + cross-shard norm reductions are correct.
+
+    Losses must match tightly. Parameters are compared with an atol of ~2
+    Adam steps: Adam's scale-free update (m/sqrt(v)) amplifies f32
+    reduction-order noise on near-zero gradients into +-1 full step, so
+    bitwise parameter equality is not a meaningful criterion — bounded
+    drift at the update scale plus tight loss equality is.
+    """
+    cfg = sp_cfg
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    b1, b2 = _batches(cfg)
+    rng = jax.random.PRNGKey(9)
+
+    single = make_train_step(cfg, state.params, donate=False)
+    out_single = single(state, b1, b2, rng, jnp.int32(30))
+
+    mesh = make_mesh(8, axis_names=("data", "model"))
+    assert mesh.devices.shape == (4, 2)  # batch 4 over data, H=16 halved
+    step = make_spatial_train_step(cfg, state.params, mesh, donate=False)
+    out_sp = step(
+        state, shard_spatial_batch(b1, mesh), shard_spatial_batch(b2, mesh), rng, jnp.int32(30)
+    )
+
+    for k in ("loss/gen", "loss/disc", "loss/adj"):
+        assert abs(float(out_single.metrics[k]) - float(out_sp.metrics[k])) < 1e-3, k
+
+    # one v1-Adam step magnitude at t=1: lr * sqrt(1-b2)/(1-b1) * m/sqrt(v),
+    # with |m|/sqrt(v) <= (1-b1)/sqrt(1-b2) for a first step
+    max_step = cfg.lr
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(out_single.state.params),
+        jax.tree_util.tree_leaves_with_path(out_sp.state.params),
+    ):
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        diff = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert diff <= 2.5 * max_step, f"{key}: drift {diff} > 2.5 Adam steps"
+
+    # fake images really are sharded across all 8 devices
+    assert len(out_sp.fake_image.sharding.device_set) == 8

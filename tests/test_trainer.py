@@ -184,3 +184,16 @@ def test_trainer_uses_data_parallel_when_divisible(tiny_cfg, tmp_path):
     assert tr.mesh is not None and tr.mesh.devices.size == 8
     tr.train()
     assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))
+
+
+def test_orbax_backend_roundtrip(tiny_cfg, tmp_path):
+    from littlegan_tpu.training.checkpoint import OrbaxCheckpointer
+
+    state = create_train_state(tiny_cfg, jax.random.PRNGKey(0))
+    ck = OrbaxCheckpointer(str(tmp_path / "ocp"))
+    ck.save("3", state._asdict(), {"epoch": 4, "step": 12})
+    ck.wait()
+    restored, status = ck.restore_latest(state._asdict())
+    assert status == {"epoch": 4, "step": 12}
+    for a, b in zip(jax.tree_util.tree_leaves(state._asdict()), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

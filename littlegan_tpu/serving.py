@@ -1,0 +1,213 @@
+"""Production inference / serving.
+
+The reference served its demo from a separate web app (README.md links a
+demo site; nothing in-repo). Here serving is first-class:
+
+- ``InferenceEngine``: loads weights (full train checkpoint or the
+  weights-only export, eager_trainer.py:300-303 equivalent), AOT-compiles
+  generator / adjuster / discriminator at a FIXED batch size (static shapes
+  -> one XLA program, no retraces), and pads/unpads requests to that batch.
+  bf16 compute on TPU; per-call latency is one device dispatch.
+- ``serve()``: a dependency-free stdlib HTTP JSON API:
+    POST /generate      {"cond": [[...7 floats...], ...], "noise": optional}
+    POST /adjust        {"image_b64": <png/jpeg base64>, "cond": [[...]]}
+    POST /discriminate  {"image_b64": ...}
+    GET  /healthz
+  Responses carry base64 JPEG images. Single-threaded by design: the TPU is
+  the serial resource; concurrency belongs in a fronting load balancer.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from littlegan_tpu.config import Config
+from littlegan_tpu.models import adjuster_apply, discriminator_apply, generator_apply, init_params
+from littlegan_tpu.training.checkpoint import Checkpointer
+from littlegan_tpu.utils.image import data_rescale, inverse_rescale
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        cfg: Config,
+        params=None,
+        batch_size: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.batch = batch_size or cfg.batch_size
+        if params is None:
+            params = self._load_params(cfg)
+        self.params = jax.device_put(params)
+
+        b, nd, cd = self.batch, cfg.noise_dim, cfg.cond_dim
+        img_shape = (b, cfg.image_dim, cfg.image_dim, cfg.image_channel)
+        gen = lambda p, n, c: generator_apply(p, n, c, cfg)
+        adj = lambda p, i, c: adjuster_apply(p, i, c, cfg)
+        disc = lambda p, i: discriminator_apply(p, i, cfg)
+        zeros = jnp.zeros
+        # AOT-compile all three entry points at the fixed batch
+        self._gen = (
+            jax.jit(gen).lower(self.params, zeros((b, nd)), zeros((b, cd))).compile()
+        )
+        self._adj = jax.jit(adj).lower(self.params, zeros(img_shape), zeros((b, cd))).compile()
+        self._disc = jax.jit(disc).lower(self.params, zeros(img_shape)).compile()
+
+    @staticmethod
+    def _load_params(cfg: Config):
+        """Weights-only export dir, else train checkpoint, else fresh init."""
+        template = init_params(cfg, jax.random.PRNGKey(cfg.seed))
+        for sub in ("model", "checkpoint"):
+            ck = Checkpointer(os.path.join(cfg.result_dir, sub))
+            tag = ck.latest_tag()
+            if tag is not None:
+                try:
+                    return ck.restore(tag, template)
+                except KeyError:
+                    # train checkpoints store the full TrainState; pull params
+                    from littlegan_tpu.training.state import create_train_state
+
+                    state = ck.restore(tag, create_train_state(cfg, jax.random.PRNGKey(0)))
+                    return state.params
+        return template
+
+    def _pad(self, arr: np.ndarray) -> np.ndarray:
+        n = arr.shape[0]
+        if n > self.batch:
+            raise ValueError(f"request batch {n} > engine batch {self.batch}")
+        if n < self.batch:
+            arr = np.concatenate([arr, np.zeros((self.batch - n, *arr.shape[1:]), arr.dtype)])
+        return arr
+
+    def generate(self, cond: np.ndarray, noise: Optional[np.ndarray] = None, seed: int = 0) -> np.ndarray:
+        n = cond.shape[0]
+        if noise is None:
+            noise = np.random.default_rng(seed).normal(size=(n, self.cfg.noise_dim))
+        out = self._gen(
+            self.params,
+            jnp.asarray(self._pad(noise.astype(np.float32))),
+            jnp.asarray(self._pad(cond.astype(np.float32))),
+        )
+        return np.asarray(out)[:n]
+
+    def adjust(self, image: np.ndarray, cond: np.ndarray) -> np.ndarray:
+        n = image.shape[0]
+        out = self._adj(
+            self.params,
+            jnp.asarray(self._pad(image.astype(np.float32))),
+            jnp.asarray(self._pad(cond.astype(np.float32))),
+        )
+        return np.asarray(out)[:n]
+
+    def discriminate(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        n = image.shape[0]
+        pr, cond = self._disc(self.params, jnp.asarray(self._pad(image.astype(np.float32))))
+        return {"pr": np.asarray(pr)[:n], "cond": np.asarray(cond)[:n]}
+
+
+# ------------------------------------------------------------- http layer ----
+
+
+def _img_to_b64(img_pm1: np.ndarray) -> str:
+    from PIL import Image
+
+    arr = inverse_rescale(img_pm1).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=95)
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _b64_to_img(b64: str, dim: int) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    if img.size != (dim, dim):
+        img = img.resize((dim, dim), Image.BILINEAR)
+    return data_rescale(np.asarray(img, np.float32))
+
+
+def make_handler(engine: InferenceEngine):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok", "batch": engine.batch})
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                t0 = time.time()
+                if self.path == "/generate":
+                    cond = np.asarray(req["cond"], np.float32)
+                    noise = np.asarray(req["noise"], np.float32) if "noise" in req else None
+                    imgs = engine.generate(cond, noise, seed=int(req.get("seed", 0)))
+                    out = {"images": [_img_to_b64(i) for i in imgs]}
+                elif self.path == "/adjust":
+                    img = _b64_to_img(req["image_b64"], engine.cfg.image_dim)[None]
+                    cond = np.asarray(req["cond"], np.float32).reshape(1, -1)
+                    out = {"images": [_img_to_b64(engine.adjust(img, cond)[0])]}
+                elif self.path == "/discriminate":
+                    img = _b64_to_img(req["image_b64"], engine.cfg.image_dim)[None]
+                    d = engine.discriminate(img)
+                    out = {"pr": d["pr"].tolist(), "cond": d["cond"].tolist()}
+                else:
+                    return self._reply(404, {"error": "unknown path"})
+                out["latency_ms"] = round((time.time() - t0) * 1000, 2)
+                self._reply(200, out)
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(cfg: Config, host: str = "0.0.0.0", port: int = 8600, batch_size: int = 8):
+    from http.server import HTTPServer
+
+    engine = InferenceEngine(cfg, batch_size=batch_size)
+    server = HTTPServer((host, port), make_handler(engine))
+    print(f"littlegan-tpu serving on {host}:{port} (batch {batch_size})")
+    server.serve_forever()
+
+
+def main(argv=None) -> int:
+    from argparse import ArgumentParser
+
+    p = ArgumentParser(prog="littlegan-tpu-serve")
+    p.add_argument("exp_name")
+    p.add_argument("-e", "--env", default="sample")
+    p.add_argument("--port", type=int, default=8600)
+    p.add_argument("--batch", type=int, default=8)
+    args = p.parse_args(argv)
+    from littlegan_tpu.config import load_config
+
+    cfg = load_config(args.env, {"exp_name": args.exp_name, "mode": "serve"})
+    serve(cfg, port=args.port, batch_size=args.batch)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,96 @@
+"""Serving tests: AOT engine padding/latency contract + HTTP API end-to-end."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from littlegan_tpu.serving import InferenceEngine, make_handler
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_cfg):
+    return InferenceEngine(tiny_cfg.replace(restore=False), batch_size=4)
+
+
+def test_generate_pads_small_requests(engine):
+    cond = np.zeros((2, engine.cfg.cond_dim), np.float32)
+    imgs = engine.generate(cond, seed=1)
+    assert imgs.shape == (2, 16, 16, 3)
+    # deterministic for a fixed seed
+    np.testing.assert_array_equal(imgs, engine.generate(cond, seed=1))
+
+
+def test_generate_rejects_oversized(engine):
+    with pytest.raises(ValueError):
+        engine.generate(np.zeros((5, engine.cfg.cond_dim), np.float32))
+
+
+def test_adjust_and_discriminate(engine):
+    img = np.random.default_rng(0).uniform(-1, 1, (3, 16, 16, 3)).astype(np.float32)
+    cond = np.zeros((3, engine.cfg.cond_dim), np.float32)
+    adj = engine.adjust(img, cond)
+    assert adj.shape == img.shape
+    d = engine.discriminate(img)
+    assert d["pr"].shape == (3, 1) and d["cond"].shape == (3, engine.cfg.cond_dim)
+
+
+@pytest.fixture(scope="module")
+def http_server(engine):
+    from http.server import HTTPServer
+
+    server = HTTPServer(("127.0.0.1", 0), make_handler(engine))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_healthz(http_server):
+    with urllib.request.urlopen(http_server + "/healthz") as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_http_generate(http_server, engine):
+    status, out = _post(
+        http_server + "/generate", {"cond": [[0, 0, 0, 0, 0, 1, 0]], "seed": 3}
+    )
+    assert status == 200
+    assert len(out["images"]) == 1 and out["latency_ms"] >= 0
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(base64.b64decode(out["images"][0])))
+    assert img.size == (16, 16)
+
+
+def test_http_adjust_roundtrip(http_server, engine):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(buf, "PNG")
+    status, out = _post(
+        http_server + "/adjust",
+        {"image_b64": base64.b64encode(buf.getvalue()).decode(), "cond": [[1, 0, 0, 0, 0, 0, 0]]},
+    )
+    assert status == 200 and len(out["images"]) == 1
+
+
+def test_http_bad_request(http_server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(http_server + "/generate", {"wrong": 1})
+    assert e.value.code == 400

@@ -62,13 +62,17 @@ def _make_dataset(cfg: Config):
         n = max(4 * cfg.batch_size, 64)
         print(f"Using SyntheticDataset ({n} items) — no CelebA at {cfg.image_path}")
         return SyntheticDataset(cfg, num_items=n)
-    import jax
-
     from littlegan_tpu.data import CelebA
 
     # multi-host DP: each host feeds its own shard of the file list
     # (jax.process_* are 0/1 on single-host; no-op there)
-    return CelebA(cfg, shard_index=jax.process_index(), shard_count=jax.process_count())
+    try:
+        import jax
+
+        shard_index, shard_count = jax.process_index(), jax.process_count()
+    except RuntimeError:  # backend init failure should not kill data loading
+        shard_index, shard_count = 0, 1
+    return CelebA(cfg, shard_index=shard_index, shard_count=shard_count)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:

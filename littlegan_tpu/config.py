@@ -112,6 +112,10 @@ class Config:
     use_pallas: bool = False
     use_native_loader: bool = True  # C++ JPEG loader (falls back to PIL)
     profile_steps: int = 0  # >0: capture a jax.profiler trace of N steps -> result/<exp>/log/profile
+    # Cache decoded uint8 images in host RAM after first touch. CelebA-128 is
+    # ~10 GB decoded; on decode-bound hosts (few cores per chip) this makes
+    # epochs >= 2 memcpy-speed. Off by default (RAM cost).
+    cache_decoded: bool = False
     fid_weights: str = ""  # npz with InceptionV3 weights; "" -> deterministic random
 
     # unknown keys from user env files are preserved here for provenance

@@ -118,6 +118,9 @@ class CelebA:
         self.all_label = list(CELEBA_ATTR_NAMES)
         self.label = [CELEBA_ATTR_NAMES[i] for i in cfg.attr]
         self._decoder = self._pick_decoder()
+        # optional in-RAM uint8 cache (cfg.cache_decoded): decode each image
+        # once, serve later epochs at memcpy speed
+        self._cache: dict = {} if cfg.cache_decoded else None
 
     def _pick_decoder(self):
         """Batch decoder: callable(list of paths) -> (N, dim, dim, C) uint8."""
@@ -132,7 +135,15 @@ class CelebA:
         return lambda paths: np.stack([_decode_pil(p, dim, ch) for p in paths])
 
     def _load_batch(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        imgs = self._decoder([self._files[i] for i in idx])
+        if self._cache is not None:
+            missing = [int(i) for i in idx if int(i) not in self._cache]
+            if missing:
+                decoded = self._decoder([self._files[i] for i in missing])
+                for i, img in zip(missing, decoded):
+                    self._cache[i] = img
+            imgs = np.stack([self._cache[int(i)] for i in idx])
+        else:
+            imgs = self._decoder([self._files[i] for i in idx])
         images = data_rescale(imgs.astype(np.float32)).astype(np.float32)
         conds = soft(self._conds[idx]).astype(np.float32)
         return images, conds

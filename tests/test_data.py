@@ -119,3 +119,14 @@ def test_native_loader_rejects_garbage(tmp_path, tiny_cfg):
     loader = NativeBatchLoader(16, 3, threads=2)
     with pytest.raises(IOError):
         loader.load([str(bad)])
+
+
+def test_decoded_cache(tiny_cfg, celeba_tree):
+    img_dir, attr_file, _ = celeba_tree
+    cfg = _cfg(tiny_cfg, img_dir, attr_file, cache_decoded=True)
+    ds = CelebA(cfg)
+    e0 = list(ds.epoch_iterator(0))
+    assert len(ds._cache) == ds.num_items  # fully cached after one epoch
+    e0b = list(ds.epoch_iterator(0))  # served from cache
+    for (a, _), (b, _) in zip(e0, e0b):
+        np.testing.assert_array_equal(a, b)

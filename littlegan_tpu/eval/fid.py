@@ -42,7 +42,10 @@ def frechet_distance(
     assert mu1.shape == mu2.shape and sigma1.shape == sigma2.shape
 
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    try:  # scipy >= 1.16 deprecates disp; errors surface as exceptions/NaNs
+        covmean = linalg.sqrtm(sigma1.dot(sigma2))
+    except Exception:
+        covmean = np.full_like(sigma1, np.nan)
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))

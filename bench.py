@@ -21,6 +21,10 @@ vs_baseline = measured / 190.0, so the 5x target reads as vs_baseline >= 5.
 import json
 import time
 
+from littlegan_tpu.utils.jax_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 

@@ -76,6 +76,9 @@ def _make_dataset(cfg: Config):
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
+    from littlegan_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = parse_config(argv)
     print("Application Params:", json.dumps(cfg.to_json_dict(), default=str)[:500])
     print("Running Mode:", cfg.mode)

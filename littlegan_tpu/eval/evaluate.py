@@ -108,6 +108,9 @@ def main(argv=None) -> int:
     p.add_argument("--gpu", type=str, default="", help="ignored; JAX-native devices")
     p.add_argument("-e", "--env", type=str, default="sample")
     args = p.parse_args(argv)
+    from littlegan_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = Config(env=args.env)
     if args.mode == "pre-calculate":
         precalculate(cfg, args.image_dir, args.stats)

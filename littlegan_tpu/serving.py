@@ -203,6 +203,9 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=8)
     args = p.parse_args(argv)
     from littlegan_tpu.config import load_config
+    from littlegan_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = load_config(args.env, {"exp_name": args.exp_name, "mode": "serve"})
     serve(cfg, port=args.port, batch_size=args.batch)

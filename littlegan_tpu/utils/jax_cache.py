@@ -1,0 +1,26 @@
+"""Persistent XLA compilation cache for all entry points.
+
+Remote (axon) TPU compiles of the big programs here (the fused train step,
+the InceptionV3 graph) take minutes; the persistent cache makes every
+process after the first start instantly. Called by cli.py, bench.py,
+serving.py and the eval driver. Opt out with LITTLEGAN_JAX_CACHE=0.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = "/tmp/littlegan_jax_cache"
+
+
+def enable_compilation_cache(directory: str | None = None) -> None:
+    if os.environ.get("LITTLEGAN_JAX_CACHE", "1") == "0":
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", directory or _DEFAULT_DIR)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these flags: fail open

@@ -85,7 +85,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     from littlegan_tpu.training.trainer import Trainer
     from littlegan_tpu.utils.provenance import ensure_clean_tree
-    from littlegan_tpu.utils.image import save_image
+    from littlegan_tpu.utils.image import ensure_pm1, save_image
 
     if cfg.mode == "train":
         ensure_clean_tree(cfg)  # main.py:27-29
@@ -113,6 +113,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         rng = np.random.default_rng(cfg.seed)
         for b in range(cfg.random_sample_batch):
             image, cond = next(it)
+            image = ensure_pm1(image)
             noise = rng.normal(size=(cond.shape[0], cfg.noise_dim)).astype(np.float32)
             trainer.predict(
                 noise, cond, image,
@@ -138,6 +139,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             except StopIteration:
                 it = data.epoch_iterator(b + 1)
                 image, cond = next(it)
+            image = ensure_pm1(image)
             noise = rng.normal(size=(cond.shape[0], cfg.noise_dim)).astype(np.float32)
             base = b * cfg.batch_size + 1
             gen_image, _, adj_real, adj_fake = trainer.predict(

@@ -116,6 +116,11 @@ class Config:
     # ~10 GB decoded; on decode-bound hosts (few cores per chip) this makes
     # epochs >= 2 memcpy-speed. Off by default (RAM cost).
     cache_decoded: bool = False
+    # Host-side [0,255]->[-1,1] rescale (the reference's placement,
+    # dataset.py:31-32). Default OFF: the pipeline ships uint8 to the device
+    # (4x less host->device traffic) and the jitted step rescales on-chip —
+    # the BASELINE north-star's "fused device-side preprocessing path".
+    host_rescale: bool = False
     fid_weights: str = ""  # npz with InceptionV3 weights; "" -> deterministic random
 
     # unknown keys from user env files are preserved here for provenance

@@ -144,9 +144,11 @@ class CelebA:
             imgs = np.stack([self._cache[int(i)] for i in idx])
         else:
             imgs = self._decoder([self._files[i] for i in idx])
-        images = data_rescale(imgs.astype(np.float32)).astype(np.float32)
         conds = soft(self._conds[idx]).astype(np.float32)
-        return images, conds
+        if self.cfg.host_rescale:  # reference placement (dataset.py:31-32)
+            return data_rescale(imgs.astype(np.float32)).astype(np.float32), conds
+        # default: ship uint8; the jitted train step rescales on device
+        return imgs, conds
 
     def epoch_iterator(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield ``batches`` prefetched (image, cond) pairs.

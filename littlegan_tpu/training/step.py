@@ -130,6 +130,16 @@ def total_loss_fn(params, batch1, batch2, noise, new_image, gp_rng, cfg: Config)
     return total, aux
 
 
+def _prep_images(x: jnp.ndarray) -> jnp.ndarray:
+    """Device-side [0,255] uint8 -> [-1,1] f32 rescale (utils.data_rescale
+    math, reference dataset.py:31-32 moved on-chip). The pipeline ships
+    uint8 to cut host->device bandwidth 4x; f32 batches pass through
+    untouched (fixtures, tests, host_rescale mode)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 127.5 - 1.0
+    return x
+
+
 def train_step(
     state: TrainState,
     batch1: Tuple[jnp.ndarray, jnp.ndarray],
@@ -139,6 +149,8 @@ def train_step(
     cfg: Config,
     part_masks: Any,
 ) -> StepOutput:
+    batch1 = (_prep_images(batch1[0]), batch1[1])
+    batch2 = (_prep_images(batch2[0]), batch2[1])
     k_noise, k_aug, k_gp = jax.random.split(rng, 3)
     img1, _ = batch1
     noise = jax.random.normal(k_noise, (img1.shape[0], cfg.noise_dim), jnp.float32)

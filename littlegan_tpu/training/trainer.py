@@ -45,7 +45,7 @@ from littlegan_tpu.ops.losses import mean_squared_error
 from littlegan_tpu.training.checkpoint import Checkpointer, make_checkpointer
 from littlegan_tpu.training.state import TrainState, create_train_state
 from littlegan_tpu.training.step import make_train_step
-from littlegan_tpu.utils.image import save_image, soft
+from littlegan_tpu.utils.image import ensure_pm1, save_image, soft
 from littlegan_tpu.utils.provenance import init_result_dirs, snapshot_run
 from littlegan_tpu.utils.tensorboard import SummaryWriter
 
@@ -109,6 +109,7 @@ class Trainer:
             return
         if self.dataset is not None:
             image, cond = next(self.dataset.epoch_iterator(0))
+            image = ensure_pm1(image)  # pipeline may ship uint8
         else:  # plot/sample modes without a dataset: synthesize a fixture
             k1, k2 = jax.random.split(rng)
             image = np.asarray(

@@ -36,6 +36,19 @@ def inverse_rescale(y):
     return np.round((np.asarray(y, dtype=np.float32) + 1.0) * 127.5)
 
 
+def ensure_pm1(images: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> f32 [-1,1]; [-1,1] floats pass through.
+
+    The pipeline ships uint8 by default (device-side rescale in the train
+    step); host-side consumers (predict, fixtures, sampling modes) call this
+    to get the reference's [-1,1] contract.
+    """
+    arr = np.asarray(images)
+    if arr.dtype == np.uint8:
+        return data_rescale(arr.astype(np.float32)).astype(np.float32)
+    return arr
+
+
 def _grid_dims(n: int, shape: Tuple[Optional[int], Optional[int]]) -> Tuple[int, int]:
     """Resolve (rows, cols) like reference utils.py:16-22.
 

@@ -64,12 +64,29 @@ def test_pipeline_batches(tiny_cfg, celeba_tree, native):
     batches = list(ds.epoch_iterator(0))
     assert len(batches) == 6
     img, cond = batches[0]
-    assert img.shape == (4, 16, 16, 3) and img.dtype == np.float32
+    # default contract: uint8 ships to the device; the jitted step rescales
+    assert img.shape == (4, 16, 16, 3) and img.dtype == np.uint8
     assert cond.shape == (4, cfg.cond_dim)
-    assert img.min() >= -1.0 and img.max() <= 1.0
     # labels are softened ±1 (reference dataset.py:33)
     uniq = np.unique(cond)
     assert all(np.isclose(u, -0.94) or np.isclose(u, 0.98) for u in uniq)
+
+
+def test_pipeline_host_rescale_mode(tiny_cfg, celeba_tree):
+    """host_rescale=True restores the reference's f32 [-1,1] contract
+    (dataset.py:31-32) and matches the device-side rescale exactly."""
+    img_dir, attr_file, _ = celeba_tree
+    u8 = next(CelebA(_cfg(tiny_cfg, img_dir, attr_file)).epoch_iterator(0))[0]
+    f32 = next(CelebA(_cfg(tiny_cfg, img_dir, attr_file, host_rescale=True)).epoch_iterator(0))[0]
+    assert f32.dtype == np.float32 and f32.min() >= -1.0 and f32.max() <= 1.0
+    np.testing.assert_allclose(u8.astype(np.float32) / 127.5 - 1.0, f32, atol=1e-6)
+
+    import jax.numpy as jnp
+
+    from littlegan_tpu.training.step import _prep_images
+
+    np.testing.assert_allclose(np.asarray(_prep_images(jnp.asarray(u8))), f32, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(_prep_images(jnp.asarray(f32))), f32, atol=1e-6)
 
 
 def test_native_matches_pil_decode(tiny_cfg, celeba_tree):

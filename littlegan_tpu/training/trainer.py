@@ -133,6 +133,27 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return jax.device_put(batch)
 
+    def _device_prefetch(self, it, depth: int = 2):
+        """Yield device-resident (batch1, batch2) pairs, keeping ``depth``
+        pairs in flight so host->device transfer overlaps step compute
+        (device_put is async; the step blocks only when it consumes)."""
+        from collections import deque
+
+        buf = deque()
+        exhausted = False
+        while True:
+            while not exhausted and len(buf) < depth:
+                try:  # two batches per step (eager_trainer.py:117-118)
+                    b1 = next(it)
+                    b2 = next(it)
+                except StopIteration:
+                    exhausted = True
+                    break
+                buf.append((self._put(b1), self._put(b2)))
+            if not buf:
+                return
+            yield buf.popleft()
+
     def _save_interrupt(self, signum=None, frame=None):
         """SIGINT semantics (eager_trainer.py:171-178): checkpoint + exit(1)."""
         self.checkpointer.save(
@@ -161,12 +182,7 @@ class Trainer:
                 it = self.dataset.epoch_iterator(epoch)
                 batch_no = 0
                 images_done = 0
-                while True:
-                    try:  # two batches per step (eager_trainer.py:117-118)
-                        b1 = next(it)
-                        b2 = next(it)
-                    except StopIteration:
-                        break
+                for b1, b2 in self._device_prefetch(it):
                     batch_no += 1
                     self.global_step += 1
                     if cfg.profile_steps > 0 and epoch == first_epoch:
@@ -180,11 +196,7 @@ class Trainer:
                             print("profiler trace written to", profile_dir)
                     step_rng = jax.random.fold_in(self._base_rng, self.global_step)
                     out = self._train_step(
-                        self.state,
-                        self._put(b1),
-                        self._put(b2),
-                        step_rng,
-                        jnp.int32(batch_no),
+                        self.state, b1, b2, step_rng, jnp.int32(batch_no)
                     )
                     self.state = out.state
                     metrics_buffer.append((self.global_step, out.metrics))

@@ -84,11 +84,15 @@ class Trainer:
 
             self.mesh = make_mesh(n_dev)
             self.state = replicate_state(self.state, self.mesh)
-            self._train_step = make_parallel_train_step(cfg, self.state.params, self.mesh)
+            # donate=False: the SIGINT handler may fire between step dispatch
+            # and state reassignment; donated input buffers would then be
+            # dead when the interrupt checkpoint reads them. State is ~100s
+            # of MB against 16 GB HBM — safety wins (bench.py keeps donation).
+            self._train_step = make_parallel_train_step(cfg, self.state.params, self.mesh, donate=False)
             print(f"Data-parallel training over {n_dev} devices")
         else:
             self.mesh = None
-            self._train_step = make_train_step(cfg, self.state.params)
+            self._train_step = make_train_step(cfg, self.state.params, donate=False)
         self._gen_jit = jax.jit(lambda p, n, c: generator_apply(p, n, c, cfg))
         self._disc_jit = jax.jit(lambda p, i: discriminator_apply(p, i, cfg))
         self._adj_jit = jax.jit(lambda p, i, c: adjuster_apply(p, i, c, cfg))

@@ -56,12 +56,20 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
 
 
 def _make_dataset(cfg: Config):
-    if cfg.extra.get("synthetic_data") or not os.path.isdir(cfg.image_path):
+    # Synthetic data ONLY on explicit request: silently training on random
+    # noise because image_path was typo'd would waste a run and clobber
+    # checkpoints (the reference aborts on a missing dataset too).
+    if cfg.extra.get("synthetic_data"):
         from littlegan_tpu.data import SyntheticDataset
 
         n = max(4 * cfg.batch_size, 64)
-        print(f"Using SyntheticDataset ({n} items) — no CelebA at {cfg.image_path}")
+        print(f"Using SyntheticDataset ({n} items)")
         return SyntheticDataset(cfg, num_items=n)
+    if not os.path.isdir(cfg.image_path):
+        raise FileNotFoundError(
+            f"image_path {cfg.image_path!r} is not a directory; pass "
+            f"--synthetic-data to run without CelebA"
+        )
     from littlegan_tpu.data import CelebA
 
     # multi-host DP: each host feeds its own shard of the file list

@@ -163,7 +163,8 @@ class CelebA:
             np.arange(b * cfg.batch_size, (b + 1) * cfg.batch_size) for b in order
         ]
         depth = max(2, cfg.prefetch_batch)
-        with ThreadPoolExecutor(max_workers=cfg.threads) as pool:
+        pool = ThreadPoolExecutor(max_workers=cfg.threads)
+        try:
             futures = [pool.submit(self._load_batch, bi) for bi in batch_indices[:depth]]
             next_submit = depth
             for _ in range(self.batches):
@@ -172,3 +173,8 @@ class CelebA:
                     futures.append(pool.submit(self._load_batch, batch_indices[next_submit]))
                     next_submit += 1
                 yield fut.result()
+        finally:
+            # Abandoned iterators (e.g. the fixture takes ONE batch,
+            # eager_trainer.py:65-83 contract) must not block on decoding
+            # unused prefetch futures.
+            pool.shutdown(wait=False, cancel_futures=True)

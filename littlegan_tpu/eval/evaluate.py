@@ -62,6 +62,30 @@ def compute_features(
     return np.concatenate(feats, axis=0)
 
 
+def compute_features_from_files(
+    files, cfg: Config, batch_size: int = 100, params=None, dim: Optional[int] = None
+) -> np.ndarray:
+    """Streaming variant: decode + featurize ``batch_size`` files at a time.
+
+    Full CelebA is ~200k images (~24 GB decoded) — loading the whole
+    directory before batching (the reference's approach, evaluate.py:44-45)
+    does not survive real dataset sizes; this keeps at most one batch of
+    pixels resident.
+    """
+    if params is None:
+        params = init_inception_params(cfg.fid_weights, seed=0)
+    feat_fn = jax.jit(lambda imgs: inception_features(params, imgs))
+    feats = []
+    for i in range(0, len(files), batch_size):
+        chunk = _load_images(files[i : i + batch_size], dim)
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+        f = np.asarray(feat_fn(jnp.asarray(chunk, jnp.float32)))
+        feats.append(f[: batch_size - pad] if pad else f)
+    return np.concatenate(feats, axis=0)
+
+
 def precalculate(
     cfg: Config, image_dir: str, out_npz: str, limit: Optional[int] = None, batch_size: int = 100
 ) -> None:
@@ -71,7 +95,7 @@ def precalculate(
         files = files[:limit]
     if not files:
         raise FileNotFoundError(f"no images in {image_dir}")
-    feats = compute_features(_load_images(files), cfg, batch_size)
+    feats = compute_features_from_files(files, cfg, batch_size)
     mu, sigma = activation_statistics(feats)
     np.savez_compressed(out_npz, mu=mu, sigma=sigma)
     print(f"pre-calculate: {len(files)} images -> {out_npz}")
@@ -86,7 +110,7 @@ def evaluate_generated(
     )
     if not files:
         raise FileNotFoundError(f"no generated images in {gen_dir}")
-    feats = compute_features(_load_images(files), cfg, batch_size)
+    feats = compute_features_from_files(files, cfg, batch_size)
     mu_g, sigma_g = activation_statistics(feats)
     with np.load(stats_npz) as z:
         mu_r, sigma_r = z["mu"], z["sigma"]
@@ -108,10 +132,11 @@ def main(argv=None) -> int:
     p.add_argument("--gpu", type=str, default="", help="ignored; JAX-native devices")
     p.add_argument("-e", "--env", type=str, default="sample")
     args = p.parse_args(argv)
+    from littlegan_tpu.config import load_config
     from littlegan_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = Config(env=args.env)
+    cfg = load_config(args.env)  # fid_weights / image_ext come from env files
     if args.mode == "pre-calculate":
         precalculate(cfg, args.image_dir, args.stats)
     else:  # reference quirk: any mode != pre-calculate is calc (evaluate.py:27,43)

@@ -55,13 +55,13 @@ def _maxpool(x, window=3, stride=2, padding="VALID"):
 
 
 def _avgpool(x, window=3, stride=1, padding="SAME"):
-    ones = lax.reduce_window(
-        jnp.ones_like(x), 0.0, lax.add, (1, window, window, 1), (1, stride, stride, 1), padding
-    )
+    # count_include_pad=True semantics (divide by the full window size even
+    # at padded borders) — what torchvision's InceptionV3 trains with; the
+    # converter's weights assume it, and borders dominate the late 8x8 maps.
     summed = lax.reduce_window(
         x, 0.0, lax.add, (1, window, window, 1), (1, stride, stride, 1), padding
     )
-    return summed / ones
+    return summed / float(window * window)
 
 
 # ------------------------------------------------------- inception blocks ----

@@ -178,7 +178,7 @@ def make_handler(engine: InferenceEngine):
                     return self._reply(404, {"error": "unknown path"})
                 out["latency_ms"] = round((time.time() - t0) * 1000, 2)
                 self._reply(200, out)
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler

@@ -75,19 +75,32 @@ class Trainer:
         self._writer: Optional[SummaryWriter] = None  # created lazily (train only)
         self._init_fixture(fixture_rng)
 
-        # Data parallelism: with >1 local device, train over a 1-D data mesh
-        # (XLA inserts the gradient all-reduce over ICI; parallel/train.py).
-        # The global batch is split across devices, so batch_size must divide.
+        # Parallelism selection (cfg.mesh_axes / cfg.mesh_shape):
+        # - ['data'] (default): 1-D data-parallel mesh over all local devices
+        #   when the batch divides evenly (XLA all-reduce over ICI),
+        # - ['data','model']: spatial sharding — batch over 'data', image
+        #   HEIGHT over 'model' (parallel/spatial.py), for activations too
+        #   large for one chip (>128^2 resolutions).
+        # donate=False throughout: the SIGINT handler may fire between step
+        # dispatch and state reassignment; donated input buffers would then
+        # be dead when the interrupt checkpoint reads them (bench donates).
         n_dev = len(jax.devices())
-        if n_dev > 1 and cfg.batch_size % n_dev == 0:
+        axes = tuple(cfg.mesh_axes)
+        self._spatial = False
+        if axes == ("data", "model") and n_dev > 1:
+            from littlegan_tpu.parallel import make_mesh
+            from littlegan_tpu.parallel.spatial import make_spatial_train_step
+
+            self.mesh = make_mesh(n_dev, axis_names=axes, shape=cfg.mesh_shape)
+            self.state = jax.device_put(self.state)
+            self._train_step = make_spatial_train_step(cfg, self.state.params, self.mesh, donate=False)
+            self._spatial = True
+            print(f"Spatially-sharded training over a {dict(zip(axes, self.mesh.devices.shape))} mesh")
+        elif n_dev > 1 and cfg.batch_size % n_dev == 0:
             from littlegan_tpu.parallel import make_mesh, make_parallel_train_step, replicate_state
 
             self.mesh = make_mesh(n_dev)
             self.state = replicate_state(self.state, self.mesh)
-            # donate=False: the SIGINT handler may fire between step dispatch
-            # and state reassignment; donated input buffers would then be
-            # dead when the interrupt checkpoint reads them. State is ~100s
-            # of MB against 16 GB HBM — safety wins (bench.py keeps donation).
             self._train_step = make_parallel_train_step(cfg, self.state.params, self.mesh, donate=False)
             print(f"Data-parallel training over {n_dev} devices")
         else:
@@ -130,7 +143,11 @@ class Trainer:
     # ------------------------------------------------------------- train ----
 
     def _put(self, batch):
-        """Host batch -> device(s): sharded over the data mesh when DP."""
+        """Host batch -> device(s): sharded over the mesh when parallel."""
+        if self._spatial:
+            from littlegan_tpu.parallel.spatial import shard_spatial_batch
+
+            return shard_spatial_batch(batch, self.mesh)
         if self.mesh is not None:
             from littlegan_tpu.parallel import shard_batch
 

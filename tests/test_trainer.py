@@ -197,3 +197,24 @@ def test_orbax_backend_roundtrip(tiny_cfg, tmp_path):
     assert status == {"epoch": 4, "step": 12}
     for a, b in zip(jax.tree_util.tree_leaves(state._asdict()), jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_spatial_mesh_from_config(tiny_cfg, tmp_path):
+    """mesh_axes=['data','model'] selects the spatially-sharded step."""
+    cfg = tiny_cfg.replace(
+        batch_size=4,
+        epoch=1,
+        freq_gen=100,
+        freq_test=100,
+        mesh_axes=["data", "model"],
+        mesh_shape=[4, 2],
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="sp",
+        donate_state=False,
+    )
+    ds = SyntheticDataset(cfg, num_items=4 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    assert tr._spatial and tr.mesh.devices.shape == (4, 2)
+    tr.train()
+    assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))

@@ -227,3 +227,42 @@ def test_gp_enabled_runs(tiny_cfg, rng):
     b1, b2 = _batches(cfg, rng)
     out = step(state, b1, b2, rng, jnp.int32(1))
     assert np.isfinite(float(out.metrics["loss/disc"]))
+
+
+def test_train_adj_disabled(tiny_cfg, rng):
+    """train_adj=False: adjuster params never move, no adj loss in metrics
+    (reference gates the whole branch, eager_trainer.py:152)."""
+    cfg = tiny_cfg.replace(train_adj=False, use_partition=False)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, state.params, donate=False)
+    b1, b2 = _batches(cfg, rng)
+    out = step(state, b1, b2, rng, jnp.int32(50))
+    for l1, l2 in zip(
+        jax.tree_util.tree_leaves(state.params["adj_head"]),
+        jax.tree_util.tree_leaves(out.state.params["adj_head"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    assert float(out.metrics["loss/adj"]) == 0.0
+    # G and D still train
+    assert np.any(
+        np.asarray(out.state.params["g_head"]["dense"]["kernel"])
+        != np.asarray(state.params["g_head"]["dense"]["kernel"])
+    )
+
+
+def test_higher_resolution_config(rng):
+    """The architecture generalizes to 2x resolution via init_dim scaling
+    (SURVEY §5: resolution is the analogous scaling axis)."""
+    from littlegan_tpu.config import Config
+    from littlegan_tpu.models import generator_apply, discriminator_apply, init_params
+
+    cfg = Config(
+        batch_size=2, image_dim=32, init_dim=2, noise_dim=9,
+        attr=[0, 1, 2], conv_filter=[12, 8, 6, 4, 4],
+        compute_dtype="float32", debug=True,
+    )
+    p = init_params(cfg, rng)
+    img = generator_apply(p, jax.random.normal(rng, (2, 9)), jnp.zeros((2, 3)), cfg)
+    assert img.shape == (2, 32, 32, 3)
+    pr, c = discriminator_apply(p, img, cfg)
+    assert pr.shape == (2, 1) and c.shape == (2, 3)

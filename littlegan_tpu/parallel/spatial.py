@@ -40,6 +40,17 @@ def make_spatial_train_step(cfg: Config, params, mesh: Mesh, donate: bool | None
     data-axis size; image height must divide the model-axis size.
     """
     assert set(mesh.axis_names) == {"data", "model"}, "need a ('data','model') mesh"
+    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if cfg.batch_size % shape["data"] != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must divide the data axis ({shape['data']})"
+        )
+    if cfg.image_dim % shape["model"] != 0:
+        raise ValueError(
+            f"image_dim {cfg.image_dim} must divide the model axis ({shape['model']})"
+        )
+    if cfg.use_pallas:
+        cfg = cfg.replace(use_pallas=False)  # Mosaic is not auto-partitionable
     rep = NamedSharding(mesh, P())
     img_sh = NamedSharding(mesh, P("data", "model"))
     cond_sh = NamedSharding(mesh, P("data"))
@@ -48,10 +59,11 @@ def make_spatial_train_step(cfg: Config, params, mesh: Mesh, donate: bool | None
     part_masks = build_partition_masks(params)
     fn = partial(train_step, cfg=cfg, part_masks=part_masks)
     donate = cfg.donate_state if donate is None else donate
+    adj_sh = img_sh if cfg.train_adj else rep
     return jax.jit(
         fn,
         in_shardings=(rep, batch_sh, batch_sh, rep, rep),
-        out_shardings=StepOutput(state=rep, metrics=rep, fake_image=img_sh, adj_image=img_sh),
+        out_shardings=StepOutput(state=rep, metrics=rep, fake_image=img_sh, adj_image=adj_sh),
         donate_argnums=(0,) if donate else (),
     )
 

@@ -66,11 +66,17 @@ def make_parallel_train_step(cfg: Config, params, mesh: Mesh, donate: bool | Non
 
     from littlegan_tpu.training.step import StepOutput
 
+    if cfg.use_pallas:
+        # Mosaic kernels are not auto-partitionable by the SPMD partitioner;
+        # sharded paths force the jnp norm (which measured faster anyway —
+        # see config.use_pallas).
+        cfg = cfg.replace(use_pallas=False)
     fn = partial(train_step, cfg=cfg, part_masks=part_masks)
     donate = cfg.donate_state if donate is None else donate
+    adj_sh = bsh if cfg.train_adj else rep  # placeholder adj output is tiny
     return jax.jit(
         fn,
         in_shardings=(rep, (bsh, bsh), (bsh, bsh), rep, rep),
-        out_shardings=StepOutput(state=rep, metrics=rep, fake_image=bsh, adj_image=bsh),
+        out_shardings=StepOutput(state=rep, metrics=rep, fake_image=bsh, adj_image=adj_sh),
         donate_argnums=(0,) if donate else (),
     )

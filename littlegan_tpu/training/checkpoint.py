@@ -134,6 +134,7 @@ class OrbaxCheckpointer:
         return os.path.join(self.directory, f"ocp-{tag}")
 
     def save(self, tag: str, tree, status: Optional[Dict[str, Any]] = None) -> str:
+        self.wait()  # an in-flight async save must finish before the next one
         path = self._path(tag)
         self._ckptr.save(path, args=self._ocp.args.StandardSave(tree), force=True)
         if status is not None:

@@ -56,14 +56,18 @@ def masked_adam_update(
 
     def upd(g, c, m, v, p, msk):
         g = g.astype(jnp.float32)
-        msk = jnp.asarray(msk, jnp.float32)
-        c_new = c + msk.astype(jnp.int32)
-        m_new = msk * (b1 * m + (1.0 - b1) * g) + (1.0 - msk) * m
-        v_new = msk * (b2 * v + (1.0 - b2) * jnp.square(g)) + (1.0 - msk) * v
+        # select with where, NOT multiplicative blending: a non-finite
+        # gradient on a masked-off leaf must leave moments/params untouched
+        # (0 * inf = NaN would poison exactly the weights the reference's
+        # partition schedule never computes gradients for)
+        on = jnp.asarray(msk, jnp.float32) > 0.5
+        c_new = c + on.astype(jnp.int32)
+        m_new = jnp.where(on, b1 * m + (1.0 - b1) * g, m)
+        v_new = jnp.where(on, b2 * v + (1.0 - b2) * jnp.square(g), v)
         t = jnp.maximum(c_new, 1).astype(jnp.float32)  # safe when mask==0
         lr_t = lr * jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
         step = lr_t * m_new / (jnp.sqrt(v_new) + eps)
-        p_new = p - msk * step.astype(p.dtype)
+        p_new = jnp.where(on, p - step.astype(p.dtype), p)
         return p_new, c_new, m_new, v_new
 
     flat_p, treedef = jax.tree_util.tree_flatten(params)

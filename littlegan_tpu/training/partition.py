@@ -47,9 +47,15 @@ _A_GROUPS = [[["adj_head"]]]
 
 def build_partition_masks(params) -> Dict[str, object]:
     """Stacked (n_groups,)-per-leaf masks for each model's trainable subtree."""
-    g_sub = {k: params[k] for k in ("g_head", "decoder", "out_conv")}
-    d_sub = {k: params[k] for k in ("encoder", "d_head")}
-    a_sub = {k: params[k] for k in ("adj_head",)}
+    from littlegan_tpu.models import (
+        ADJUSTER_TRAINABLE,
+        DISCRIMINATOR_SUBTREES,
+        GENERATOR_SUBTREES,
+    )
+
+    g_sub = {k: params[k] for k in GENERATOR_SUBTREES}
+    d_sub = {k: params[k] for k in DISCRIMINATOR_SUBTREES}
+    a_sub = {k: params[k] for k in ADJUSTER_TRAINABLE}
 
     def build(sub, groups):
         def leaf_row(path, _leaf):

@@ -22,12 +22,19 @@ from typing import Any, NamedTuple
 import jax
 
 from littlegan_tpu.config import Config
-from littlegan_tpu.models import init_params
+from littlegan_tpu.models import (
+    ADJUSTER_TRAINABLE,
+    DISCRIMINATOR_SUBTREES,
+    GENERATOR_SUBTREES,
+    init_params,
+)
 from littlegan_tpu.training.optimizer import AdamState, adam_init
 
-G_KEYS = ("g_head", "decoder", "out_conv")
-D_KEYS = ("encoder", "d_head")
-A_KEYS = ("adj_head",)
+# Single source of truth for optimizer ownership: the models' subtree
+# constants (models/littlegan.py) — do not redefine the groups here.
+G_KEYS = GENERATOR_SUBTREES
+D_KEYS = DISCRIMINATOR_SUBTREES
+A_KEYS = ADJUSTER_TRAINABLE
 
 
 class TrainState(NamedTuple):

@@ -58,8 +58,10 @@ class Trainer:
         snapshot_run(cfg)
 
         rng = init_rng if init_rng is not None else jax.random.PRNGKey(cfg.seed)
-        self._base_rng, fixture_rng = jax.random.split(rng)
-        self.state: TrainState = create_train_state(cfg, self._base_rng)
+        # single-use key discipline: independent streams for init, fixture,
+        # and the per-step fold_in base
+        init_key, fixture_rng, self._base_rng = jax.random.split(rng, 3)
+        self.state: TrainState = create_train_state(cfg, init_key)
         self.global_epoch = 1
         self.global_step = 0
 
@@ -124,18 +126,18 @@ class Trainer:
                 data["i"].astype(np.float32),
             )
             return
+        rng, k_img, k_noise = jax.random.split(rng, 3)
         if self.dataset is not None:
             image, cond = next(self.dataset.epoch_iterator(0))
             image = ensure_pm1(image)  # pipeline may ship uint8
         else:  # plot/sample modes without a dataset: synthesize a fixture
-            k1, k2 = jax.random.split(rng)
             image = np.asarray(
-                jax.random.uniform(k1, (cfg.batch_size, *cfg.image_shape), minval=-1, maxval=1)
+                jax.random.uniform(k_img, (cfg.batch_size, *cfg.image_shape), minval=-1, maxval=1)
             )
             cond = np.asarray(
                 soft(np.where(np.random.default_rng(cfg.seed).random((cfg.batch_size, cfg.cond_dim)) < 0.5, -1.0, 1.0))
             ).astype(np.float32)
-        noise = np.asarray(jax.random.normal(rng, (cond.shape[0], cfg.noise_dim)), np.float32)
+        noise = np.asarray(jax.random.normal(k_noise, (cond.shape[0], cfg.noise_dim)), np.float32)
         self.test_noise, self.test_cond, self.test_image = noise, cond, image
         os.makedirs(cfg.test_data_dir, exist_ok=True)
         np.savez_compressed(npz, n=noise, c=cond, i=image)
@@ -220,7 +222,7 @@ class Trainer:
                         self.state, b1, b2, step_rng, jnp.int32(batch_no)
                     )
                     self.state = out.state
-                    metrics_buffer.append((self.global_step, out.metrics))
+                    metrics_buffer.append((self.global_step, batch_no, out.metrics))
                     images_done += 2 * cfg.batch_size
 
                     if len(metrics_buffer) >= flush_every:
@@ -246,6 +248,11 @@ class Trainer:
                             os.path.join(cfg.result_dir, "test", "disc", f"{epoch}-{batch_no}.json"),
                             os.path.join(cfg.result_dir, "test", "adj", f"{epoch}-{batch_no}.jpg"),
                         )
+                if profiling:  # short first epoch: stop at epoch end, not run end
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print("profiler trace written to", profile_dir)
                 if metrics_buffer:
                     self._flush_metrics(metrics_buffer)
                     metrics_buffer = []
@@ -269,10 +276,12 @@ class Trainer:
 
     def _flush_metrics(self, buffer) -> None:
         """One host sync for many steps (SURVEY §7 hard part (f))."""
-        host = jax.device_get([m for _, m in buffer])
-        for (step, _), m in zip(buffer, host):
+        host = jax.device_get([m for _, _, m in buffer])
+        for (step, batch_no, _), m in zip(buffer, host):
             pairs = [("loss/gen", m["loss/gen"]), ("loss/disc", m["loss/disc"])]
-            if self.cfg.train_adj:
+            # reference logs no adj loss during the warm-up window
+            # (eager_trainer.py:152,206-207: adjuster skipped for batch <= 10)
+            if self.cfg.train_adj and batch_no > 10:
                 pairs.append(("loss/adj", m["loss/adj"]))
             self.writer.scalars(pairs, step)
         last = host[-1]

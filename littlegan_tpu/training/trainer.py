@@ -368,11 +368,32 @@ class Trainer:
                 lines.append(f"  {key:<48} {str(leaf.shape):<18} {leaf.size}")
             lines.append(f"  total parameters: {param_count(tree)}")
             sections.append("\n".join(lines))
+            # graphviz .dot architecture graph (the reference emits
+            # plot_model PNGs, eager_trainer.py:261-263; .dot is the
+            # renderer-free equivalent)
+            self._write_dot(name, tree)
         text = "\n\n".join(sections) + "\n"
         out = os.path.join(self.cfg.result_dir, "models.txt")
         with open(out, "w") as f:
             f.write(text)
         return text
+
+    def _write_dot(self, name: str, tree) -> None:
+        lines = [f'digraph "{name}" {{', "  rankdir=TB;", '  node [shape=record];']
+        prev = None
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            key = "/".join(str(getattr(pp, "key", pp)) for pp in path)
+            if not key.endswith("kernel"):
+                continue
+            node = key.replace("/", "_").replace(" ", "_")
+            label = key.rsplit("/", 1)[0] + "\\n" + str(tuple(leaf.shape))
+            lines.append(f'  {node} [label="{label}"];')
+            if prev:
+                lines.append(f"  {prev} -> {node};")
+            prev = node
+        lines.append("}")
+        with open(os.path.join(self.cfg.result_dir, f"{name}.dot"), "w") as f:
+            f.write("\n".join(lines) + "\n")
 
     # ------------------------------------------------------------ export ----
 

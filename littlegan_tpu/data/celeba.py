@@ -105,16 +105,26 @@ class CelebA:
                 f"no *.{cfg.image_ext} under {cfg.image_path} (reference dataset.py:11)"
             )
         by_name, by_line = parse_attr_file(cfg.attr_path, cfg.attr)
-        if by_name and os.path.basename(files[0]) in by_name:
+        # Join on FILENAME when the attr file covers the directory; gate on
+        # real overlap, not just the first file — one stray alphabetically-
+        # first image must not silently shift every label via line pairing.
+        named = sum(1 for f in files if os.path.basename(f) in by_name)
+        if by_name and named >= max(1, len(files) // 2):
             pairs = [(f, by_name[os.path.basename(f)]) for f in files if os.path.basename(f) in by_name]
+            if named < len(files):
+                print(f"CelebA: {len(files) - named} images missing from attr list; skipped")
         else:  # headerless fallback: line order pairing (reference behavior)
             pairs = list(zip(files, by_line))
-        # multi-host DP: each host owns a contiguous shard of the file list
+        # multi-host DP: each host owns a strided shard of the file list.
+        # batches is computed from the GLOBAL count so every host dispatches
+        # the same number of steps (mismatched counts would deadlock the
+        # cross-host gradient all-reduce).
+        global_items = len(pairs)
         pairs = pairs[shard_index::shard_count]
         self._files = [p[0] for p in pairs]
         self._conds = np.asarray([p[1] for p in pairs], np.float32)
         self.num_items = len(self._files)
-        self.batches = self.num_items // cfg.batch_size
+        self.batches = (global_items // shard_count) // cfg.batch_size
         self.all_label = list(CELEBA_ATTR_NAMES)
         self.label = [CELEBA_ATTR_NAMES[i] for i in cfg.attr]
         self._decoder = self._pick_decoder()

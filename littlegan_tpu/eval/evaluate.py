@@ -40,26 +40,40 @@ def _load_images(paths: Iterable[str], dim: Optional[int] = None) -> np.ndarray:
     return np.stack(out)
 
 
-def compute_features(
-    images_u8: np.ndarray, cfg: Config, batch_size: int = 100, params=None
-) -> np.ndarray:
-    """0-255 NHWC uint8 -> (N, 2048) pool features, batched on device
-    (reference fid.py:73-106 batches through the TF session at 100)."""
-    if params is None:
-        params = init_inception_params(cfg.fid_weights, seed=0)
-    feat_fn = jax.jit(lambda imgs: inception_features(params, imgs))
-    n = images_u8.shape[0]
+_FEAT_FN_CACHE: dict = {}
+
+
+def _featurizer(cfg: Config, params=None):
+    """(jitted feature fn) with params cached per weights path: the evaluate
+    mode scores gen AND adj dirs in one process — load/trace Inception once."""
+    if params is not None:
+        return jax.jit(lambda imgs: inception_features(params, imgs))
+    key = cfg.fid_weights or "<random-init>"
+    if key not in _FEAT_FN_CACHE:
+        loaded = init_inception_params(cfg.fid_weights, seed=0)
+        _FEAT_FN_CACHE[key] = jax.jit(lambda imgs: inception_features(loaded, imgs))
+    return _FEAT_FN_CACHE[key]
+
+
+def _featurize_chunks(chunks, feat_fn, batch_size: int) -> np.ndarray:
+    """Pad each uint8 chunk to the static batch, featurize, unpad."""
     feats = []
-    i = 0
-    while i < n:
-        chunk = images_u8[i : i + batch_size]
+    for chunk in chunks:
         pad = batch_size - chunk.shape[0]
         if pad:  # keep shapes static for XLA
             chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
         f = np.asarray(feat_fn(jnp.asarray(chunk, jnp.float32)))
         feats.append(f[: batch_size - pad] if pad else f)
-        i += batch_size
     return np.concatenate(feats, axis=0)
+
+
+def compute_features(
+    images_u8: np.ndarray, cfg: Config, batch_size: int = 100, params=None
+) -> np.ndarray:
+    """0-255 NHWC uint8 -> (N, 2048) pool features, batched on device
+    (reference fid.py:73-106 batches through the TF session at 100)."""
+    chunks = (images_u8[i : i + batch_size] for i in range(0, images_u8.shape[0], batch_size))
+    return _featurize_chunks(chunks, _featurizer(cfg, params), batch_size)
 
 
 def compute_features_from_files(
@@ -72,18 +86,10 @@ def compute_features_from_files(
     does not survive real dataset sizes; this keeps at most one batch of
     pixels resident.
     """
-    if params is None:
-        params = init_inception_params(cfg.fid_weights, seed=0)
-    feat_fn = jax.jit(lambda imgs: inception_features(params, imgs))
-    feats = []
-    for i in range(0, len(files), batch_size):
-        chunk = _load_images(files[i : i + batch_size], dim)
-        pad = batch_size - chunk.shape[0]
-        if pad:
-            chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
-        f = np.asarray(feat_fn(jnp.asarray(chunk, jnp.float32)))
-        feats.append(f[: batch_size - pad] if pad else f)
-    return np.concatenate(feats, axis=0)
+    chunks = (
+        _load_images(files[i : i + batch_size], dim) for i in range(0, len(files), batch_size)
+    )
+    return _featurize_chunks(chunks, _featurizer(cfg, params), batch_size)
 
 
 def precalculate(
@@ -110,6 +116,10 @@ def evaluate_generated(
     )
     if not files:
         raise FileNotFoundError(f"no generated images in {gen_dir}")
+    if not os.path.isfile(stats_npz):  # fail BEFORE minutes of feature compute
+        raise FileNotFoundError(
+            f"stats file {stats_npz} not found — run pre-calculate first"
+        )
     feats = compute_features_from_files(files, cfg, batch_size)
     mu_g, sigma_g = activation_statistics(feats)
     with np.load(stats_npz) as z:

@@ -67,7 +67,7 @@ def _avgpool(x, window=3, stride=1, padding="SAME"):
 # ------------------------------------------------------- inception blocks ----
 
 
-def _inception_a(x, p, pre, pool_ch):
+def _inception_a(x, p, pre):
     b1 = _conv_bn(x, p, f"{pre}/b1x1")
     b5 = _conv_bn(x, p, f"{pre}/b5x5_1")
     b5 = _conv_bn(b5, p, f"{pre}/b5x5_2")
@@ -232,9 +232,9 @@ def inception_features(params: Params, images: jnp.ndarray) -> jnp.ndarray:
     x = _conv_bn(x, params, "stem/c4", padding="VALID")
     x = _conv_bn(x, params, "stem/c5", padding="VALID")
     x = _maxpool(x)
-    x = _inception_a(x, params, "mix5b", 32)
-    x = _inception_a(x, params, "mix5c", 64)
-    x = _inception_a(x, params, "mix5d", 64)
+    x = _inception_a(x, params, "mix5b")
+    x = _inception_a(x, params, "mix5c")
+    x = _inception_a(x, params, "mix5d")
     x = _inception_b(x, params, "mix6a")
     x = _inception_c(x, params, "mix6b")
     x = _inception_c(x, params, "mix6c")

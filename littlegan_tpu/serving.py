@@ -64,20 +64,27 @@ class InferenceEngine:
 
     @staticmethod
     def _load_params(cfg: Config):
-        """Weights-only export dir, else train checkpoint, else fresh init."""
+        """Weights-only export dir, else train checkpoint, else fresh init
+        (with a LOUD warning — serving random weights must never be silent)."""
+        from littlegan_tpu.training.checkpoint import make_checkpointer
+
         template = init_params(cfg, jax.random.PRNGKey(cfg.seed))
         for sub in ("model", "checkpoint"):
-            ck = Checkpointer(os.path.join(cfg.result_dir, sub))
+            ck = make_checkpointer(cfg, os.path.join(cfg.result_dir, sub))
             tag = ck.latest_tag()
             if tag is not None:
                 try:
                     return ck.restore(tag, template)
-                except KeyError:
+                except (KeyError, ValueError):
                     # train checkpoints store the full TrainState; pull params
                     from littlegan_tpu.training.state import create_train_state
 
                     state = ck.restore(tag, create_train_state(cfg, jax.random.PRNGKey(0)))
                     return state.params
+        print(
+            f"WARNING: no checkpoint under {cfg.result_dir}/{{model,checkpoint}} — "
+            "serving UNTRAINED (fresh-init) weights"
+        )
         return template
 
     def _pad(self, arr: np.ndarray) -> np.ndarray:
@@ -92,6 +99,8 @@ class InferenceEngine:
         n = cond.shape[0]
         if noise is None:
             noise = np.random.default_rng(seed).normal(size=(n, self.cfg.noise_dim))
+        elif noise.shape[0] != n:
+            raise ValueError(f"noise rows ({noise.shape[0]}) != cond rows ({n})")
         out = self._gen(
             self.params,
             jnp.asarray(self._pad(noise.astype(np.float32))),
@@ -178,7 +187,8 @@ def make_handler(engine: InferenceEngine):
                     return self._reply(404, {"error": "unknown path"})
                 out["latency_ms"] = round((time.time() - t0) * 1000, 2)
                 self._reply(200, out)
-            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+            except (KeyError, ValueError, TypeError, OSError, json.JSONDecodeError) as e:
+                # OSError covers PIL's UnidentifiedImageError on bad image bytes
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler

@@ -14,6 +14,7 @@
 #include <jpeglib.h>
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <csetjmp>
 #include <cstdint>
@@ -75,8 +76,54 @@ bool decode_jpeg(const uint8_t* data, size_t len, int channels,
 
 // --------------------------------------------------- crop + bilinear resize --
 
-// Center-crop to square, then bilinear-resize to (dim, dim); `channels` is
-// the packed pixel stride. Matches the PIL fallback path in data/celeba.py.
+// Pillow-style separable triangle (BILINEAR) resampling: the filter support
+// scales with the downscale factor (antialiasing), matching Pillow >= 2.7's
+// convolution resampler — NOT 2x2 point-sampled bilinear, which would make
+// the native path's pixel distribution differ from the PIL fallback on
+// downscales. One axis per pass.
+struct FilterTaps {
+  std::vector<int> start;      // first source index per output pixel
+  std::vector<int> count;      // taps per output pixel
+  std::vector<float> weights;  // normalized, packed per output pixel
+  int max_taps = 0;
+};
+
+FilterTaps build_triangle_taps(int in_size, int out_size) {
+  FilterTaps taps;
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double ss = scale < 1.0 ? 1.0 : scale;  // filter scale
+  const double support = 1.0 * ss;              // bilinear support = 1
+  taps.max_taps = static_cast<int>(std::ceil(support)) * 2 + 1;
+  taps.start.resize(out_size);
+  taps.count.resize(out_size);
+  taps.weights.resize(static_cast<size_t>(out_size) * taps.max_taps, 0.0f);
+  for (int i = 0; i < out_size; ++i) {
+    const double center = (i + 0.5) * scale;
+    int lo = static_cast<int>(center - support + 0.5);
+    int hi = static_cast<int>(center + support + 0.5);
+    if (lo < 0) lo = 0;
+    if (hi > in_size) hi = in_size;
+    double total = 0.0;
+    for (int j = lo; j < hi; ++j) {
+      double x = (j + 0.5 - center) / ss;
+      if (x < 0) x = -x;
+      const double wgt = (x < 1.0) ? 1.0 - x : 0.0;
+      taps.weights[static_cast<size_t>(i) * taps.max_taps + (j - lo)] =
+          static_cast<float>(wgt);
+      total += wgt;
+    }
+    if (total > 0) {
+      for (int j = 0; j < hi - lo; ++j) {
+        taps.weights[static_cast<size_t>(i) * taps.max_taps + j] /=
+            static_cast<float>(total);
+      }
+    }
+    taps.start[i] = lo;
+    taps.count[i] = hi - lo;
+  }
+  return taps;
+}
+
 void crop_resize(const uint8_t* src, int w, int h, int channels, int dim,
                  uint8_t* dst) {
   const int s = (w < h) ? w : h;
@@ -89,30 +136,38 @@ void crop_resize(const uint8_t* src, int w, int h, int channels, int dim,
     }
     return;
   }
-  const float scale = static_cast<float>(s) / dim;
-  for (int y = 0; y < dim; ++y) {
-    // PIL-style half-pixel centers
-    float fy = (y + 0.5f) * scale - 0.5f;
-    if (fy < 0) fy = 0;
-    int iy = static_cast<int>(fy);
-    if (iy > s - 2) iy = s - 2;
-    const float wy = fy - iy;
+  const FilterTaps hx = build_triangle_taps(s, dim);
+  const FilterTaps vy = build_triangle_taps(s, dim);
+  // pass 1: horizontal (s rows x dim cols), f32 intermediate
+  std::vector<float> tmp(static_cast<size_t>(s) * dim * channels);
+  for (int y = 0; y < s; ++y) {
+    const uint8_t* row = src + (static_cast<size_t>(y + y0) * w + x0) * channels;
+    float* trow = tmp.data() + static_cast<size_t>(y) * dim * channels;
     for (int x = 0; x < dim; ++x) {
-      float fx = (x + 0.5f) * scale - 0.5f;
-      if (fx < 0) fx = 0;
-      int ix = static_cast<int>(fx);
-      if (ix > s - 2) ix = s - 2;
-      const float wx = fx - ix;
-      const uint8_t* p00 = src + (static_cast<size_t>(iy + y0) * w + ix + x0) * channels;
-      const uint8_t* p01 = p00 + channels;
-      const uint8_t* p10 = p00 + static_cast<size_t>(w) * channels;
-      const uint8_t* p11 = p10 + channels;
-      uint8_t* out = dst + (static_cast<size_t>(y) * dim + x) * channels;
+      const float* wgt = hx.weights.data() + static_cast<size_t>(x) * hx.max_taps;
       for (int ch = 0; ch < channels; ++ch) {
-        const float v0 = p00[ch] + (p01[ch] - p00[ch]) * wx;
-        const float v1 = p10[ch] + (p11[ch] - p10[ch]) * wx;
-        float v = v0 + (v1 - v0) * wy;
-        out[ch] = static_cast<uint8_t>(v + 0.5f);
+        float acc = 0.0f;
+        for (int t = 0; t < hx.count[x]; ++t) {
+          acc += wgt[t] * row[(hx.start[x] + t) * channels + ch];
+        }
+        trow[x * channels + ch] = acc;
+      }
+    }
+  }
+  // pass 2: vertical
+  for (int y = 0; y < dim; ++y) {
+    const float* wgt = vy.weights.data() + static_cast<size_t>(y) * vy.max_taps;
+    uint8_t* out = dst + static_cast<size_t>(y) * dim * channels;
+    for (int x = 0; x < dim; ++x) {
+      for (int ch = 0; ch < channels; ++ch) {
+        float acc = 0.0f;
+        for (int t = 0; t < vy.count[y]; ++t) {
+          acc += wgt[t] * tmp[(static_cast<size_t>(vy.start[y] + t) * dim + x) * channels + ch];
+        }
+        float v = acc + 0.5f;
+        if (v < 0) v = 0;
+        if (v > 255) v = 255;
+        out[x * channels + ch] = static_cast<uint8_t>(v);
       }
     }
   }
@@ -212,9 +267,12 @@ int lg_loader_load(void* handle, const char** paths, int n, int dim,
         std::memset(dst, 0, item);
         failures.fetch_add(1);
       }
-      if (done.fetch_add(1) + 1 == n) {
+      {
+        // increment under the mutex: incrementing outside would let the
+        // waiter observe done==n and destroy mu/cv while this worker is
+        // still acquiring them
         std::lock_guard<std::mutex> lk(mu);
-        cv.notify_one();
+        if (done.fetch_add(1) + 1 == n) cv.notify_one();
       }
     });
   }

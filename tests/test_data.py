@@ -147,3 +147,28 @@ def test_decoded_cache(tiny_cfg, celeba_tree):
     e0b = list(ds.epoch_iterator(0))  # served from cache
     for (a, _), (b, _) in zip(e0, e0b):
         np.testing.assert_array_equal(a, b)
+
+
+def test_native_resize_matches_pil_downscale(tmp_path, tiny_cfg):
+    """Downscale path: native triangle-filter resize vs Pillow BILINEAR —
+    antialiased parity within ±1 LSB rounding on nearly all pixels."""
+    from PIL import Image
+
+    from littlegan_tpu.data.native_loader import NativeBatchLoader
+
+    rng = np.random.default_rng(7)
+    big = rng.integers(0, 255, (64, 48, 3), dtype=np.uint8)  # non-square
+    p = tmp_path / "big.jpg"
+    Image.fromarray(big).save(p, quality=100, subsampling=0)
+
+    native = NativeBatchLoader(16, 3, threads=1).load([str(p)])[0]
+
+    img = Image.open(p).convert("RGB")
+    w, h = img.size
+    s = min(w, h)
+    img = img.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
+    pil = np.asarray(img.resize((16, 16), Image.BILINEAR), np.uint8)
+
+    diff = np.abs(native.astype(int) - pil.astype(int))
+    assert diff.max() <= 2, diff.max()
+    assert (diff <= 1).mean() > 0.99

@@ -41,3 +41,27 @@ def test_json_roundtrip(tmp_path):
     d = json.loads(p.read_text())
     assert d["cond_dim"] == cfg.cond_dim
     assert d["result_dir"] == cfg.result_dir
+
+
+def test_cli_parse_config_overrides(tmp_path, monkeypatch):
+    import json as _json
+
+    from littlegan_tpu.cli import parse_config
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "sample.config.json").write_text(_json.dumps({"batch_size": 8}))
+    cfg = parse_config(["train", "exp9", "--epochs", "3", "--batch-size", "16", "--debug", "--synthetic-data"])
+    assert cfg.mode == "train" and cfg.exp_name == "exp9"
+    assert cfg.epoch == 3
+    assert cfg.batch_size == 16  # CLI beats the sample layer
+    assert cfg.debug is True
+    assert cfg.extra["synthetic_data"] is True
+
+
+def test_cli_rejects_bad_mode():
+    import pytest as _pytest
+
+    from littlegan_tpu.cli import parse_config
+
+    with _pytest.raises(SystemExit):
+        parse_config(["frobnicate", "x"])

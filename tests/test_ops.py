@@ -165,3 +165,31 @@ def test_augment_shape_dtype_and_determinism(rng, np_rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # same key -> same aug
     c = augment(jax.random.PRNGKey(1), x)
     assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4  # different key -> different
+
+
+def test_augment_statistical_properties(np_rng):
+    """Statistical checks of the augmentation chain parameters
+    (eager_trainer.py:127-131): per-image flips ~50%, bounded brightness /
+    contrast / noise magnitudes across many draws."""
+    import jax
+
+    from littlegan_tpu.ops.augment import augment
+
+    # asymmetric image so flips are detectable
+    base = np.zeros((16, 8, 8, 3), np.float32)
+    base[:, :, :4, :] = 0.5
+    x = jnp.asarray(base)
+
+    flipped_frac = []
+    deltas = []
+    for s in range(30):
+        out = np.asarray(augment(jax.random.PRNGKey(s), x))
+        # flip detection: column mass moves to the right half
+        left = out[:, :, :4, :].mean(axis=(1, 2, 3))
+        right = out[:, :, 4:, :].mean(axis=(1, 2, 3))
+        flipped_frac.append(float((right > left).mean()))
+        deltas.append(out.mean() - base.mean())
+    assert 0.25 < np.mean(flipped_frac) < 0.75  # ~Bernoulli(0.5) per image
+    # brightness (|U(-.02,.02)|) + noise (mean ~0) keep the global mean close
+    assert np.abs(np.mean(deltas)) < 0.02
+    assert np.max(np.abs(deltas)) < 0.1

@@ -121,6 +121,10 @@ class Config:
     # (4x less host->device traffic) and the jitted step rescales on-chip —
     # the BASELINE north-star's "fused device-side preprocessing path".
     host_rescale: bool = False
+    # checkpoint retention: keep the newest N epoch checkpoints (0 = keep all,
+    # the reference's behavior — tf.train.Checkpoint.save never prunes).
+    # 'interrupt' and weights-only exports are never pruned.
+    keep_checkpoints: int = 0
     fid_weights: str = ""  # npz with InceptionV3 weights; "" -> deterministic random
 
     # unknown keys from user env files are preserved here for provenance

@@ -262,11 +262,31 @@ class Trainer:
                 self.checkpointer.save(
                     str(epoch), self.state, {"epoch": epoch + 1, "step": self.global_step}
                 )
+                if cfg.keep_checkpoints > 0:
+                    self._prune_checkpoints(cfg.keep_checkpoints)
         finally:
             if profiling:
                 jax.profiler.stop_trace()
             signal.signal(signal.SIGINT, prev_handler)
             self.writer.flush()
+
+    def _prune_checkpoints(self, keep: int) -> None:
+        """Drop all but the newest ``keep`` numeric epoch checkpoints."""
+        import re
+
+        directory = self.checkpointer.directory
+        epochs = []
+        for fn in os.listdir(directory):
+            m = re.match(r"(?:ckpt|ocp)-(\d+)(?:\.npz)?$", fn)
+            if m:
+                epochs.append((int(m.group(1)), os.path.join(directory, fn)))
+        for _, path in sorted(epochs)[:-keep]:
+            if os.path.isdir(path):
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                os.remove(path)
 
     @property
     def writer(self) -> SummaryWriter:

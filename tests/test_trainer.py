@@ -218,3 +218,43 @@ def test_trainer_spatial_mesh_from_config(tiny_cfg, tmp_path):
     assert tr._spatial and tr.mesh.devices.shape == (4, 2)
     tr.train()
     assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))
+
+
+def test_checkpoint_retention(tiny_cfg, tmp_path):
+    cfg = tiny_cfg.replace(
+        epoch=4,
+        keep_checkpoints=2,
+        freq_gen=100,
+        freq_test=100,
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="kr",
+        donate_state=False,
+    )
+    ds = SyntheticDataset(cfg, num_items=4 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    tr.train()
+    kept = sorted(
+        f for f in os.listdir(os.path.join(cfg.result_dir, "checkpoint")) if f.startswith("ckpt-")
+    )
+    assert kept == ["ckpt-3.npz", "ckpt-4.npz"]
+
+
+def test_trainer_with_orbax_backend(tiny_cfg, tmp_path):
+    cfg = tiny_cfg.replace(
+        epoch=1,
+        freq_gen=100,
+        freq_test=100,
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="ob",
+        donate_state=False,
+    )
+    cfg.extra["checkpoint_backend"] = "orbax"
+    ds = SyntheticDataset(cfg, num_items=4 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    tr.train()
+    tr.checkpointer.wait()
+    assert tr.checkpointer.latest_tag() == "1"
+    tr2 = Trainer(cfg, ds)
+    assert tr2.global_epoch == 2

@@ -29,26 +29,14 @@ import jax
 import jax.numpy as jnp
 
 from littlegan_tpu.config import Config
+from littlegan_tpu.data.synthetic import random_device_batch as make_batch
 from littlegan_tpu.training import create_train_state
 from littlegan_tpu.training.step import make_train_step
-from littlegan_tpu.utils.image import soft
 
 V100_REFERENCE_IMAGES_PER_SEC = 190.0
 
 WARMUP_STEPS = 5
 MEASURE_STEPS = 30
-
-
-def make_batch(cfg, key):
-    k1, k2 = jax.random.split(key)
-    img = jax.random.uniform(
-        k1, (cfg.batch_size, cfg.image_dim, cfg.image_dim, cfg.image_channel),
-        jnp.float32, minval=-1.0, maxval=1.0,
-    )
-    cond = jnp.where(
-        jax.random.bernoulli(k2, 0.5, (cfg.batch_size, cfg.cond_dim)), soft(1.0), soft(-1.0)
-    ).astype(jnp.float32)
-    return img, cond
 
 
 def main():

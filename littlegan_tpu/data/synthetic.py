@@ -15,6 +15,27 @@ from littlegan_tpu.config import Config
 from littlegan_tpu.utils.image import soft
 
 
+def random_device_batch(cfg: Config, key) -> Tuple:
+    """One (image [-1,1] f32, softened ±1 cond) batch built ON DEVICE with a
+    jax PRNG key — shared by bench.py, __graft_entry__, and step-variant
+    experiments (keeps their batch construction identical)."""
+    import jax
+    import jax.numpy as jnp
+
+    k1, k2 = jax.random.split(key)
+    img = jax.random.uniform(
+        k1,
+        (cfg.batch_size, cfg.image_dim, cfg.image_dim, cfg.image_channel),
+        jnp.float32,
+        minval=-1.0,
+        maxval=1.0,
+    )
+    cond = jnp.where(
+        jax.random.bernoulli(k2, 0.5, (cfg.batch_size, cfg.cond_dim)), soft(1.0), soft(-1.0)
+    ).astype(jnp.float32)
+    return img, cond
+
+
 class SyntheticDataset:
     def __init__(self, cfg: Config, num_items: int = 256):
         self.cfg = cfg

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from littlegan_tpu.config import Config
 from littlegan_tpu.training.partition import build_partition_masks
 from littlegan_tpu.training.state import TrainState
-from littlegan_tpu.training.step import train_step
+from littlegan_tpu.training.step import StepOutput, train_step
 
 
 def _batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -63,8 +63,6 @@ def make_parallel_train_step(cfg: Config, params, mesh: Mesh, donate: bool | Non
     part_masks = build_partition_masks(params)
     rep = _replicated(mesh)
     bsh = _batch_sharding(mesh)
-
-    from littlegan_tpu.training.step import StepOutput
 
     if cfg.use_pallas:
         # Mosaic kernels are not auto-partitionable by the SPMD partitioner;

@@ -27,24 +27,21 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 
+from littlegan_tpu.utils.tree import path_str
+
 
 def _flatten(tree) -> Dict[str, np.ndarray]:
-    out = {}
-    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
-        key = "/".join(
-            str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p)) for p in path
-        )
-        out[key] = np.asarray(leaf)
-    return out
+    return {
+        path_str(path): np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree)
+    }
 
 
 def _unflatten(template, flat: Dict[str, np.ndarray]):
     paths_leaves = jax.tree_util.tree_leaves_with_path(template)
     leaves = []
     for path, tmpl_leaf in paths_leaves:
-        key = "/".join(
-            str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p)) for p in path
-        )
+        key = path_str(path)
         if key not in flat:
             raise KeyError(f"checkpoint missing leaf: {key}")
         arr = flat[key]

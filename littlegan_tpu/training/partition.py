@@ -25,7 +25,7 @@ Schedule (reference: eager_trainer.py:104-113): on batches where
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -57,9 +57,11 @@ def build_partition_masks(params) -> Dict[str, object]:
     d_sub = {k: params[k] for k in DISCRIMINATOR_SUBTREES}
     a_sub = {k: params[k] for k in ADJUSTER_TRAINABLE}
 
+    from littlegan_tpu.utils.tree import path_str
+
     def build(sub, groups):
         def leaf_row(path, _leaf):
-            joined = "/".join(getattr(p, "key", str(p)) for p in path)
+            joined = path_str(path)
             row = [
                 1.0 if any(joined.startswith("/".join(g)) for g in grp) else 0.0
                 for grp in groups
@@ -89,9 +91,3 @@ def resolve_mask(stacked, batch_no, use_partition: bool, interval: int):
     return jax.tree_util.tree_map(
         lambda s: jnp.where(is_part, s[group_idx], jnp.float32(1.0)), stacked
     )
-
-
-def groups_cover_all(stacked) -> List[bool]:
-    """Sanity helper: every leaf belongs to exactly one group."""
-    leaves = jax.tree_util.tree_leaves(stacked)
-    return [bool(jnp.sum(l) == 1.0) for l in leaves]

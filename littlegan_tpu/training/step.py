@@ -133,12 +133,14 @@ def total_loss_fn(params, batch1, batch2, noise, new_image, gp_rng, cfg: Config)
 
 
 def _prep_images(x: jnp.ndarray) -> jnp.ndarray:
-    """Device-side [0,255] uint8 -> [-1,1] f32 rescale (utils.data_rescale
-    math, reference dataset.py:31-32 moved on-chip). The pipeline ships
-    uint8 to cut host->device bandwidth 4x; f32 batches pass through
-    untouched (fixtures, tests, host_rescale mode)."""
+    """Device-side [0,255] uint8 -> [-1,1] f32 rescale (utils.data_rescale,
+    reference dataset.py:31-32 moved on-chip). The pipeline ships uint8 to
+    cut host->device bandwidth 4x; f32 batches pass through untouched
+    (fixtures, tests, host_rescale mode)."""
+    from littlegan_tpu.utils.image import data_rescale
+
     if x.dtype == jnp.uint8:
-        return x.astype(jnp.float32) / 127.5 - 1.0
+        return data_rescale(x.astype(jnp.float32))
     return x
 
 

@@ -126,7 +126,7 @@ class Trainer:
                 data["i"].astype(np.float32),
             )
             return
-        rng, k_img, k_noise = jax.random.split(rng, 3)
+        k_img, k_noise = jax.random.split(rng)
         if self.dataset is not None:
             image, cond = next(self.dataset.epoch_iterator(0))
             image = ensure_pm1(image)  # pipeline may ship uint8
@@ -380,11 +380,13 @@ class Trainer:
                     "out_conv (shared w/ G)": p["out_conv"],
                 })
             )
+        from littlegan_tpu.utils.tree import path_str
+
         for name, tree in specs:
             pad = max(0, (53 - len(name)) // 2)
             lines = ["=" * pad + f"   Model: {name}  " + "=" * pad]
             for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
-                key = "/".join(str(getattr(pp, "key", pp)) for pp in path)
+                key = path_str(path)
                 lines.append(f"  {key:<48} {str(leaf.shape):<18} {leaf.size}")
             lines.append(f"  total parameters: {param_count(tree)}")
             sections.append("\n".join(lines))
@@ -399,10 +401,12 @@ class Trainer:
         return text
 
     def _write_dot(self, name: str, tree) -> None:
+        from littlegan_tpu.utils.tree import path_str
+
         lines = [f'digraph "{name}" {{', "  rankdir=TB;", '  node [shape=record];']
         prev = None
         for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
-            key = "/".join(str(getattr(pp, "key", pp)) for pp in path)
+            key = path_str(path)
             if not key.endswith("kernel"):
                 continue
             node = key.replace("/", "_").replace(" ", "_")

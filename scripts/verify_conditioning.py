@@ -63,11 +63,29 @@ def main() -> int:
     # --- discriminator cond head vs ground truth on real images ---
     ds = CelebA(cfg)
     img, cond = next(ds.epoch_iterator(0))
-    d = engine.discriminate(ensure_pm1(img)[: engine.batch])
+    real = ensure_pm1(img)[: engine.batch]
+    d = engine.discriminate(real)
     pred = (d["cond"][: cond.shape[0]] > 0.5).astype(np.float32)
     truth = (cond[: engine.batch] > 0).astype(np.float32)
     acc = float((pred[: truth.shape[0]] == truth[: pred.shape[0]]).mean())
     print(f"discriminator cond-head accuracy on real images: {acc:.3f}")
+
+    # --- adjuster conditioning: adjust REAL images toward bit j on/off ---
+    # training feeds the adjuster conds remapped to ~[0,1]
+    # (eager_trainer.py:155-156): on ~= (soft(1)+1)/2, off ~= (soft(-1)+1)/2
+    n = real.shape[0]
+    print("adjuster conditioning (stat with bit on minus off on ADJUSTED reals):")
+    learned = 0
+    for j in range(cfg.cond_dim):
+        on = np.full((n, cfg.cond_dim), (soft(-1.0) + 1) / 2, np.float32)
+        off = on.copy()
+        on[:, j] = (soft(1.0) + 1) / 2
+        s_on = stat(engine.adjust(real, on), j)
+        s_off = stat(engine.adjust(real, off), j)
+        delta = s_on - s_off
+        learned += delta > 0.02
+        print(f"  attr{j}: {delta:+.4f}")
+    print(f"  => {learned}/{cfg.cond_dim} attributes adjustable")
     return 0
 
 

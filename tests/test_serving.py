@@ -94,3 +94,10 @@ def test_http_bad_request(http_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(http_server + "/generate", {"wrong": 1})
     assert e.value.code == 400
+
+
+def test_generate_rejects_mismatched_noise(engine):
+    cond = np.zeros((3, engine.cfg.cond_dim), np.float32)
+    noise = np.zeros((2, engine.cfg.noise_dim), np.float32)
+    with pytest.raises(ValueError):
+        engine.generate(cond, noise)

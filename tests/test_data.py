@@ -172,3 +172,22 @@ def test_native_resize_matches_pil_downscale(tmp_path, tiny_cfg):
     diff = np.abs(native.astype(int) - pil.astype(int))
     assert diff.max() <= 2, diff.max()
     assert (diff <= 1).mean() > 0.99
+
+
+def test_native_loader_autobuilds(tmp_path):
+    """Fresh-clone path: the .so is not tracked in git; first use must build it."""
+    import shutil
+
+    from littlegan_tpu.data import native_loader
+
+    so = native_loader._LIB_PATH
+    backup = None
+    if os.path.isfile(so):
+        backup = str(tmp_path / "libloader.so.bak")
+        shutil.move(so, backup)
+    try:
+        path = native_loader._ensure_built()
+        assert os.path.isfile(path)
+    finally:
+        if backup and not os.path.isfile(so):
+            shutil.move(backup, so)

@@ -193,3 +193,18 @@ def test_augment_statistical_properties(np_rng):
     # brightness (|U(-.02,.02)|) + noise (mean ~0) keep the global mean close
     assert np.abs(np.mean(deltas)) < 0.02
     assert np.max(np.abs(deltas)) < 0.1
+
+
+def test_hsv_roundtrip_matches_colorsys(np_rng):
+    """Golden check of the HSV kernels against python's stdlib colorsys."""
+    import colorsys
+
+    from littlegan_tpu.ops.augment import _hsv_to_rgb, _rgb_to_hsv
+
+    rgb = np_rng.uniform(0, 1, (50, 3)).astype(np.float32)
+    hsv = np.asarray(_rgb_to_hsv(jnp.asarray(rgb.reshape(1, 50, 1, 3))))[0, :, 0]
+    want = np.asarray([colorsys.rgb_to_hsv(*p) for p in rgb], np.float32)
+    np.testing.assert_allclose(hsv, want, atol=1e-5)
+
+    back = np.asarray(_hsv_to_rgb(jnp.asarray(hsv.reshape(1, 50, 1, 3))))[0, :, 0]
+    np.testing.assert_allclose(back, rgb, atol=1e-5)

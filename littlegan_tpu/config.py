@@ -121,6 +121,10 @@ class Config:
     # (4x less host->device traffic) and the jitted step rescales on-chip —
     # the BASELINE north-star's "fused device-side preprocessing path".
     host_rescale: bool = False
+    # Device-resident dataset: upload the ENTIRE decoded uint8 dataset to HBM
+    # once and gather batches on-device — zero per-step host->device traffic.
+    # CelebA-128 decoded is ~10 GB uint8 (vs 16 GB HBM/v5e chip): opt-in.
+    device_data: bool = False
     # checkpoint retention: keep the newest N epoch checkpoints (0 = keep all,
     # the reference's behavior — tf.train.Checkpoint.save never prunes).
     # 'interrupt' and weights-only exports are never pruned.
@@ -148,6 +152,10 @@ class Config:
         return (self.image_dim, self.image_dim, self.image_channel)
 
     def replace(self, **kw) -> "Config":
+        # copy `extra` unless explicitly overridden: dataclasses.replace would
+        # alias the dict, so mutating one config's extra would leak into every
+        # config derived from it
+        kw.setdefault("extra", dict(self.extra))
         return dataclasses.replace(self, **kw)
 
     def to_json_dict(self) -> Dict[str, Any]:

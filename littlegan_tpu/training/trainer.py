@@ -50,6 +50,32 @@ from littlegan_tpu.utils.provenance import init_result_dirs, snapshot_run
 from littlegan_tpu.utils.tensorboard import SummaryWriter
 
 
+def _pairwise(it):
+    """Group a batch stream into the step's 2-batch pulls
+    (eager_trainer.py:117-118); a trailing odd batch is dropped."""
+    while True:
+        try:
+            b1 = next(it)
+            b2 = next(it)
+        except StopIteration:
+            return
+        yield b1, b2
+
+
+def _lookahead(gen, depth: int = 2):
+    """Pull ``depth`` items ahead so async device work (gathers/transfers)
+    is dispatched before the consumer blocks on the previous step."""
+    from collections import deque
+
+    buf = deque()
+    for item in gen:
+        buf.append(item)
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class Trainer:
     def __init__(self, cfg: Config, dataset=None, init_rng: Optional[jax.Array] = None):
         self.cfg = cfg
@@ -75,6 +101,7 @@ class Trainer:
                 self.global_step = int(status.get("step", 0))
 
         self._writer: Optional[SummaryWriter] = None  # created lazily (train only)
+        self._device_store = None  # device-resident dataset (cfg.device_data)
         self._init_fixture(fixture_rng)
 
         # Parallelism selection (cfg.mesh_axes / cfg.mesh_shape):
@@ -156,6 +183,29 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return jax.device_put(batch)
 
+    def _device_epoch(self, epoch: int):
+        """Device-resident dataset path (cfg.device_data): the full uint8
+        dataset lives in HBM; per-step batches are on-device gathers — zero
+        host->device traffic in the hot loop. Batch membership stays fixed
+        and batch order is permuted per epoch, matching the host pipeline."""
+        cfg = self.cfg
+        if self._device_store is None:
+            images, conds = [], []
+            for img, cond in self.dataset.epoch_iterator(0):
+                images.append(img)
+                conds.append(cond)
+            imgs = np.concatenate(images)
+            cs = np.concatenate(conds)
+            gb = imgs.nbytes / 1e9
+            print(f"device_data: uploading {gb:.2f} GB uint8 dataset to HBM")
+            self._device_store = (self._put(imgs), self._put(cs))
+        imgs_dev, conds_dev = self._device_store
+        n_batches = imgs_dev.shape[0] // cfg.batch_size
+        order = np.random.default_rng((cfg.seed, epoch, 1)).permutation(n_batches)
+        for b in order:
+            idx = slice(int(b) * cfg.batch_size, (int(b) + 1) * cfg.batch_size)
+            yield imgs_dev[idx], conds_dev[idx]
+
     def _device_prefetch(self, it, depth: int = 2):
         """Yield device-resident (batch1, batch2) pairs, keeping ``depth``
         pairs in flight so host->device transfer overlaps step compute
@@ -202,10 +252,13 @@ class Trainer:
                 self.global_epoch = epoch
                 print(f"Experiment: {cfg.exp_name} Epoch: {epoch} starting...")
                 start = time.time()
-                it = self.dataset.epoch_iterator(epoch)
+                if cfg.device_data:
+                    pairs = _lookahead(_pairwise(self._device_epoch(epoch)))
+                else:
+                    pairs = self._device_prefetch(self.dataset.epoch_iterator(epoch))
                 batch_no = 0
                 images_done = 0
-                for b1, b2 in self._device_prefetch(it):
+                for b1, b2 in pairs:
                     batch_no += 1
                     self.global_step += 1
                     if cfg.profile_steps > 0 and epoch == first_epoch:

@@ -249,8 +249,8 @@ def test_trainer_with_orbax_backend(tiny_cfg, tmp_path):
         test_data_dir=str(tmp_path / "test-data"),
         exp_name="ob",
         donate_state=False,
+        extra={"checkpoint_backend": "orbax"},
     )
-    cfg.extra["checkpoint_backend"] = "orbax"
     ds = SyntheticDataset(cfg, num_items=4 * cfg.batch_size)
     tr = Trainer(cfg, ds)
     tr.train()
@@ -258,3 +258,23 @@ def test_trainer_with_orbax_backend(tiny_cfg, tmp_path):
     assert tr.checkpointer.latest_tag() == "1"
     tr2 = Trainer(cfg, ds)
     assert tr2.global_epoch == 2
+
+
+def test_device_data_mode(tiny_cfg, tmp_path):
+    """device_data=True trains from the HBM-resident dataset (on-device
+    gathers, no per-step host transfer) and still produces checkpoints."""
+    cfg = tiny_cfg.replace(
+        epoch=2,
+        device_data=True,
+        freq_gen=100,
+        freq_test=100,
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="dd",
+        donate_state=False,
+    )
+    ds = SyntheticDataset(cfg, num_items=4 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    tr.train()
+    assert tr._device_store is not None  # uploaded once, reused across epochs
+    assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-2.npz"))

@@ -41,9 +41,15 @@ def frechet_distance(
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     assert mu1.shape == mu2.shape and sigma1.shape == sigma2.shape
 
+    import warnings
+
     diff = mu1 - mu2
     try:  # scipy >= 1.16 deprecates disp; errors surface as exceptions/NaNs
-        covmean = linalg.sqrtm(sigma1.dot(sigma2))
+        with warnings.catch_warnings():
+            # singularities are handled by the eps-offset retry below
+            # (reference fid.py:131-136) — the warning is expected, not noise
+            warnings.simplefilter("ignore")
+            covmean = linalg.sqrtm(sigma1.dot(sigma2))
     except Exception:
         covmean = np.full_like(sigma1, np.nan)
     if not np.isfinite(covmean).all():

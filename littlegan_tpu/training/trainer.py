@@ -183,12 +183,8 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return jax.device_put(batch)
 
-    def _device_epoch(self, epoch: int):
-        """Device-resident dataset path (cfg.device_data): the full uint8
-        dataset lives in HBM; per-step batches are on-device gathers — zero
-        host->device traffic in the hot loop. Batch membership stays fixed
-        and batch order is permuted per epoch, matching the host pipeline."""
-        cfg = self.cfg
+    def _ensure_device_store(self):
+        """Upload the full decoded uint8 dataset to HBM once (cfg.device_data)."""
         if self._device_store is None:
             images, conds = [], []
             for img, cond in self.dataset.epoch_iterator(0):
@@ -196,15 +192,28 @@ class Trainer:
                 conds.append(cond)
             imgs = np.concatenate(images)
             cs = np.concatenate(conds)
-            gb = imgs.nbytes / 1e9
-            print(f"device_data: uploading {gb:.2f} GB uint8 dataset to HBM")
+            print(f"device_data: uploading {imgs.nbytes / 1e9:.2f} GB uint8 dataset to HBM")
             self._device_store = (self._put(imgs), self._put(cs))
-        imgs_dev, conds_dev = self._device_store
+        return self._device_store
+
+    def _device_epoch(self, epoch: int, as_indices: bool):
+        """Device-resident dataset path (cfg.device_data): the full uint8
+        dataset lives in HBM; per-step batches are on-device gathers — zero
+        image bytes cross host->device in the hot loop. Batch membership
+        stays fixed and batch order is permuted per epoch, matching the host
+        pipeline. ``as_indices=True`` yields (batch,) int32 index vectors for
+        the gather-fused step (single dispatch/step); False yields device
+        slices (mesh modes)."""
+        cfg = self.cfg
+        imgs_dev, conds_dev = self._ensure_device_store()
         n_batches = imgs_dev.shape[0] // cfg.batch_size
         order = np.random.default_rng((cfg.seed, epoch, 1)).permutation(n_batches)
         for b in order:
-            idx = slice(int(b) * cfg.batch_size, (int(b) + 1) * cfg.batch_size)
-            yield imgs_dev[idx], conds_dev[idx]
+            lo = int(b) * cfg.batch_size
+            if as_indices:
+                yield np.arange(lo, lo + cfg.batch_size, dtype=np.int32)
+            else:
+                yield imgs_dev[lo : lo + cfg.batch_size], conds_dev[lo : lo + cfg.batch_size]
 
     def _device_prefetch(self, it, depth: int = 2):
         """Yield device-resident (batch1, batch2) pairs, keeping ``depth``
@@ -247,13 +256,28 @@ class Trainer:
         profile_dir = os.path.join(cfg.result_dir, "log", "profile")
         profiling = False
         first_epoch = self.global_epoch
+        step_fn = self._train_step
+        gather_mode = cfg.device_data and self.mesh is None
+        if gather_mode:
+            # gather-fused step: ONE dispatch per step (profiled: per-batch
+            # device slices cost ~12ms/step of host dispatch on the remote
+            # runtime)
+            from littlegan_tpu.training.step import make_gather_train_step
+
+            imgs_dev, conds_dev = self._ensure_device_store()
+            gather_step = make_gather_train_step(cfg, self.state.params, donate=False)
+            step_fn = lambda s, i1, i2, rng, bno: gather_step(
+                s, imgs_dev, conds_dev, i1, i2, rng, bno
+            )
         try:
             for epoch in range(self.global_epoch, cfg.epoch + 1):
                 self.global_epoch = epoch
                 print(f"Experiment: {cfg.exp_name} Epoch: {epoch} starting...")
                 start = time.time()
                 if cfg.device_data:
-                    pairs = _lookahead(_pairwise(self._device_epoch(epoch)))
+                    pairs = _lookahead(
+                        _pairwise(self._device_epoch(epoch, as_indices=gather_mode))
+                    )
                 else:
                     pairs = self._device_prefetch(self.dataset.epoch_iterator(epoch))
                 batch_no = 0
@@ -271,9 +295,7 @@ class Trainer:
                             profiling = False
                             print("profiler trace written to", profile_dir)
                     step_rng = jax.random.fold_in(self._base_rng, self.global_step)
-                    out = self._train_step(
-                        self.state, b1, b2, step_rng, jnp.int32(batch_no)
-                    )
+                    out = step_fn(self.state, b1, b2, step_rng, jnp.int32(batch_no))
                     self.state = out.state
                     metrics_buffer.append((self.global_step, batch_no, out.metrics))
                     images_done += 2 * cfg.batch_size

@@ -125,6 +125,10 @@ class Config:
     # once and gather batches on-device — zero per-step host->device traffic.
     # CelebA-128 decoded is ~10 GB uint8 (vs 16 GB HBM/v5e chip): opt-in.
     device_data: bool = False
+    # With device_data: run N train steps per XLA dispatch (lax.scan) to
+    # amortize host dispatch latency. 1 = one step per dispatch. Artifact
+    # cadences (freq_gen/freq_test) snap to dispatch-group boundaries.
+    steps_per_dispatch: int = 1
     # checkpoint retention: keep the newest N epoch checkpoints (0 = keep all,
     # the reference's behavior — tf.train.Checkpoint.save never prunes).
     # 'interrupt' and weights-only exports are never pruned.

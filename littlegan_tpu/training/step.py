@@ -211,6 +211,49 @@ def make_train_step(cfg: Config, params, donate: bool | None = None):
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
+def make_scan_train_step(cfg: Config, params, n_steps: int, donate: bool | None = None):
+    """K train steps per dispatch: ``lax.scan`` over the gather-fused step.
+
+    For the HBM-resident dataset mode on hosts where per-dispatch latency
+    dominates (remote runtimes; ~30 ms RTT in this container), one dispatch
+    per K steps amortizes it K-fold. Math is IDENTICAL to K sequential steps:
+    the per-step PRNG is ``fold_in(base_rng, global_step0 + i)`` (the
+    trainer's exact stream) and the partition schedule sees the true
+    ``batch_no0 + i``.
+
+    Signature: step(state, images, conds, idx1s (K,B), idx2s (K,B),
+    base_rng, global_step0, batch_no0) -> (state, metrics (K,), fake, adj)
+    where fake/adj are the LAST step's images (cadence artifacts snap to
+    dispatch-group granularity).
+    """
+    part_masks = build_partition_masks(params)
+    donate = cfg.donate_state if donate is None else donate
+    base = partial(train_step, cfg=cfg, part_masks=part_masks)
+
+    def fn(state, images, conds, idx1s, idx2s, base_rng, global_step0, batch_no0):
+        def body(carry, xs):
+            st = carry
+            i, idx1, idx2 = xs
+            rng = jax.random.fold_in(base_rng, global_step0 + i)
+            b1 = (jnp.take(images, idx1, axis=0), jnp.take(conds, idx1, axis=0))
+            b2 = (jnp.take(images, idx2, axis=0), jnp.take(conds, idx2, axis=0))
+            out = base(st, b1, b2, rng, batch_no0 + i)
+            return out.state, (out.metrics, out.fake_image, out.adj_image)
+
+        steps = jnp.arange(n_steps, dtype=jnp.int32)
+        final_state, (metrics, fakes, adjs) = jax.lax.scan(
+            body, state, (steps, idx1s, idx2s)
+        )
+        return StepOutput(
+            state=final_state,
+            metrics=metrics,  # each entry shape (K,)
+            fake_image=fakes[-1],
+            adj_image=adjs[-1],
+        )
+
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
 def make_gather_train_step(cfg: Config, params, donate: bool | None = None):
     """Train step with the batch gather FUSED into the XLA program, for the
     HBM-resident dataset mode (cfg.device_data).

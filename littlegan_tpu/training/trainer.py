@@ -258,22 +258,96 @@ class Trainer:
         first_epoch = self.global_epoch
         step_fn = self._train_step
         gather_mode = cfg.device_data and self.mesh is None
+        scan_k = cfg.steps_per_dispatch if gather_mode else 1
         if gather_mode:
             # gather-fused step: ONE dispatch per step (profiled: per-batch
             # device slices cost ~12ms/step of host dispatch on the remote
-            # runtime)
-            from littlegan_tpu.training.step import make_gather_train_step
+            # runtime). steps_per_dispatch > 1 scans K steps per dispatch.
+            from littlegan_tpu.training.step import make_gather_train_step, make_scan_train_step
 
             imgs_dev, conds_dev = self._ensure_device_store()
-            gather_step = make_gather_train_step(cfg, self.state.params, donate=False)
-            step_fn = lambda s, i1, i2, rng, bno: gather_step(
-                s, imgs_dev, conds_dev, i1, i2, rng, bno
-            )
+            if scan_k > 1:
+                scan_step = make_scan_train_step(cfg, self.state.params, scan_k, donate=False)
+            else:
+                gather_step = make_gather_train_step(cfg, self.state.params, donate=False)
+                step_fn = lambda s, i1, i2, rng, bno: gather_step(
+                    s, imgs_dev, conds_dev, i1, i2, rng, bno
+                )
         try:
             for epoch in range(self.global_epoch, cfg.epoch + 1):
                 self.global_epoch = epoch
                 print(f"Experiment: {cfg.exp_name} Epoch: {epoch} starting...")
                 start = time.time()
+                if scan_k > 1:
+                    # K-steps-per-dispatch fast path: group 2K index vectors
+                    idx_stream = self._device_epoch(epoch, as_indices=True)
+                    batch_no = 0
+                    images_done = 0
+                    while True:
+                        group = []
+                        for _ in range(2 * scan_k):
+                            nxt = next(idx_stream, None)
+                            if nxt is None:
+                                break
+                            group.append(nxt)
+                        if len(group) < 2 * scan_k:
+                            break  # trailing partial group dropped (parity: odd batch dropped)
+                        out = scan_step(
+                            self.state,
+                            imgs_dev,
+                            conds_dev,
+                            np.stack(group[0::2]),
+                            np.stack(group[1::2]),
+                            self._base_rng,
+                            jnp.int32(self.global_step + 1),
+                            jnp.int32(batch_no + 1),
+                        )
+                        self.state = out.state
+                        # stacked (K,) metric arrays stay on device; expanded
+                        # per step at flush time (no per-step slicing here —
+                        # each slice would be another host dispatch)
+                        metrics_buffer.append(
+                            (self.global_step + 1, batch_no + 1, out.metrics)
+                        )
+                        prev_batch = batch_no
+                        batch_no += scan_k
+                        self.global_step += scan_k
+                        images_done += 2 * cfg.batch_size * scan_k
+                        if len(metrics_buffer) >= flush_every:
+                            self._flush_metrics(metrics_buffer)
+                            metrics_buffer = []
+                        # cadences snap to dispatch-group boundaries: fire once
+                        # if any step in the group crossed the cadence
+                        if batch_no // cfg.freq_gen > prev_batch // cfg.freq_gen:
+                            save_image(
+                                np.asarray(out.fake_image),
+                                os.path.join(cfg.result_dir, "train", "gen", f"{epoch}-{batch_no}.jpg"),
+                            )
+                            if cfg.train_adj:
+                                save_image(
+                                    np.asarray(out.adj_image),
+                                    os.path.join(cfg.result_dir, "train", "adj", f"{epoch}-{batch_no}.jpg"),
+                                )
+                        if batch_no // cfg.freq_test > prev_batch // cfg.freq_test:
+                            self.predict(
+                                self.test_noise, self.test_cond, self.test_image,
+                                os.path.join(cfg.result_dir, "test", "gen", f"{epoch}-{batch_no}.jpg"),
+                                os.path.join(cfg.result_dir, "test", "disc", f"{epoch}-{batch_no}.json"),
+                                os.path.join(cfg.result_dir, "test", "adj", f"{epoch}-{batch_no}.jpg"),
+                            )
+                    if metrics_buffer:
+                        self._flush_metrics(metrics_buffer)
+                        metrics_buffer = []
+                    elapsed = time.time() - start
+                    rate = images_done / elapsed if elapsed > 0 else 0.0
+                    print(f"Time usage: {elapsed:.1f}s  ({rate:.1f} images/s)")
+                    self.checkpointer.save(
+                        str(epoch), self.state, {"epoch": epoch + 1, "step": self.global_step}
+                    )
+                    if cfg.keep_checkpoints > 0:
+                        self._prune_checkpoints(cfg.keep_checkpoints)
+                    continue
+
                 if cfg.device_data:
                     pairs = _lookahead(
                         _pairwise(self._device_epoch(epoch, as_indices=gather_mode))
@@ -370,20 +444,31 @@ class Trainer:
         return self._writer
 
     def _flush_metrics(self, buffer) -> None:
-        """One host sync for many steps (SURVEY §7 hard part (f))."""
+        """One host sync for many steps (SURVEY §7 hard part (f)).
+
+        Entries are (step0, batch_no0, metrics) where metric values are
+        scalars (one step) or (K,) arrays (a scanned dispatch group)."""
         host = jax.device_get([m for _, _, m in buffer])
-        for (step, batch_no, _), m in zip(buffer, host):
-            pairs = [("loss/gen", m["loss/gen"]), ("loss/disc", m["loss/disc"])]
-            # reference logs no adj loss during the warm-up window
-            # (eager_trainer.py:152,206-207: adjuster skipped for batch <= 10)
-            if self.cfg.train_adj and batch_no > 10:
-                pairs.append(("loss/adj", m["loss/adj"]))
-            self.writer.scalars(pairs, step)
-        last = host[-1]
-        print(
-            f"  step {buffer[-1][0]}: LossG {float(last['loss/gen']):.4f} "
-            f"LossD {float(last['loss/disc']):.4f} LossA {float(last['loss/adj']):.4f}"
-        )
+        last_g = last_d = last_a = 0.0
+        last_step = buffer[-1][0]
+        for (step0, batch0, _), m in zip(buffer, host):
+            vals = {k: np.atleast_1d(v) for k, v in m.items()}
+            k_steps = len(vals["loss/gen"])
+            for k in range(k_steps):
+                step, batch_no = step0 + k, batch0 + k
+                pairs = [("loss/gen", vals["loss/gen"][k]), ("loss/disc", vals["loss/disc"][k])]
+                # reference logs no adj loss during the warm-up window
+                # (eager_trainer.py:152,206-207: adjuster skipped for batch <= 10)
+                if self.cfg.train_adj and batch_no > 10:
+                    pairs.append(("loss/adj", vals["loss/adj"][k]))
+                self.writer.scalars(pairs, step)
+                last_g, last_d, last_a = (
+                    float(vals["loss/gen"][k]),
+                    float(vals["loss/disc"][k]),
+                    float(vals["loss/adj"][k]),
+                )
+                last_step = step
+        print(f"  step {last_step}: LossG {last_g:.4f} LossD {last_d:.4f} LossA {last_a:.4f}")
 
     # ----------------------------------------------------------- predict ----
 

@@ -278,3 +278,41 @@ def test_device_data_mode(tiny_cfg, tmp_path):
     tr.train()
     assert tr._device_store is not None  # uploaded once, reused across epochs
     assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-2.npz"))
+
+
+def test_steps_per_dispatch_matches_sequential(tiny_cfg, tmp_path):
+    """K-steps-per-dispatch (lax.scan) must produce EXACTLY the same params
+    as one-step dispatches: same PRNG stream, same batch_no schedule."""
+    common = dict(
+        epoch=1,
+        device_data=True,
+        freq_gen=1000,
+        freq_test=1000,
+        test_data_dir=str(tmp_path / "test-data"),
+        donate_state=False,
+        use_partition=True,
+    )
+    cfg1 = tiny_cfg.replace(
+        steps_per_dispatch=1, all_result_dir=str(tmp_path / "r1"), exp_name="a", **common
+    )
+    cfg4 = tiny_cfg.replace(
+        steps_per_dispatch=4, all_result_dir=str(tmp_path / "r4"), exp_name="b", **common
+    )
+    ds = SyntheticDataset(cfg1, num_items=16 * cfg1.batch_size)  # 16 batches = 8 steps
+    tr1 = Trainer(cfg1, ds)
+    tr1.train()
+    tr4 = Trainer(cfg4, ds, init_rng=jax.random.PRNGKey(cfg4.seed))
+    tr4.train()
+    assert tr1.global_step == tr4.global_step == 8
+    # scan vs unrolled compile to different reduction orders; Adam's
+    # scale-free update amplifies that to at most ~1 step on scalar-reduced
+    # leaves — compare at the update scale (same rationale as test_spatial)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(tr1.state.params),
+        jax.tree_util.tree_leaves_with_path(tr4.state.params),
+    ):
+        diff = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert diff <= 2.5 * cfg1.lr, (
+            "/".join(str(getattr(p, "key", p)) for p in path),
+            diff,
+        )

@@ -316,3 +316,30 @@ def test_steps_per_dispatch_matches_sequential(tiny_cfg, tmp_path):
             "/".join(str(getattr(p, "key", p)) for p in path),
             diff,
         )
+
+
+def test_scan_dispatch_artifacts_and_metrics(tiny_cfg, tmp_path):
+    """Scanned-dispatch path writes cadence artifacts (group-snapped) and
+    per-step TB scalars."""
+    cfg = tiny_cfg.replace(
+        epoch=1,
+        device_data=True,
+        steps_per_dispatch=2,
+        freq_gen=2,
+        freq_test=4,
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="sc",
+        donate_state=False,
+    )
+    ds = SyntheticDataset(cfg, num_items=16 * cfg.batch_size)  # 8 steps, 4 dispatches
+    tr = Trainer(cfg, ds)
+    tr.train()
+    rd = cfg.result_dir
+    assert os.listdir(os.path.join(rd, "train", "gen"))
+    assert os.listdir(os.path.join(rd, "test", "disc"))
+    # TB log contains one scalar event per STEP (+1 header), not per dispatch
+    log_dir = os.path.join(rd, "log")
+    fn = [f for f in os.listdir(log_dir) if f.startswith("events")][0]
+    data = open(os.path.join(log_dir, fn), "rb").read()
+    assert data.count(b"loss/gen") == 8

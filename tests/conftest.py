@@ -11,7 +11,11 @@ import os
 # plugin for EVERY python process and forces jax_platforms=axon, so the env
 # var alone is not enough — override the jax config after import too.
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # stop axon in subprocesses
+# Stop axon in subprocesses — but stash the value so driver-context tests
+# (fresh subprocess with the axon sitecustomize fully active) can restore it.
+_axon_ips = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+if _axon_ips is not None:
+    os.environ["_LITTLEGAN_STASHED_AXON_POOL_IPS"] = _axon_ips
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

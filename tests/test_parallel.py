@@ -80,6 +80,42 @@ def test_graft_entry_dryrun():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_graft_entry_dryrun_driver_context():
+    """Run the dry run the way the DRIVER does: a fresh subprocess with the
+    axon sitecustomize fully active (PALLAS_AXON_POOL_IPS restored, no
+    JAX_PLATFORMS/XLA_FLAGS help from conftest).
+
+    Round 1 shipped a dryrun that passed in-process under conftest's CPU
+    override but failed under the driver (MULTICHIP_r01 ok:false): it queried
+    jax.devices() before switching platforms, locking the 1-device axon
+    backend. This test fails if that ordering ever regresses.
+    """
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    ips = env.pop("_LITTLEGAN_STASHED_AXON_POOL_IPS", None)
+    if ips is not None:
+        env["PALLAS_AXON_POOL_IPS"] = ips  # re-arm the axon sitecustomize
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+
+    proc = subprocess.run(
+        [sys.executable, "-c", "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"driver-context dryrun failed:\n{proc.stdout}\n{proc.stderr}"
+    assert "dryrun_multichip(8) OK" in proc.stdout, proc.stdout
+
+
 def test_graft_entry_compiles():
     import __graft_entry__
 

@@ -211,8 +211,34 @@ def make_train_step(cfg: Config, params, donate: bool | None = None):
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
-def make_scan_train_step(cfg: Config, params, n_steps: int, donate: bool | None = None):
-    """K train steps per dispatch: ``lax.scan`` over the gather-fused step.
+def _take_batch(store, b):
+    """Select batch ``b`` from a (n_batches, B, ...) device store.
+
+    A dynamic-slice along the UNSHARDED leading axis: under a mesh where the
+    store is sharded P(None, 'data'[, 'model']) on (n_batches, B[, H]), every
+    device slices its local shard — no collectives, and the result lands
+    already sharded P('data'[, 'model']), exactly the train step's batch
+    sharding. This is what lets device_data compose with DP/spatial meshes."""
+    return jax.lax.dynamic_index_in_dim(store, b, axis=0, keepdims=False)
+
+
+def _device_data_shardings(cfg: Config, mesh):
+    """(in_shardings, out_shardings) for the device-store step under ``mesh``."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    spatial = "model" in mesh.axis_names
+    img_axes = ("data", "model") if spatial else ("data",)
+    store_img = NamedSharding(mesh, P(None, *img_axes))
+    store_cond = NamedSharding(mesh, P(None, "data"))
+    out_img = NamedSharding(mesh, P(*img_axes))
+    adj_sh = out_img if cfg.train_adj else rep
+    out = StepOutput(state=rep, metrics=rep, fake_image=out_img, adj_image=adj_sh)
+    return rep, store_img, store_cond, out
+
+
+def make_scan_train_step(cfg: Config, params, n_steps: int, donate: bool | None = None, mesh=None):
+    """K train steps per dispatch: ``lax.scan`` over the store-slicing step.
 
     For the HBM-resident dataset mode on hosts where per-dispatch latency
     dominates (remote runtimes; ~30 ms RTT in this container), one dispatch
@@ -221,28 +247,32 @@ def make_scan_train_step(cfg: Config, params, n_steps: int, donate: bool | None 
     trainer's exact stream) and the partition schedule sees the true
     ``batch_no0 + i``.
 
-    Signature: step(state, images, conds, idx1s (K,B), idx2s (K,B),
-    base_rng, global_step0, batch_no0) -> (state, metrics (K,), fake, adj)
-    where fake/adj are the LAST step's images (cadence artifacts snap to
-    dispatch-group granularity).
+    Signature: step(state, images, conds, b1s (K,), b2s (K,), base_rng,
+    global_step0, batch_no0) -> (state, metrics (K,), fake, adj) where
+    images/conds are the (n_batches, B, ...) device store, b1s/b2s are int32
+    batch ids, and fake/adj are the LAST step's images (cadence artifacts
+    snap to dispatch-group granularity). With ``mesh`` the store is sharded
+    P(None, 'data'[, 'model']) and each scanned step runs data-parallel.
     """
     part_masks = build_partition_masks(params)
     donate = cfg.donate_state if donate is None else donate
+    if mesh is not None and cfg.use_pallas:
+        cfg = cfg.replace(use_pallas=False)  # Mosaic is not auto-partitionable
     base = partial(train_step, cfg=cfg, part_masks=part_masks)
 
-    def fn(state, images, conds, idx1s, idx2s, base_rng, global_step0, batch_no0):
+    def fn(state, images, conds, b1s, b2s, base_rng, global_step0, batch_no0):
         def body(carry, xs):
             st = carry
-            i, idx1, idx2 = xs
+            i, b1, b2 = xs
             rng = jax.random.fold_in(base_rng, global_step0 + i)
-            b1 = (jnp.take(images, idx1, axis=0), jnp.take(conds, idx1, axis=0))
-            b2 = (jnp.take(images, idx2, axis=0), jnp.take(conds, idx2, axis=0))
-            out = base(st, b1, b2, rng, batch_no0 + i)
+            batch1 = (_take_batch(images, b1), _take_batch(conds, b1))
+            batch2 = (_take_batch(images, b2), _take_batch(conds, b2))
+            out = base(st, batch1, batch2, rng, batch_no0 + i)
             return out.state, (out.metrics, out.fake_image, out.adj_image)
 
         steps = jnp.arange(n_steps, dtype=jnp.int32)
         final_state, (metrics, fakes, adjs) = jax.lax.scan(
-            body, state, (steps, idx1s, idx2s)
+            body, state, (steps, b1s, b2s)
         )
         return StepOutput(
             state=final_state,
@@ -251,26 +281,46 @@ def make_scan_train_step(cfg: Config, params, n_steps: int, donate: bool | None 
             adj_image=adjs[-1],
         )
 
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    if mesh is None:
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    rep, store_img, store_cond, out = _device_data_shardings(cfg, mesh)
+    return jax.jit(
+        fn,
+        in_shardings=(rep, store_img, store_cond, rep, rep, rep, rep, rep),
+        out_shardings=out,
+        donate_argnums=(0,) if donate else (),
+    )
 
 
-def make_gather_train_step(cfg: Config, params, donate: bool | None = None):
-    """Train step with the batch gather FUSED into the XLA program, for the
-    HBM-resident dataset mode (cfg.device_data).
+def make_gather_train_step(cfg: Config, params, donate: bool | None = None, mesh=None):
+    """Train step with the batch selection FUSED into the XLA program, for
+    the HBM-resident dataset mode (cfg.device_data).
 
-    Signature: step(state, images, conds, idx1, idx2, rng, batch_no).
-    ``images``/``conds`` are the full device-resident dataset; ``idx1``/
-    ``idx2`` are (batch,) int32 index vectors. Profiling showed the naive
-    per-batch device slices cost ~12 ms/step of HOST dispatch over the
-    remote runtime — one fused dispatch removes all of it.
+    Signature: step(state, images, conds, b1, b2, rng, batch_no).
+    ``images``/``conds`` are the full device-resident dataset reshaped to
+    (n_batches, B, ...); ``b1``/``b2`` are int32 batch ids. Profiling showed
+    naive per-batch device slices cost ~12 ms/step of HOST dispatch over the
+    remote runtime — one fused dispatch removes all of it. With ``mesh`` the
+    store is sharded over the device mesh and the slice is local (see
+    ``_take_batch``), composing device_data with DP/spatial training.
     """
     part_masks = build_partition_masks(params)
     donate = cfg.donate_state if donate is None else donate
+    if mesh is not None and cfg.use_pallas:
+        cfg = cfg.replace(use_pallas=False)  # Mosaic is not auto-partitionable
     base = partial(train_step, cfg=cfg, part_masks=part_masks)
 
-    def fn(state, images, conds, idx1, idx2, rng, batch_no):
-        b1 = (jnp.take(images, idx1, axis=0), jnp.take(conds, idx1, axis=0))
-        b2 = (jnp.take(images, idx2, axis=0), jnp.take(conds, idx2, axis=0))
-        return base(state, b1, b2, rng, batch_no)
+    def fn(state, images, conds, b1, b2, rng, batch_no):
+        batch1 = (_take_batch(images, b1), _take_batch(conds, b1))
+        batch2 = (_take_batch(images, b2), _take_batch(conds, b2))
+        return base(state, batch1, batch2, rng, batch_no)
 
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    if mesh is None:
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    rep, store_img, store_cond, out = _device_data_shardings(cfg, mesh)
+    return jax.jit(
+        fn,
+        in_shardings=(rep, store_img, store_cond, rep, rep, rep, rep),
+        out_shardings=out,
+        donate_argnums=(0,) if donate else (),
+    )

@@ -62,20 +62,6 @@ def _pairwise(it):
         yield b1, b2
 
 
-def _lookahead(gen, depth: int = 2):
-    """Pull ``depth`` items ahead so async device work (gathers/transfers)
-    is dispatched before the consumer blocks on the previous step."""
-    from collections import deque
-
-    buf = deque()
-    for item in gen:
-        buf.append(item)
-        if len(buf) > depth:
-            yield buf.popleft()
-    while buf:
-        yield buf.popleft()
-
-
 class Trainer:
     def __init__(self, cfg: Config, dataset=None, init_rng: Optional[jax.Array] = None):
         self.cfg = cfg
@@ -184,36 +170,52 @@ class Trainer:
         return jax.device_put(batch)
 
     def _ensure_device_store(self):
-        """Upload the full decoded uint8 dataset to HBM once (cfg.device_data)."""
+        """Upload the full decoded uint8 dataset to HBM once (cfg.device_data).
+
+        The store is reshaped to (n_batches, batch, ...) — batch membership
+        is fixed (reference quirk: shuffle-after-batch, dataset.py:21-23), so
+        per-step selection is a dynamic-slice on the leading axis. Under a
+        mesh the store is sharded P(None, 'data'[, 'model']): each device
+        holds its batch-shard of EVERY batch, making the per-step slice local
+        (no collectives) and already step-sharded."""
         if self._device_store is None:
+            cfg = self.cfg
             images, conds = [], []
             for img, cond in self.dataset.epoch_iterator(0):
                 images.append(img)
                 conds.append(cond)
             imgs = np.concatenate(images)
             cs = np.concatenate(conds)
+            n_batches = imgs.shape[0] // cfg.batch_size
+            imgs = imgs[: n_batches * cfg.batch_size].reshape(
+                n_batches, cfg.batch_size, *imgs.shape[1:]
+            )
+            cs = cs[: n_batches * cfg.batch_size].reshape(n_batches, cfg.batch_size, -1)
             print(f"device_data: uploading {imgs.nbytes / 1e9:.2f} GB uint8 dataset to HBM")
-            self._device_store = (self._put(imgs), self._put(cs))
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                img_axes = ("data", "model") if self._spatial else ("data",)
+                self._device_store = (
+                    jax.device_put(imgs, NamedSharding(self.mesh, P(None, *img_axes))),
+                    jax.device_put(cs, NamedSharding(self.mesh, P(None, "data"))),
+                )
+            else:
+                self._device_store = (jax.device_put(imgs), jax.device_put(cs))
         return self._device_store
 
-    def _device_epoch(self, epoch: int, as_indices: bool):
+    def _device_epoch(self, epoch: int):
         """Device-resident dataset path (cfg.device_data): the full uint8
-        dataset lives in HBM; per-step batches are on-device gathers — zero
+        dataset lives in HBM; per-step batches are on-device slices — zero
         image bytes cross host->device in the hot loop. Batch membership
         stays fixed and batch order is permuted per epoch, matching the host
-        pipeline. ``as_indices=True`` yields (batch,) int32 index vectors for
-        the gather-fused step (single dispatch/step); False yields device
-        slices (mesh modes)."""
+        pipeline. Yields int32 batch ids into the (n_batches, B, ...) store."""
         cfg = self.cfg
-        imgs_dev, conds_dev = self._ensure_device_store()
-        n_batches = imgs_dev.shape[0] // cfg.batch_size
+        imgs_dev, _ = self._ensure_device_store()
+        n_batches = imgs_dev.shape[0]
         order = np.random.default_rng((cfg.seed, epoch, 1)).permutation(n_batches)
         for b in order:
-            lo = int(b) * cfg.batch_size
-            if as_indices:
-                yield np.arange(lo, lo + cfg.batch_size, dtype=np.int32)
-            else:
-                yield imgs_dev[lo : lo + cfg.batch_size], conds_dev[lo : lo + cfg.batch_size]
+            yield int(b)
 
     def _device_prefetch(self, it, depth: int = 2):
         """Yield device-resident (batch1, batch2) pairs, keeping ``depth``
@@ -257,21 +259,32 @@ class Trainer:
         profiling = False
         first_epoch = self.global_epoch
         step_fn = self._train_step
-        gather_mode = cfg.device_data and self.mesh is None
+        gather_mode = cfg.device_data
         scan_k = cfg.steps_per_dispatch if gather_mode else 1
+        if cfg.steps_per_dispatch > 1 and not gather_mode:
+            print(
+                "WARNING: steps_per_dispatch > 1 requires device_data=True "
+                "(HBM-resident dataset); running one step per dispatch."
+            )
         if gather_mode:
-            # gather-fused step: ONE dispatch per step (profiled: per-batch
+            # store-slicing step: ONE dispatch per step (profiled: per-batch
             # device slices cost ~12ms/step of host dispatch on the remote
             # runtime). steps_per_dispatch > 1 scans K steps per dispatch.
+            # Composes with DP/spatial meshes: the store is mesh-sharded and
+            # the slice is local on every device (training/step.py).
             from littlegan_tpu.training.step import make_gather_train_step, make_scan_train_step
 
             imgs_dev, conds_dev = self._ensure_device_store()
             if scan_k > 1:
-                scan_step = make_scan_train_step(cfg, self.state.params, scan_k, donate=False)
+                scan_step = make_scan_train_step(
+                    cfg, self.state.params, scan_k, donate=False, mesh=self.mesh
+                )
             else:
-                gather_step = make_gather_train_step(cfg, self.state.params, donate=False)
+                gather_step = make_gather_train_step(
+                    cfg, self.state.params, donate=False, mesh=self.mesh
+                )
                 step_fn = lambda s, i1, i2, rng, bno: gather_step(
-                    s, imgs_dev, conds_dev, i1, i2, rng, bno
+                    s, imgs_dev, conds_dev, jnp.int32(i1), jnp.int32(i2), rng, bno
                 )
         try:
             for epoch in range(self.global_epoch, cfg.epoch + 1):
@@ -279,8 +292,8 @@ class Trainer:
                 print(f"Experiment: {cfg.exp_name} Epoch: {epoch} starting...")
                 start = time.time()
                 if scan_k > 1:
-                    # K-steps-per-dispatch fast path: group 2K index vectors
-                    idx_stream = self._device_epoch(epoch, as_indices=True)
+                    # K-steps-per-dispatch fast path: group 2K batch ids
+                    idx_stream = self._device_epoch(epoch)
                     batch_no = 0
                     images_done = 0
                     while True:
@@ -296,8 +309,8 @@ class Trainer:
                             self.state,
                             imgs_dev,
                             conds_dev,
-                            np.stack(group[0::2]),
-                            np.stack(group[1::2]),
+                            np.asarray(group[0::2], np.int32),
+                            np.asarray(group[1::2], np.int32),
                             self._base_rng,
                             jnp.int32(self.global_step + 1),
                             jnp.int32(batch_no + 1),
@@ -349,9 +362,7 @@ class Trainer:
                     continue
 
                 if cfg.device_data:
-                    pairs = _lookahead(
-                        _pairwise(self._device_epoch(epoch, as_indices=gather_mode))
-                    )
+                    pairs = _pairwise(self._device_epoch(epoch))
                 else:
                     pairs = self._device_prefetch(self.dataset.epoch_iterator(epoch))
                 batch_no = 0

@@ -74,6 +74,86 @@ def test_dp_outputs_sharded(dp_cfg):
     assert p_leaf.sharding.is_fully_replicated
 
 
+def _device_store(b1, b2, mesh):
+    """Stack two global batches into a (2, B, ...) store sharded like the
+    trainer's device_data upload: P(None, 'data')."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    imgs = jnp.stack([b1[0], b2[0]])
+    conds = jnp.stack([b1[1], b2[1]])
+    return (
+        jax.device_put(imgs, NamedSharding(mesh, P(None, "data"))),
+        jax.device_put(conds, NamedSharding(mesh, P(None, "data"))),
+    )
+
+
+def test_device_store_gather_step_dp_matches_host_fed(dp_cfg):
+    """device_data composed with DP (VERDICT r1 #4): with the HBM store
+    sharded P(None, 'data'), the store-slicing step must produce the same
+    update as the host-fed DP step on the same batches."""
+    from littlegan_tpu.training.step import make_gather_train_step
+
+    cfg = dp_cfg
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    b1, b2 = _global_batches(cfg)
+    rng = jax.random.PRNGKey(3)
+    mesh = make_mesh(8)
+    dp_state = replicate_state(state, mesh)
+
+    host_fed = make_parallel_train_step(cfg, state.params, mesh, donate=False)
+    out_ref = host_fed(dp_state, shard_batch(b1, mesh), shard_batch(b2, mesh), rng, jnp.int32(20))
+
+    imgs, conds = _device_store(b1, b2, mesh)
+    gather = make_gather_train_step(cfg, state.params, donate=False, mesh=mesh)
+    out = gather(dp_state, imgs, conds, jnp.int32(0), jnp.int32(1), rng, jnp.int32(20))
+
+    assert len(out.fake_image.sharding.device_set) == 8  # stays batch-sharded
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(out_ref.state.params),
+        jax.tree_util.tree_leaves_with_path(out.state.params),
+    ):
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5, err_msg=key)
+    for k in ("loss/gen", "loss/disc", "loss/adj"):
+        assert abs(float(out_ref.metrics[k]) - float(out.metrics[k])) < 1e-3, k
+
+
+def test_device_store_scan_step_dp_matches_sequential(dp_cfg):
+    """K=2 scanned dispatch under the DP mesh == 2 sequential store-slicing
+    steps (same PRNG stream, same batch_no schedule)."""
+    from littlegan_tpu.training.step import make_gather_train_step, make_scan_train_step
+
+    cfg = dp_cfg
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    b1, b2 = _global_batches(cfg)
+    base_rng = jax.random.PRNGKey(11)
+    mesh = make_mesh(8)
+    dp_state = replicate_state(state, mesh)
+    imgs, conds = _device_store(b1, b2, mesh)
+
+    gather = make_gather_train_step(cfg, state.params, donate=False, mesh=mesh)
+    seq = dp_state
+    for i, (i1, i2) in enumerate([(0, 1), (1, 0)]):
+        rng = jax.random.fold_in(base_rng, 5 + i)
+        seq = gather(seq, imgs, conds, jnp.int32(i1), jnp.int32(i2), rng, jnp.int32(20 + i)).state
+
+    scan = make_scan_train_step(cfg, state.params, 2, donate=False, mesh=mesh)
+    out = scan(
+        dp_state, imgs, conds,
+        np.asarray([0, 1], np.int32), np.asarray([1, 0], np.int32),
+        base_rng, jnp.int32(5), jnp.int32(20),
+    )
+    assert out.metrics["loss/gen"].shape == (2,)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(seq.params),
+        jax.tree_util.tree_leaves_with_path(out.state.params),
+    ):
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        # scan vs unrolled may differ in reduction order; compare at the
+        # Adam-update scale (same rationale as test_spatial)
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 2.5 * cfg.lr, key
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__
 

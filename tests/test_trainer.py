@@ -280,6 +280,77 @@ def test_device_data_mode(tiny_cfg, tmp_path):
     assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-2.npz"))
 
 
+def test_device_data_with_dp_mesh(tiny_cfg, tmp_path):
+    """device_data composed with the DP mesh (ADVICE r1 medium: this combo
+    used to crash at store upload): batch 8 on 8 virtual devices selects the
+    DP path; the sharded store + scanned dispatch must train end to end."""
+    cfg = tiny_cfg.replace(
+        batch_size=8,
+        epoch=1,
+        device_data=True,
+        steps_per_dispatch=2,
+        freq_gen=100,
+        freq_test=100,
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="ddp",
+        donate_state=False,
+    )
+    ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    assert tr.mesh is not None, "8 virtual devices + batch 8 must select DP"
+    tr.train()
+    imgs_dev, conds_dev = tr._device_store
+    assert imgs_dev.shape[:2] == (8, cfg.batch_size)
+    assert len(imgs_dev.sharding.device_set) == 8  # store sharded over mesh
+    assert tr.global_step == 4
+    assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))
+
+
+def test_device_data_with_spatial_mesh(tiny_cfg, tmp_path):
+    """device_data under the ('data','model') spatial mesh: store sharded
+    P(None,'data','model'), one-step dispatches, end-to-end train."""
+    cfg = tiny_cfg.replace(
+        batch_size=4,
+        epoch=1,
+        device_data=True,
+        mesh_axes=["data", "model"],
+        mesh_shape=[4, 2],
+        freq_gen=100,
+        freq_test=100,
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="dsp",
+        donate_state=False,
+    )
+    ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    assert tr._spatial
+    tr.train()
+    assert tr.global_step == 4
+    assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))
+
+
+def test_steps_per_dispatch_warns_without_device_data(tiny_cfg, tmp_path, capsys):
+    """ADVICE r1: steps_per_dispatch>1 outside device_data must say so, not
+    silently run one step per dispatch."""
+    cfg = tiny_cfg.replace(
+        epoch=1,
+        steps_per_dispatch=4,
+        freq_gen=100,
+        freq_test=100,
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="warn",
+        donate_state=False,
+    )
+    ds = SyntheticDataset(cfg, num_items=4 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    tr.train()
+    assert "steps_per_dispatch" in capsys.readouterr().out
+    assert tr.global_step == 2  # one step per dispatch, 4 batches -> 2 steps
+
+
 def test_steps_per_dispatch_matches_sequential(tiny_cfg, tmp_path):
     """K-steps-per-dispatch (lax.scan) must produce EXACTLY the same params
     as one-step dispatches: same PRNG stream, same batch_no schedule."""

@@ -163,7 +163,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 print(f"evaluate-sample: {b + 1}/{batches} batches")
 
     elif cfg.mode == "evaluate":  # main.py:82-104, in-process
-        from littlegan_tpu.eval.evaluate import evaluate_generated
+        from littlegan_tpu.eval.evaluate import evaluate_generated, fid_label
 
         stats = os.path.join(cfg.test_data_dir, cfg.evaluate_pre_calculated)
         for sub, log in (("gen", "fid-gen.log"), ("adj", "fid-adj.log")):
@@ -175,7 +175,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 stats,
                 os.path.join(cfg.result_dir, "evaluate", log),
             )
-            print(f"FID ({sub}): {fid}")
+            print(f"{fid_label(cfg)} ({sub}): {fid}")
 
     elif cfg.mode == "condition-sample":  # main.py:105-125
         cfg = cfg.replace(reuse=True)

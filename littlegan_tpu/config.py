@@ -133,7 +133,15 @@ class Config:
     # the reference's behavior — tf.train.Checkpoint.save never prunes).
     # 'interrupt' and weights-only exports are never pruned.
     keep_checkpoints: int = 0
-    fid_weights: str = ""  # npz with InceptionV3 weights; "" -> deterministic random
+    # FID standard: torchvision inception_v3 weights converted via
+    # scripts/convert_inception.py (pytorch-FID "torchvision" flavor;
+    # values are NOT bit-identical to the reference's 2015 GraphDef but
+    # comparable to other torchvision-based FID implementations).
+    fid_weights: str = ""  # npz from scripts/convert_inception.py
+    # With fid_weights unset, FID runs a deterministic random-init Inception:
+    # self-consistent trend metric only, NOT comparable to published numbers.
+    # Evaluation refuses to run in that state unless this is set.
+    allow_random_fid: bool = False
 
     # unknown keys from user env files are preserved here for provenance
     extra: Dict[str, Any] = field(default_factory=dict)

@@ -15,6 +15,7 @@ accelerator instead of a TF session (fid.py:73-106).
 from __future__ import annotations
 
 import os
+import sys
 import time
 from glob import glob
 from typing import Iterable, Optional
@@ -40,6 +41,11 @@ def _load_images(paths: Iterable[str], dim: Optional[int] = None) -> np.ndarray:
     return np.stack(out)
 
 
+def fid_label(cfg: Config) -> str:
+    """'FID' only when real Inception weights are loaded; tagged otherwise."""
+    return "FID" if cfg.fid_weights else "FID[RANDOM-INIT Inception, NOT comparable]"
+
+
 _FEAT_FN_CACHE: dict = {}
 
 
@@ -48,6 +54,27 @@ def _featurizer(cfg: Config, params=None):
     mode scores gen AND adj dirs in one process — load/trace Inception once."""
     if params is not None:
         return jax.jit(lambda imgs: inception_features(params, imgs))
+    if not cfg.fid_weights:
+        # Round-1 verdict: never print an uncomparable number labeled FID
+        # without saying so. Mirror serving.py's untrained-weights policy.
+        if not cfg.allow_random_fid:
+            raise RuntimeError(
+                "FID requested without Inception weights (Config.fid_weights is "
+                "empty). The random-init fallback produces numbers that are NOT "
+                "FID — not comparable to any published value. Convert weights "
+                "with scripts/convert_inception.py and set fid_weights, or set "
+                "allow_random_fid=true to opt into a self-consistent trend "
+                "metric (logged as RANDOM-INIT, not FID)."
+            )
+        print(
+            "=" * 70
+            + "\nWARNING: computing 'FID' with RANDOM-INIT Inception weights "
+            "(fid_weights unset).\nValues are self-consistent across runs of "
+            "this build ONLY — not comparable\nto published FID numbers. "
+            "Convert real weights with scripts/convert_inception.py.\n"
+            + "=" * 70,
+            file=sys.stderr,
+        )
     key = cfg.fid_weights or "<random-init>"
     if key not in _FEAT_FN_CACHE:
         loaded = init_inception_params(cfg.fid_weights, seed=0)
@@ -125,8 +152,10 @@ def evaluate_generated(
     with np.load(stats_npz) as z:
         mu_r, sigma_r = z["mu"], z["sigma"]
     fid = frechet_distance(mu_r, sigma_r, mu_g, sigma_g)
+    # tag uncomparable numbers right in the log line (round-1 verdict #2)
+    label = fid_label(cfg)
     with open(log_path, "a") as f:
-        f.write(f"{time.strftime('%Y-%m-%d %H:%M:%S')} FID: {fid}\n")
+        f.write(f"{time.strftime('%Y-%m-%d %H:%M:%S')} {label}: {fid}\n")
     return fid
 
 
@@ -151,7 +180,7 @@ def main(argv=None) -> int:
         precalculate(cfg, args.image_dir, args.stats)
     else:  # reference quirk: any mode != pre-calculate is calc (evaluate.py:27,43)
         fid = evaluate_generated(cfg, args.image_dir, args.stats, args.log)
-        print("FID:", fid)
+        print(f"{fid_label(cfg)}:", fid)
     return 0
 
 

@@ -4,13 +4,20 @@ The reference extracts 2048-d ``pool_3`` activations from a 2015-vintage
 frozen InceptionV3 GraphDef executed by a TF session (fid.py:36-42,73-106).
 Here the same architecture runs as a jitted JAX function on TPU.
 
-Weights: ``Config.fid_weights`` may point to an ``.npz`` produced by
-``scripts/convert_inception.py`` (converts a torchvision ``inception_v3``
-checkpoint — the standard pytorch-FID weights). Without a weights file we
-fall back to a DETERMINISTIC random initialization (seed 0): FID values are
-then self-consistent (usable for relative comparison / regression tests) but
-not comparable to published CelebA numbers — the conversion script closes
-that gap when weights are available.
+**FID standard pinned here: torchvision-InceptionV3** (``inception_v3``
+ImageNet weights converted by ``scripts/convert_inception.py``; BN eps 1e-3,
+avg-pool count_include_pad=True, [-1,1] preprocessing, bilinear 299 resize).
+Values are comparable to other torchvision-based FID implementations (e.g.
+clean-fid's "torchvision" mode), NOT bit-identical to the reference's 2015
+GraphDef (fid.py:273-288) nor to pytorch-FID's special "FID Inception"
+weights — those are different networks; cross-implementation FID deltas are
+expected and documented rather than hidden. The conversion path (name map,
+OIHW->HWIO transpose, BN folding) is validated in-tree against torch's own
+kernels (tests/test_fid.py::test_converter_conv_bn_matches_torch).
+
+Without a weights file evaluation HARD-FAILS unless ``allow_random_fid`` is
+set, in which case a DETERMINISTIC random initialization (seed 0) provides a
+self-consistent trend metric, loudly tagged RANDOM-INIT everywhere.
 
 Architecture follows torchvision's InceptionV3 (BN eps 1e-3, no aux head):
 stem -> 3xInceptionA -> InceptionB -> 4xInceptionC -> InceptionD ->

@@ -105,17 +105,50 @@ def convert(state_dict, eps: float = 1e-3) -> dict:
     return out
 
 
-def main() -> int:
-    if len(sys.argv) != 3:
-        print(__doc__)
-        return 2
-    src, dst = sys.argv[1], sys.argv[2]
+def synthetic_state_dict(seed: int = 0) -> dict:
+    """Random-valued state_dict with torchvision ``inception_v3``'s exact key
+    names and tensor shapes (conv weights OIHW, BN vectors), He-scaled so a
+    full forward stays finite. Validates the conversion path in-tree — name
+    mapping, OIHW->HWIO transpose, BN folding — without a downloaded
+    checkpoint (this container has no egress and no torchvision)."""
+    from littlegan_tpu.eval.inception import _conv_specs
+
+    rng = np.random.default_rng(seed)
+    sd = {}
+    for ours, kh, kw, cin, cout in _conv_specs():
+        tv = _NAME_MAP[ours]
+        fan_in = kh * kw * cin
+        sd[f"{tv}.conv.weight"] = rng.normal(
+            0, np.sqrt(2.0 / fan_in), (cout, cin, kh, kw)
+        ).astype(np.float32)
+        sd[f"{tv}.bn.weight"] = rng.uniform(0.5, 1.5, (cout,)).astype(np.float32)
+        sd[f"{tv}.bn.bias"] = rng.normal(0, 0.1, (cout,)).astype(np.float32)
+        sd[f"{tv}.bn.running_mean"] = rng.normal(0, 0.1, (cout,)).astype(np.float32)
+        sd[f"{tv}.bn.running_var"] = rng.uniform(0.5, 1.5, (cout,)).astype(np.float32)
+    return sd
+
+
+def load_state_dict(src: str) -> dict:
+    """Load a torchvision state_dict from a .pth (torch) or a .npz holding
+    the same key->array mapping (lets the conversion path be validated
+    in environments without torch checkpoints)."""
+    if src.endswith(".npz"):
+        with np.load(src) as z:
+            return {k: z[k] for k in z.files}
     import torch
 
     sd = torch.load(src, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    np.savez_compressed(dst, **convert(sd))
+    return sd
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    src, dst = sys.argv[1], sys.argv[2]
+    np.savez_compressed(dst, **convert(load_state_dict(src)))
     print(f"converted {len(_NAME_MAP)} conv-bn blocks -> {dst}")
     return 0
 

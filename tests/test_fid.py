@@ -99,11 +99,140 @@ def test_eval_driver_two_modes(tmp_path, tiny_cfg):
         Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
             gen_dir / f"{i}.jpg"
         )
-    cfg = tiny_cfg
+    cfg = tiny_cfg.replace(allow_random_fid=True)  # no weights in-container
     stats = tmp_path / "stats.npz"
     log = tmp_path / "fid.log"
     precalculate(cfg, str(real_dir), str(stats), batch_size=8)
     assert stats.exists()
     fid = evaluate_generated(cfg, str(gen_dir), str(stats), str(log), batch_size=8)
     assert np.isfinite(fid)
-    assert "FID" in log.read_text()
+    # random-init runs are tagged as such in the log, never plain "FID:"
+    assert "RANDOM-INIT" in log.read_text()
+
+
+# ------------------------------------------------- converter validation ----
+# Round-1 verdict #2: the torchvision->npz conversion path must be validated
+# in-tree (no egress, no torchvision in this container). A synthetic
+# state_dict with torchvision's exact names/shapes goes through the real
+# converter; the JAX extractor's conv+folded-BN is then checked against
+# torch's own functional kernels (ground truth for torchvision semantics).
+# This pins the three places conversion silently breaks: the name mapping,
+# the OIHW->HWIO transpose, and the BN folding.
+
+
+def _converter():
+    import importlib.util
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parent.parent / "scripts" / "convert_inception.py"
+    spec = importlib.util.spec_from_file_location("convert_inception", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_converter_covers_every_extractor_param():
+    """Converted keyset == extractor keyset, shape for shape (both ways:
+    a missing or extra mapping entry fails here)."""
+    from littlegan_tpu.eval.inception import init_inception_params
+
+    conv = _converter()
+    out = conv.convert(conv.synthetic_state_dict(seed=1))
+    ref = init_inception_params("", seed=0)
+    assert set(out) == set(ref)
+    for k in out:
+        assert out[k].shape == ref[k].shape, k
+
+
+def test_converter_conv_bn_matches_torch():
+    """_conv_bn over converted params == torch conv2d+batch_norm(eval)+relu
+    on the raw state_dict, for one layer of each conv/padding shape class."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from littlegan_tpu.eval.inception import _conv_bn
+
+    conv = _converter()
+    sd = conv.synthetic_state_dict(seed=2)
+    params = conv.convert(sd)
+    rng = np.random.default_rng(3)
+
+    # (ours, stride, jax padding, torch padding) — torchvision's conventions
+    cases = [
+        ("stem/c1", 2, "VALID", 0),        # 3x3 s2 (stem downsample)
+        ("stem/c3", 1, "SAME", 1),         # 3x3 s1 pad 1
+        ("stem/c4", 1, "VALID", 0),        # 1x1
+        ("mix5b/b5x5_2", 1, "SAME", 2),    # 5x5 pad 2
+        ("mix6b/b7_2", 1, "SAME", (0, 3)), # 1x7 pad (0,3)
+        ("mix6b/bd_2", 1, "SAME", (3, 0)), # 7x1 pad (3,0)
+    ]
+    from littlegan_tpu.eval.inception import _conv_specs
+
+    spec = {n: (kh, kw, cin, cout) for n, kh, kw, cin, cout in _conv_specs()}
+    for ours, stride, jpad, tpad in cases:
+        tv = conv._NAME_MAP[ours]
+        kh, kw, cin, _ = spec[ours]
+        x = rng.normal(0, 1, (2, 9, 9, cin)).astype(np.float32)
+
+        got = np.asarray(_conv_bn(jnp.asarray(x), params, ours, stride=stride, padding=jpad))
+
+        xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))  # NHWC -> NCHW
+        y = F.conv2d(xt, torch.tensor(sd[f"{tv}.conv.weight"]), stride=stride, padding=tpad)
+        y = F.batch_norm(
+            y,
+            torch.tensor(sd[f"{tv}.bn.running_mean"]),
+            torch.tensor(sd[f"{tv}.bn.running_var"]),
+            torch.tensor(sd[f"{tv}.bn.weight"]),
+            torch.tensor(sd[f"{tv}.bn.bias"]),
+            training=False,
+            eps=1e-3,
+        )
+        want = np.transpose(F.relu(y).numpy(), (0, 2, 3, 1))  # NCHW -> NHWC
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4, err_msg=ours)
+
+
+@pytest.mark.slow
+def test_converted_weights_drive_full_extractor(tmp_path):
+    """End-to-end: synthetic .npz state_dict -> converter CLI -> extractor
+    loads it, produces finite features that differ from the random-init path
+    (catches silently-ignored weight files)."""
+    import subprocess
+    import sys as _sys
+
+    import jax.numpy as jnp
+
+    from littlegan_tpu.eval.inception import inception_features, init_inception_params
+
+    conv = _converter()
+    src = tmp_path / "tv_state.npz"
+    dst = tmp_path / "fid_weights.npz"
+    np.savez_compressed(src, **conv.synthetic_state_dict(seed=4))
+    script = str(conv.__file__ if hasattr(conv, "__file__") else "")
+    proc = subprocess.run(
+        [_sys.executable, script or "scripts/convert_inception.py", str(src), str(dst)],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+    loaded = init_inception_params(str(dst))
+    imgs = jnp.asarray(np.random.default_rng(5).integers(0, 255, (2, 64, 64, 3)), jnp.float32)
+    feats = np.asarray(inception_features(loaded, imgs))
+    assert feats.shape == (2, 2048) and np.isfinite(feats).all()
+    rand_feats = np.asarray(inception_features(init_inception_params("", seed=0), imgs))
+    assert np.abs(feats - rand_feats).max() > 1e-3
+
+
+def test_evaluate_refuses_random_fid_without_optin(tmp_path, tiny_cfg):
+    """fid_weights unset + allow_random_fid unset -> hard refusal (round-1
+    verdict: no code path may print an uncomparable number labeled FID)."""
+    from PIL import Image
+
+    from littlegan_tpu.eval.evaluate import precalculate
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(d / "0.jpg")
+    cfg = tiny_cfg.replace(allow_random_fid=False)
+    with pytest.raises(RuntimeError, match="allow_random_fid"):
+        precalculate(cfg, str(d), str(tmp_path / "s.npz"), batch_size=4)

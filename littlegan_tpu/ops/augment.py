@@ -67,6 +67,18 @@ def adjust_hue(x: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
     return _hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1)).astype(x.dtype)
 
 
+def adjust_brightness(x: jnp.ndarray, delta) -> jnp.ndarray:
+    """tf.image.adjust_brightness semantics: additive delta (not PIL's scale)."""
+    return x + delta
+
+
+def adjust_contrast(x: jnp.ndarray, factor) -> jnp.ndarray:
+    """tf.image.adjust_contrast semantics: interpolate towards the per-image
+    PER-CHANNEL mean over (H, W)."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * factor + mean
+
+
 def augment(rng: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
     """Full reference augmentation chain (eager_trainer.py:127-131) on NHWC [-1,1]."""
     k_flip, k_bright, k_contrast, k_hue, k_noise = jax.random.split(rng, 5)
@@ -80,12 +92,11 @@ def augment(rng: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
 
     # brightness: one delta for the batch, delta ~ U(-0.02, 0.02)
     delta_b = jax.random.uniform(k_bright, (), minval=-0.02, maxval=0.02)
-    x = x + delta_b
+    x = adjust_brightness(x, delta_b)
 
-    # contrast: factor ~ U(0.75, 1.003); per-image per-channel mean over H,W
+    # contrast: factor ~ U(0.75, 1.003)
     factor = jax.random.uniform(k_contrast, (), minval=0.75, maxval=1.003)
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    x = (x - mean) * factor + mean
+    x = adjust_contrast(x, factor)
 
     # hue: delta ~ U(-0.03, 0.03) (the reference's buggy seed arg notwithstanding)
     delta_h = jax.random.uniform(k_hue, (), minval=-0.03, maxval=0.03)

@@ -208,3 +208,76 @@ def test_hsv_roundtrip_matches_colorsys(np_rng):
 
     back = np.asarray(_hsv_to_rgb(jnp.asarray(hsv.reshape(1, 50, 1, 3))))[0, :, 0]
     np.testing.assert_allclose(back, rgb, atol=1e-5)
+
+
+def test_adjust_hue_rotation_matches_colorsys():
+    """Golden check of the FULL adjust_hue (rotation + wraparound) against
+    stdlib colorsys on a fixed image in [0,1] (round-1 verdict #7)."""
+    import colorsys
+
+    rng = np.random.default_rng(17)
+    rgb = rng.uniform(0, 1, (4, 4, 3)).astype(np.float32)
+    for delta in (0.03, -0.03, 0.5, -0.4):
+        got = np.asarray(adjust_hue(jnp.asarray(rgb[None]), jnp.asarray(delta)))[0]
+        want = np.empty_like(rgb)
+        for i in range(4):
+            for j in range(4):
+                h, s, v = colorsys.rgb_to_hsv(*rgb[i, j])
+                want[i, j] = colorsys.hsv_to_rgb((h + delta) % 1.0, s, v)
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(delta))
+
+
+def test_adjust_hue_pm1_matches_scalar_reference():
+    """[-1,1]-range hue math (what the reference feeds TF's kernel,
+    eager_trainer.py:130) vs an independent scalar port of the TF algorithm:
+    pins channel order, the v>0 saturation guard, and wraparound."""
+    rng = np.random.default_rng(23)
+    img = rng.uniform(-1, 1, (4, 4, 3)).astype(np.float32)
+
+    def tf_adjust_hue_scalar(p, delta):
+        r, g, b = float(p[0]), float(p[1]), float(p[2])
+        v, m = max(r, g, b), min(r, g, b)
+        c = v - m
+        s = (c / v) if v > 0 else 0.0
+        if c == 0.0:
+            h = 0.0
+        elif v == r:
+            h = ((g - b) / (6.0 * c)) % 1.0
+        elif v == g:
+            h = (b - r) / (6.0 * c) + 2.0 / 6.0
+        else:
+            h = (r - g) / (6.0 * c) + 4.0 / 6.0
+        h = (h + delta) % 1.0
+        dh = h * 6.0
+        i = int(np.floor(dh)) % 6
+        f = dh - np.floor(dh)
+        p_, q_, t_ = v * (1 - s), v * (1 - s * f), v * (1 - s * (1 - f))
+        return [
+            (v, q_, p_, p_, t_, v)[i],
+            (t_, v, v, q_, p_, p_)[i],
+            (p_, p_, t_, v, v, q_)[i],
+        ]
+
+    for delta in (0.03, -0.03):
+        got = np.asarray(adjust_hue(jnp.asarray(img[None]), jnp.asarray(delta)))[0]
+        want = np.array(
+            [[tf_adjust_hue_scalar(img[i, j], delta) for j in range(4)] for i in range(4)],
+            np.float32,
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(delta))
+
+
+def test_brightness_contrast_golden():
+    """adjust_brightness is additive (TF, not PIL's multiplicative);
+    adjust_contrast interpolates toward the per-image per-CHANNEL mean."""
+    from littlegan_tpu.ops.augment import adjust_brightness, adjust_contrast
+
+    rng = np.random.default_rng(29)
+    for lo, hi in ((-1.0, 1.0), (0.0, 1.0)):
+        x = rng.uniform(lo, hi, (2, 4, 4, 3)).astype(np.float32)
+        got_b = np.asarray(adjust_brightness(jnp.asarray(x), 0.25))
+        np.testing.assert_allclose(got_b, x + 0.25, atol=1e-6)
+
+        got_c = np.asarray(adjust_contrast(jnp.asarray(x), 0.75))
+        mean = x.mean(axis=(1, 2), keepdims=True)  # (2,1,1,3): per-channel
+        np.testing.assert_allclose(got_c, (x - mean) * 0.75 + mean, atol=1e-6)

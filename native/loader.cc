@@ -76,27 +76,38 @@ bool decode_jpeg(const uint8_t* data, size_t len, int channels,
 
 // --------------------------------------------------- crop + bilinear resize --
 
-// Pillow-style separable triangle (BILINEAR) resampling: the filter support
-// scales with the downscale factor (antialiasing), matching Pillow >= 2.7's
-// convolution resampler — NOT 2x2 point-sampled bilinear, which would make
-// the native path's pixel distribution differ from the PIL fallback on
-// downscales. One axis per pass.
+// BYTE-EXACT port of Pillow's 8-bit BILINEAR resampling (Resample.c): the
+// same double-precision triangle taps, the same int32 fixed-point coefficient
+// quantization (PRECISION_BITS), the same uint8 intermediate between the
+// horizontal and vertical passes, and the same clip8 rounding. This is what
+// makes the native decode path byte-identical to the PIL fallback on
+// non-square inputs (e.g. the official 178x218 aligned CelebA archive) —
+// asserted in tests/test_data.py.
+constexpr int kPrecisionBits = 32 - 8 - 2;  // Pillow's PRECISION_BITS
+
+static inline uint8_t clip8(int in) {
+  if (in >= (1 << kPrecisionBits << 8)) return 255;
+  if (in <= 0) return 0;
+  return static_cast<uint8_t>(in >> kPrecisionBits);
+}
+
 struct FilterTaps {
-  std::vector<int> start;      // first source index per output pixel
-  std::vector<int> count;      // taps per output pixel
-  std::vector<float> weights;  // normalized, packed per output pixel
+  std::vector<int> start;    // first source index per output pixel
+  std::vector<int> count;    // taps per output pixel
+  std::vector<int32_t> weights;  // fixed-point, packed per output pixel
   int max_taps = 0;
 };
 
 FilterTaps build_triangle_taps(int in_size, int out_size) {
   FilterTaps taps;
   const double scale = static_cast<double>(in_size) / out_size;
-  const double ss = scale < 1.0 ? 1.0 : scale;  // filter scale
-  const double support = 1.0 * ss;              // bilinear support = 1
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 1.0 * filterscale;  // bilinear support = 1
   taps.max_taps = static_cast<int>(std::ceil(support)) * 2 + 1;
   taps.start.resize(out_size);
   taps.count.resize(out_size);
-  taps.weights.resize(static_cast<size_t>(out_size) * taps.max_taps, 0.0f);
+  taps.weights.assign(static_cast<size_t>(out_size) * taps.max_taps, 0);
+  std::vector<double> k(taps.max_taps);
   for (int i = 0; i < out_size; ++i) {
     const double center = (i + 0.5) * scale;
     int lo = static_cast<int>(center - support + 0.5);
@@ -105,18 +116,17 @@ FilterTaps build_triangle_taps(int in_size, int out_size) {
     if (hi > in_size) hi = in_size;
     double total = 0.0;
     for (int j = lo; j < hi; ++j) {
-      double x = (j + 0.5 - center) / ss;
+      double x = (j + 0.5 - center) / filterscale;
       if (x < 0) x = -x;
-      const double wgt = (x < 1.0) ? 1.0 - x : 0.0;
-      taps.weights[static_cast<size_t>(i) * taps.max_taps + (j - lo)] =
-          static_cast<float>(wgt);
-      total += wgt;
+      k[j - lo] = (x < 1.0) ? 1.0 - x : 0.0;
+      total += k[j - lo];
     }
-    if (total > 0) {
-      for (int j = 0; j < hi - lo; ++j) {
-        taps.weights[static_cast<size_t>(i) * taps.max_taps + j] /=
-            static_cast<float>(total);
-      }
+    for (int j = 0; j < hi - lo; ++j) {
+      if (total != 0.0) k[j] /= total;
+      // Pillow normalize_coeffs_8bpc: round-half-away-from-zero into int32
+      const double v = k[j] * (1 << kPrecisionBits);
+      taps.weights[static_cast<size_t>(i) * taps.max_taps + j] =
+          static_cast<int32_t>(v < 0 ? v - 0.5 : v + 0.5);
     }
     taps.start[i] = lo;
     taps.count[i] = hi - lo;
@@ -138,36 +148,35 @@ void crop_resize(const uint8_t* src, int w, int h, int channels, int dim,
   }
   const FilterTaps hx = build_triangle_taps(s, dim);
   const FilterTaps vy = build_triangle_taps(s, dim);
-  // pass 1: horizontal (s rows x dim cols), f32 intermediate
-  std::vector<float> tmp(static_cast<size_t>(s) * dim * channels);
+  // pass 1: horizontal (s rows x dim cols), uint8 intermediate — Pillow
+  // quantizes between passes for 8bpc images; keeping f32 here would break
+  // byte-parity with the PIL fallback
+  std::vector<uint8_t> tmp(static_cast<size_t>(s) * dim * channels);
   for (int y = 0; y < s; ++y) {
     const uint8_t* row = src + (static_cast<size_t>(y + y0) * w + x0) * channels;
-    float* trow = tmp.data() + static_cast<size_t>(y) * dim * channels;
+    uint8_t* trow = tmp.data() + static_cast<size_t>(y) * dim * channels;
     for (int x = 0; x < dim; ++x) {
-      const float* wgt = hx.weights.data() + static_cast<size_t>(x) * hx.max_taps;
+      const int32_t* wgt = hx.weights.data() + static_cast<size_t>(x) * hx.max_taps;
       for (int ch = 0; ch < channels; ++ch) {
-        float acc = 0.0f;
+        int acc = 1 << (kPrecisionBits - 1);
         for (int t = 0; t < hx.count[x]; ++t) {
           acc += wgt[t] * row[(hx.start[x] + t) * channels + ch];
         }
-        trow[x * channels + ch] = acc;
+        trow[x * channels + ch] = clip8(acc);
       }
     }
   }
   // pass 2: vertical
   for (int y = 0; y < dim; ++y) {
-    const float* wgt = vy.weights.data() + static_cast<size_t>(y) * vy.max_taps;
+    const int32_t* wgt = vy.weights.data() + static_cast<size_t>(y) * vy.max_taps;
     uint8_t* out = dst + static_cast<size_t>(y) * dim * channels;
     for (int x = 0; x < dim; ++x) {
       for (int ch = 0; ch < channels; ++ch) {
-        float acc = 0.0f;
+        int acc = 1 << (kPrecisionBits - 1);
         for (int t = 0; t < vy.count[y]; ++t) {
           acc += wgt[t] * tmp[(static_cast<size_t>(vy.start[y] + t) * dim + x) * channels + ch];
         }
-        float v = acc + 0.5f;
-        if (v < 0) v = 0;
-        if (v > 255) v = 255;
-        out[x * channels + ch] = static_cast<uint8_t>(v);
+        out[x * channels + ch] = clip8(acc);
       }
     }
   }

@@ -129,6 +129,12 @@ class Config:
     # amortize host dispatch latency. 1 = one step per dispatch. Artifact
     # cadences (freq_gen/freq_test) snap to dispatch-group boundaries.
     steps_per_dispatch: int = 1
+    # TF-v1 Adam bias-correction parity: v1 ticks its shared beta-power
+    # accumulators on EVERY apply_gradients call, even for weights the
+    # partition schedule excluded that step. True reproduces that exact lr_t
+    # schedule; False (default) counts per-leaf updates (self-consistent
+    # per-leaf Adam). Matters only with use_partition / the adjuster warm-up.
+    adam_tf_parity: bool = False
     # checkpoint retention: keep the newest N epoch checkpoints (0 = keep all,
     # the reference's behavior — tf.train.Checkpoint.save never prunes).
     # 'interrupt' and weights-only exports are never pruned.

@@ -15,10 +15,14 @@ The mask is a traced scalar per leaf, so the whole partition schedule
 (reference: eager_trainer.py:48-52,104-113) compiles into one XLA program
 with no retracing across batches.
 
-Deviation from v1 (documented): v1 Adam shares one global beta-power pair
-across all slots of an optimizer instance and ticks it on every apply; under
-partitioned training that couples bias correction across weight groups. We
-keep a per-leaf count instead — self-consistent and correct per-leaf Adam.
+Deviation from v1 (documented, opt-out): v1 Adam shares one global beta-power
+pair across all slots of an optimizer instance and ticks it on every apply;
+under partitioned training that couples bias correction across weight groups.
+Default here is a per-leaf count — self-consistent and correct per-leaf Adam.
+``tick_all=True`` (Config.adam_tf_parity) restores the exact v1 schedule:
+the count advances every call even for masked-off leaves, so rotated groups
+see the same lr_t sequence as the reference (verified against a NumPy v1-Adam
+simulation in tests/test_train_step.py).
 """
 
 from __future__ import annotations
@@ -50,9 +54,12 @@ def masked_adam_update(
     b1: float,
     b2: float,
     eps: float = 1e-8,
+    tick_all: bool = False,
 ):
     """One masked Adam step. ``mask`` is a tree of scalar 0./1. per leaf
-    (may be traced). Returns (new_params, new_state)."""
+    (may be traced). ``tick_all`` advances the bias-correction count on every
+    call (TF-v1 shared-beta-power parity); default counts per-leaf updates.
+    Returns (new_params, new_state)."""
 
     def upd(g, c, m, v, p, msk):
         g = g.astype(jnp.float32)
@@ -61,7 +68,7 @@ def masked_adam_update(
         # (0 * inf = NaN would poison exactly the weights the reference's
         # partition schedule never computes gradients for)
         on = jnp.asarray(msk, jnp.float32) > 0.5
-        c_new = c + on.astype(jnp.int32)
+        c_new = c + 1 if tick_all else c + on.astype(jnp.int32)
         m_new = jnp.where(on, b1 * m + (1.0 - b1) * g, m)
         v_new = jnp.where(on, b2 * v + (1.0 - b2) * jnp.square(g), v)
         t = jnp.maximum(c_new, 1).astype(jnp.float32)  # safe when mask==0

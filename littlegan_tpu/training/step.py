@@ -182,13 +182,20 @@ def train_step(
     else:
         a_mask = jax.tree_util.tree_map(lambda m: m * 0.0, a_mask)
 
+    tick_all = cfg.adam_tf_parity
     new_g, opt_g = masked_adam_update(
-        g_grads, state.opt_g, subtree(state.params, G_KEYS), g_mask, cfg.lr, cfg.beta_1, cfg.beta_2
+        g_grads, state.opt_g, subtree(state.params, G_KEYS), g_mask, cfg.lr, cfg.beta_1, cfg.beta_2,
+        tick_all=tick_all,
     )
     new_d, opt_d = masked_adam_update(
-        d_grads, state.opt_d, subtree(state.params, D_KEYS), d_mask, cfg.lr, cfg.beta_1, cfg.beta_2
+        d_grads, state.opt_d, subtree(state.params, D_KEYS), d_mask, cfg.lr, cfg.beta_1, cfg.beta_2,
+        tick_all=tick_all,
     )
-    # adjuster Adam uses default betas (eager_trainer.py:30)
+    # adjuster Adam uses default betas (eager_trainer.py:30). NO tick_all
+    # here even in parity mode: the reference calls the adjuster's
+    # apply_gradients only when batch > 10 (eager_trainer.py:152), and its
+    # partition group is always the full own-subtree, so the per-leaf count
+    # already equals v1's beta-power tick count exactly.
     new_a, opt_a = masked_adam_update(
         a_grads, state.opt_a, subtree(state.params, A_KEYS), a_mask, cfg.lr, 0.9, 0.999
     )

@@ -129,6 +129,13 @@ class Config:
     # amortize host dispatch latency. 1 = one step per dispatch. Artifact
     # cadences (freq_gen/freq_test) snap to dispatch-group boundaries.
     steps_per_dispatch: int = 1
+    # Space-to-depth execution of the image-resolution boundary (ops/s2d.py):
+    # exact same math, 2x2-block layout. Measured necessity on v5e: ~40% of
+    # the b32 step was narrow-channel (3..32ch) work at 128^2 — 3/128 vector
+    # lanes and a ~1 TFLOP/s [5,5,3,32] grad conv; s2d took the step from
+    # 16.8 to 12.3 ms. Default ON; auto-disabled when kernel_size != 5,
+    # image_dim is odd, or under spatial (H-sharded) meshes.
+    use_s2d: bool = True
     # TF-v1 Adam bias-correction parity: v1 ticks its shared beta-power
     # accumulators on EVERY apply_gradients call, even for weights the
     # partition schedule excluded that step. True reproduces that exact lr_t

@@ -141,6 +141,13 @@ def _compute_dtype(cfg: Config):
     return jnp.dtype(cfg.compute_dtype)
 
 
+def s2d_active(cfg: Config) -> bool:
+    """Whether the space-to-depth boundary path applies: the exact kernel
+    rearrangements in ops/s2d.py are derived for 5x5 kernels and need an
+    even image size."""
+    return cfg.use_s2d and cfg.kernel_size == 5 and cfg.image_dim % 2 == 0
+
+
 def _norm_lrelu(x: jnp.ndarray, norm_params: Params, cfg: Config) -> jnp.ndarray:
     """InstanceNorm -> LeakyReLU block epilogue (model.py:22-24, 46-48).
 
@@ -164,17 +171,29 @@ def encoder_apply(
     x: jnp.ndarray,
     cfg: Config,
     dropout_rng: Optional[jax.Array] = None,
+    s2d_in: bool = False,
 ) -> List[jnp.ndarray]:
     """Reference model.py:18-27 — returns ALL four feature maps.
 
     ``dropout_rng=None`` reproduces the reference's inert dropout
     (tf.compat.v1.layers.dropout training=False default, model.py:25).
+    With cfg.use_s2d, block1 runs in 2x2-block space (exact math, ops/s2d.py);
+    ``s2d_in`` marks an input already in s2d form.
     """
     x = x.astype(_compute_dtype(cfg))
+    if s2d_active(cfg) and not s2d_in:
+        from littlegan_tpu.ops.s2d import space_to_depth
+
+        x = space_to_depth(x)
     outputs = []
     for i in range(1, 5):
         blk = enc[f"block{i}"]
-        x = conv2d(x, blk["conv"]["kernel"], blk["conv"]["bias"], stride=2)
+        if i == 1 and s2d_active(cfg):
+            from littlegan_tpu.ops.s2d import s2d_conv1_kernel
+
+            x = conv2d(x, s2d_conv1_kernel(blk["conv"]["kernel"]), blk["conv"]["bias"], stride=1)
+        else:
+            x = conv2d(x, blk["conv"]["kernel"], blk["conv"]["bias"], stride=2)
         x = _norm_lrelu(x, blk["norm"], cfg)
         if dropout_rng is not None:
             dropout_rng, sub = jax.random.split(dropout_rng)
@@ -191,25 +210,50 @@ def decoder_apply(
     skips: Sequence[Optional[jnp.ndarray]],
     cfg: Config,
 ) -> jnp.ndarray:
-    """Reference model.py:43-51 — optional skip-ADD before each deconv."""
+    """Reference model.py:43-51 — optional skip-ADD before each deconv.
+
+    With cfg.use_s2d, block4's output is produced directly in s2d form
+    [N, H/2, W/2, 4*C] (a lane-aligned 128-channel tensor at reference
+    scale); skips are unaffected — they add to block INPUTS, all <= H/2.
+    """
     x = x.astype(_compute_dtype(cfg))
     for i in range(1, 5):
         blk = dec[f"block{i}"]
         if skips[i - 1] is not None:
             x = x + skips[i - 1].astype(x.dtype)
-        x = deconv2d(x, blk["conv"]["kernel"], blk["conv"]["bias"], stride=2)
+        if i == 4 and s2d_active(cfg):
+            from littlegan_tpu.ops.s2d import s2d_deconv_kernel, tile_bias
+
+            x = conv2d(
+                x, s2d_deconv_kernel(blk["conv"]["kernel"]), tile_bias(blk["conv"]["bias"]), stride=1
+            )
+        else:
+            x = deconv2d(x, blk["conv"]["kernel"], blk["conv"]["bias"], stride=2)
         x = _norm_lrelu(x, blk["norm"], cfg)
     return x
 
 
-def _out_conv(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """G's stride-1 tanh output deconv (model.py:90), shared with the Adjuster."""
-    y = deconv2d(x, params["out_conv"]["kernel"], params["out_conv"]["bias"], stride=1)
+def _out_conv(params: Params, x: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """G's stride-1 tanh output deconv (model.py:90), shared with the Adjuster.
+    In s2d mode both input and output stay in block space."""
+    if s2d_active(cfg):
+        from littlegan_tpu.ops.s2d import s2d_outconv_kernel, tile_bias
+
+        y = conv2d(
+            x, s2d_outconv_kernel(params["out_conv"]["kernel"]),
+            tile_bias(params["out_conv"]["bias"]), stride=1,
+        )
+    else:
+        y = deconv2d(x, params["out_conv"]["kernel"], params["out_conv"]["bias"], stride=1)
     return jnp.tanh(y.astype(jnp.float32))
 
 
-def generator_apply(params: Params, noise: jnp.ndarray, cond: jnp.ndarray, cfg: Config) -> jnp.ndarray:
-    """Reference model.py:89-105. Returns a f32 image in [-1,1]."""
+def generator_apply(
+    params: Params, noise: jnp.ndarray, cond: jnp.ndarray, cfg: Config, s2d_out: bool = False
+) -> jnp.ndarray:
+    """Reference model.py:89-105. Returns a f32 image in [-1,1].
+    ``s2d_out=True`` (only with cfg.use_s2d) skips the final depth-to-space —
+    the train step keeps images in block space end to end."""
     dt = _compute_dtype(cfg)
     x = jnp.concatenate([noise, cond], axis=-1).astype(dt)
     x = dense(x, params["g_head"]["dense"]["kernel"], params["g_head"]["dense"]["bias"])
@@ -217,7 +261,12 @@ def generator_apply(params: Params, noise: jnp.ndarray, cond: jnp.ndarray, cfg: 
     x = x.reshape(-1, cfg.init_dim, cfg.init_dim, cfg.conv_filter[0])
     x = instance_norm(x, params["g_head"]["norm"]["gamma"], params["g_head"]["norm"]["beta"])
     x = decoder_apply(params["decoder"], x, [None] * 4, cfg)
-    return _out_conv(params, x)
+    y = _out_conv(params, x, cfg)
+    if s2d_active(cfg) and not s2d_out:
+        from littlegan_tpu.ops.s2d import depth_to_space
+
+        y = depth_to_space(y)
+    return y
 
 
 def discriminator_apply(
@@ -225,9 +274,10 @@ def discriminator_apply(
     image: jnp.ndarray,
     cfg: Config,
     dropout_rng: Optional[jax.Array] = None,
+    s2d_in: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference model.py:65-73. Returns (pr, cond) sigmoid outputs in f32."""
-    fmaps = encoder_apply(params["encoder"], image, cfg, dropout_rng)
+    fmaps = encoder_apply(params["encoder"], image, cfg, dropout_rng, s2d_in=s2d_in)
     flat = fmaps[-1].reshape(fmaps[-1].shape[0], -1)
     pr = dense(flat, params["d_head"]["pr"]["kernel"], params["d_head"]["pr"]["bias"])
     cond = dense(flat, params["d_head"]["cond"]["kernel"], params["d_head"]["cond"]["bias"])
@@ -240,6 +290,8 @@ def adjuster_apply(
     cond: jnp.ndarray,
     cfg: Config,
     dropout_rng: Optional[jax.Array] = None,
+    s2d_in: bool = False,
+    s2d_out: bool = False,
 ) -> jnp.ndarray:
     """Reference model.py:125-136: encode image, embed cond, decode with
     REVERSED encoder feature maps as U-Net skip-adds, share G's output conv.
@@ -250,10 +302,15 @@ def adjuster_apply(
     reshape-invariant, but order is kept faithful anyway).
     """
     dt = _compute_dtype(cfg)
-    fmaps = encoder_apply(params["encoder"], image, cfg, dropout_rng)
+    fmaps = encoder_apply(params["encoder"], image, cfg, dropout_rng, s2d_in=s2d_in)
     c = dense(cond.astype(dt), params["adj_head"]["dense"]["kernel"], params["adj_head"]["dense"]["bias"])
     c = leaky_relu(c, cfg.leaky_alpha)
     c = instance_norm(c, params["adj_head"]["norm"]["gamma"], params["adj_head"]["norm"]["beta"])
     c = c.reshape(-1, cfg.init_dim, cfg.init_dim, cfg.conv_filter[0])
     x = decoder_apply(params["decoder"], c, fmaps[::-1], cfg)
-    return _out_conv(params, x)
+    y = _out_conv(params, x, cfg)
+    if s2d_active(cfg) and not s2d_out:
+        from littlegan_tpu.ops.s2d import depth_to_space
+
+        y = depth_to_space(y)
+    return y

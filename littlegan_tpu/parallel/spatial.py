@@ -51,6 +51,11 @@ def make_spatial_train_step(cfg: Config, params, mesh: Mesh, donate: bool | None
         )
     if cfg.use_pallas:
         cfg = cfg.replace(use_pallas=False)  # Mosaic is not auto-partitionable
+    if cfg.use_s2d:
+        # space-to-depth folds 2x2 pixel blocks into channels; under an
+        # H-sharded mesh that reshape would reshard every image — keep the
+        # spatial path in raw layout (s2d is a single-chip/DP optimization)
+        cfg = cfg.replace(use_s2d=False)
     rep = NamedSharding(mesh, P())
     img_sh = NamedSharding(mesh, P("data", "model"))
     cond_sh = NamedSharding(mesh, P("data"))

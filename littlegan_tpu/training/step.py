@@ -49,6 +49,7 @@ import jax.numpy as jnp
 
 from littlegan_tpu.config import Config
 from littlegan_tpu.models import adjuster_apply, discriminator_apply, generator_apply
+from littlegan_tpu.models.littlegan import s2d_active
 from littlegan_tpu.ops.augment import augment
 from littlegan_tpu.ops.losses import adjuster_loss, discriminator_loss, generator_loss
 from littlegan_tpu.training.optimizer import masked_adam_update
@@ -76,7 +77,7 @@ def gradient_penalty(params, real: jnp.ndarray, fake: jnp.ndarray, rng: jax.Arra
     inter = eps * real + (1.0 - eps) * fake
 
     def d_pr(x):
-        pr, _ = discriminator_apply(params, x, cfg)
+        pr, _ = discriminator_apply(params, x, cfg, s2d_in=s2d_active(cfg))
         return jnp.sum(pr)
 
     g = jax.grad(d_pr)(inter)
@@ -85,23 +86,35 @@ def gradient_penalty(params, real: jnp.ndarray, fake: jnp.ndarray, rng: jax.Arra
 
 
 def total_loss_fn(params, batch1, batch2, noise, new_image, gp_rng, cfg: Config):
-    """Single differentiable scalar; stop_gradient routes each loss's grads."""
+    """Single differentiable scalar; stop_gradient routes each loss's grads.
+
+    With cfg.use_s2d every image tensor is carried in 2x2-block space end to
+    end (ops/s2d.py — exact same values, lane-aligned layouts); the losses
+    are elementwise/reduce-all, so they are rearrangement-invariant.
+    """
     sg = jax.lax.stop_gradient
     img1, cond1 = batch1
     img2, cond2 = batch2
+    s2 = s2d_active(cfg)
+    if s2:
+        from littlegan_tpu.ops.s2d import space_to_depth
 
-    fake = generator_apply(params, noise, cond2, cfg)
+        img1 = space_to_depth(img1)
+        img2 = space_to_depth(img2)
+        new_image = space_to_depth(new_image)
+
+    fake = generator_apply(params, noise, cond2, cfg, s2d_out=s2)
 
     # --- D loss: grads to encoder + d_head only (fake is data) ---
-    real_pr, real_c = discriminator_apply(params, new_image, cfg)
-    fake_pr_d, _ = discriminator_apply(params, sg(fake), cfg)
+    real_pr, real_c = discriminator_apply(params, new_image, cfg, s2d_in=s2)
+    fake_pr_d, _ = discriminator_apply(params, sg(fake), cfg, s2d_in=s2)
     d_loss = discriminator_loss(cond1, real_c, real_pr, fake_pr_d)
     if cfg.use_gp:
         d_loss = d_loss + cfg.gp_weight * gradient_penalty(params, img1, sg(fake), gp_rng, cfg)
 
     # --- G loss: D queried with frozen params -> grads to G subtrees only ---
     d_frozen = _freeze(params, G_KEYS)
-    fake_pr_g, fake_c_g = discriminator_apply(d_frozen, fake, cfg)
+    fake_pr_g, fake_c_g = discriminator_apply(d_frozen, fake, cfg, s2d_in=s2)
     g_loss = generator_loss(cond2, fake_c_g, fake_pr_g, img2, fake, cfg.l1_lambda)
 
     total = g_loss + d_loss
@@ -117,17 +130,26 @@ def total_loss_fn(params, batch1, batch2, noise, new_image, gp_rng, cfg: Config)
         adj_in_img = jnp.concatenate([img1, sg(fake)], axis=0)
         adj_tgt_img = jnp.concatenate([img2, img1], axis=0)
         adj_params = _freeze(params, A_KEYS)
-        adj_image = adjuster_apply(adj_params, adj_in_img, adj_in_cond, cfg)
-        adj_pr, adj_c = discriminator_apply(_freeze(params, ()), adj_image, cfg)
+        adj_image = adjuster_apply(
+            adj_params, adj_in_img, adj_in_cond, cfg, s2d_in=s2, s2d_out=s2
+        )
+        adj_pr, adj_c = discriminator_apply(_freeze(params, ()), adj_image, cfg, s2d_in=s2)
         a_loss = adjuster_loss(adj_tgt_cond, adj_c, adj_pr, adj_tgt_img, adj_image, cfg.l1_lambda)
         total = total + a_loss
 
+    if s2:  # artifacts leave the step in raw image form
+        from littlegan_tpu.ops.s2d import depth_to_space
+
+        fake_out = depth_to_space(fake)
+        adj_out = depth_to_space(adj_image) if cfg.train_adj else adj_image
+    else:
+        fake_out, adj_out = fake, adj_image
     aux = {
         "loss/gen": g_loss,
         "loss/disc": d_loss,
         "loss/adj": a_loss,
-        "fake": fake,
-        "adj": adj_image,
+        "fake": fake_out,
+        "adj": adj_out,
     }
     return total, aux
 
@@ -265,6 +287,8 @@ def make_scan_train_step(cfg: Config, params, n_steps: int, donate: bool | None 
     donate = cfg.donate_state if donate is None else donate
     if mesh is not None and cfg.use_pallas:
         cfg = cfg.replace(use_pallas=False)  # Mosaic is not auto-partitionable
+    if mesh is not None and cfg.use_s2d and "model" in mesh.axis_names:
+        cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
     base = partial(train_step, cfg=cfg, part_masks=part_masks)
 
     def fn(state, images, conds, b1s, b2s, base_rng, global_step0, batch_no0):
@@ -315,6 +339,8 @@ def make_gather_train_step(cfg: Config, params, donate: bool | None = None, mesh
     donate = cfg.donate_state if donate is None else donate
     if mesh is not None and cfg.use_pallas:
         cfg = cfg.replace(use_pallas=False)  # Mosaic is not auto-partitionable
+    if mesh is not None and cfg.use_s2d and "model" in mesh.axis_names:
+        cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
     base = partial(train_step, cfg=cfg, part_masks=part_masks)
 
     def fn(state, images, conds, b1, b2, rng, batch_no):

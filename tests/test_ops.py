@@ -281,3 +281,14 @@ def test_brightness_contrast_golden():
         got_c = np.asarray(adjust_contrast(jnp.asarray(x), 0.75))
         mean = x.mean(axis=(1, 2), keepdims=True)  # (2,1,1,3): per-channel
         np.testing.assert_allclose(got_c, (x - mean) * 0.75 + mean, atol=1e-6)
+
+
+def test_instance_norm_one_pass_matches_two_pass(np_rng):
+    """Default one-pass stats (fused conv-epilogue form) vs the literal Keras
+    two-pass evaluation: identical to f32 rounding."""
+    x = np_rng.normal(size=(3, 8, 8, 6)).astype(np.float32) * 3 + 1.5
+    g = np.array([1.3], np.float32)
+    b = np.array([0.2], np.float32)
+    a = np.asarray(instance_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b)))
+    c = np.asarray(instance_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b), two_pass=True))
+    np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)

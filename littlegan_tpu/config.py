@@ -136,6 +136,15 @@ class Config:
     # 16.8 to 12.3 ms. Default ON; auto-disabled when kernel_size != 5,
     # image_dim is odd, or under spatial (H-sharded) meshes.
     use_s2d: bool = True
+    # OPT-IN, NON-PARITY extension (off = exact reference architecture):
+    # a per-sample, condition-dependent channel bias added before the output
+    # tanh (out_conv gains a zeros-initialized (cond_dim, image_channel)
+    # kernel). Rationale (ROADMAP #7): the reference's axis=None InstanceNorm
+    # removes per-sample global mean/scale at EVERY block, so attributes that
+    # are global statistics (overall brightness/tint) structurally cannot be
+    # conditioned; this gives them one re-entry path. Measured in the round-2
+    # campaign (CAMPAIGN.md).
+    cond_bias: bool = False
     # TF-v1 Adam bias-correction parity: v1 ticks its shared beta-power
     # accumulators on EVERY apply_gradients call, even for weights the
     # partition schedule excluded that step. True reproduces that exact lr_t

@@ -109,6 +109,11 @@ def init_params(cfg: Config, rng: jax.Array) -> Params:
         "kernel": _glorot(next(keys), (k, k, cfg.image_channel, cf[4])),
         "bias": jnp.zeros((cfg.image_channel,)),
     }
+    if cfg.cond_bias:
+        # opt-in conditional output bias (Config.cond_bias): zeros-initialized
+        # so training starts EXACTLY at reference behavior; lands in the
+        # generator's partition group 3 with the rest of out_conv
+        out_conv["cond_kernel"] = jnp.zeros((cfg.cond_dim, cfg.image_channel))
     d_head = {
         "pr": {"kernel": _glorot(next(keys), (flat, 1)), "bias": jnp.zeros((1,))},
         "cond": {"kernel": _glorot(next(keys), (flat, cfg.cond_dim)), "bias": jnp.zeros((cfg.cond_dim,))},
@@ -233,9 +238,13 @@ def decoder_apply(
     return x
 
 
-def _out_conv(params: Params, x: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+def _out_conv(
+    params: Params, x: jnp.ndarray, cfg: Config, cond: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
     """G's stride-1 tanh output deconv (model.py:90), shared with the Adjuster.
-    In s2d mode both input and output stay in block space."""
+    In s2d mode both input and output stay in block space. With the
+    Config.cond_bias extension, a per-sample cond-dependent channel bias is
+    added before the tanh (see config.py — off by default, reference parity)."""
     if s2d_active(cfg):
         from littlegan_tpu.ops.s2d import s2d_outconv_kernel, tile_bias
 
@@ -245,6 +254,11 @@ def _out_conv(params: Params, x: jnp.ndarray, cfg: Config) -> jnp.ndarray:
         )
     else:
         y = deconv2d(x, params["out_conv"]["kernel"], params["out_conv"]["bias"], stride=1)
+    if cfg.cond_bias and cond is not None and "cond_kernel" in params["out_conv"]:
+        b = dense(cond.astype(y.dtype), params["out_conv"]["cond_kernel"])  # (N, C)
+        if s2d_active(cfg):
+            b = jnp.tile(b, (1, 4))  # channel order (pi, pj, c)
+        y = y + b[:, None, None, :]
     return jnp.tanh(y.astype(jnp.float32))
 
 
@@ -261,7 +275,7 @@ def generator_apply(
     x = x.reshape(-1, cfg.init_dim, cfg.init_dim, cfg.conv_filter[0])
     x = instance_norm(x, params["g_head"]["norm"]["gamma"], params["g_head"]["norm"]["beta"])
     x = decoder_apply(params["decoder"], x, [None] * 4, cfg)
-    y = _out_conv(params, x, cfg)
+    y = _out_conv(params, x, cfg, cond=cond)
     if s2d_active(cfg) and not s2d_out:
         from littlegan_tpu.ops.s2d import depth_to_space
 
@@ -308,7 +322,7 @@ def adjuster_apply(
     c = instance_norm(c, params["adj_head"]["norm"]["gamma"], params["adj_head"]["norm"]["beta"])
     c = c.reshape(-1, cfg.init_dim, cfg.init_dim, cfg.conv_filter[0])
     x = decoder_apply(params["decoder"], c, fmaps[::-1], cfg)
-    y = _out_conv(params, x, cfg)
+    y = _out_conv(params, x, cfg, cond=cond)
     if s2d_active(cfg) and not s2d_out:
         from littlegan_tpu.ops.s2d import depth_to_space
 

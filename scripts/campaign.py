@@ -1,0 +1,225 @@
+"""Convergence campaign: long-horizon training with a pinned metric trajectory.
+
+Round-2 verdict item #5: train the structured synthetic set (the in-container
+stand-in for CelebA — zero egress, no real faces on disk) over a long horizon
+and record a loss + conditioning + FID-trend trajectory artifact, optionally
+with the Config.cond_bias extension chasing the 7th (global-statistic)
+attribute.
+
+Per eval point the script records:
+  - train losses (G/D/A) averaged over the chunk's TB-logged steps,
+  - generator conditioning effect sizes (7 attrs, fixed noise, bit flipped),
+  - adjuster effect sizes on REAL images,
+  - discriminator cond-head accuracy,
+  - FID TREND between 1,024 generated images and dataset stats, computed
+    with the deterministic RANDOM-INIT Inception (allow_random_fid) — a
+    self-consistent trend metric, loudly NOT comparable to published FID.
+
+Usage:
+  python scripts/campaign.py <exp> [--epochs N] [--eval-every K]
+      [--cond-bias] [--data /tmp/structured_celeba] [--dim 128] [--n 6400]
+Artifacts: result/<exp>/campaign_trajectory.json (one record per eval).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def stat(images: np.ndarray, j: int) -> float:
+    """Mean intensity of the region/channel attribute j controls
+    (must match scripts/make_structured_data.py)."""
+    x = (images + 1.0) / 2.0
+    d = x.shape[1]
+    regions = [
+        x[:, :, :, 0],
+        x[:, d // 4 : d // 2, :, 1],
+        x[:, d // 2 :, :, 2],
+        x[:, d // 3 : 2 * d // 3, d // 3 : 2 * d // 3, :],
+        x[:, d // 8 : d // 4, :, :],
+        x[:, : d // 4, : d // 4, :],
+        x,
+    ]
+    return float(np.mean(regions[j]))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("exp")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--eval-every", type=int, default=10)
+    p.add_argument("--cond-bias", action="store_true")
+    p.add_argument("--data", default="/tmp/structured_celeba")
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--n", type=int, default=6400)
+    p.add_argument("--result-dir", default="/tmp/campaign_result")
+    args = p.parse_args()
+
+    if not os.path.isdir(os.path.join(args.data, "img")):
+        from scripts.make_structured_data import generate
+
+        generate(args.data, args.n, args.dim)
+
+    from littlegan_tpu.config import Config
+    from littlegan_tpu.data import CelebA
+    from littlegan_tpu.eval.evaluate import compute_features
+    from littlegan_tpu.eval.fid import activation_statistics, frechet_distance
+    from littlegan_tpu.eval.inception import inception_features, init_inception_params
+    from littlegan_tpu.training.trainer import Trainer
+    from littlegan_tpu.utils.image import ensure_pm1, soft
+    from littlegan_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    base = dict(
+        exp_name=args.exp,
+        mode="train",
+        image_path=os.path.join(args.data, "img"),
+        attr_path=os.path.join(args.data, "attrs.txt"),
+        image_dim=args.dim,
+        init_dim=args.dim // 16,  # 4 stride-2 encoder halvings (reference geometry)
+        batch_size=32,
+        compute_dtype="bfloat16",
+        device_data=True,
+        steps_per_dispatch=8 if args.n // 32 >= 16 else 1,  # scan needs 2K batch ids/dispatch
+        freq_gen=10_000_000,  # artifact cadences off; campaign does its own evals
+        freq_test=10_000_000,
+        all_result_dir=args.result_dir,
+        test_data_dir=os.path.join(args.result_dir, "test-data"),
+        restore=True,
+        reuse=True,
+        debug=True,
+        donate_state=False,
+        cond_bias=args.cond_bias,
+        allow_random_fid=True,
+    )
+
+    # --- dataset stats for the FID trend (random-init Inception, once) ---
+    cfg0 = Config(**base)
+    ds = CelebA(cfg0)
+    incep = init_inception_params("", seed=0)
+    feat_fn = jax.jit(lambda imgs: inception_features(incep, imgs))
+
+    def features_of(images_u8: np.ndarray) -> np.ndarray:
+        feats = []
+        bs = 128
+        for i in range(0, len(images_u8), bs):
+            chunk = images_u8[i : i + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+            f = np.asarray(feat_fn(jnp.asarray(chunk, jnp.float32)))
+            feats.append(f[: bs - pad] if pad else f)
+        return np.concatenate(feats)
+
+    stats_path = os.path.join(args.result_dir, f"ref_stats_{args.dim}.npz")
+    if os.path.isfile(stats_path):
+        with np.load(stats_path) as z:
+            mu_r, sigma_r = z["mu"], z["sigma"]
+    else:
+        imgs = []
+        it = ds.epoch_iterator(0)
+        for _ in range(max(1, min(ds.batches, 2048 // cfg0.batch_size))):
+            img, _ = next(it)
+            imgs.append(img if img.dtype == np.uint8 else ((img + 1) * 127.5).astype(np.uint8))
+        real_u8 = np.concatenate(imgs)
+        mu_r, sigma_r = activation_statistics(features_of(real_u8))
+        os.makedirs(args.result_dir, exist_ok=True)
+        np.savez_compressed(stats_path, mu=mu_r, sigma=sigma_r)
+        print(f"dataset stats over {len(real_u8)} images -> {stats_path}")
+
+    rng = np.random.default_rng(0)
+    eval_noise = rng.normal(size=(64, cfg0.noise_dim)).astype(np.float32)
+    fid_noise = rng.normal(size=(1024, cfg0.noise_dim)).astype(np.float32)
+    fid_cond = soft(np.where(rng.random((1024, cfg0.cond_dim)) < 0.5, -1.0, 1.0)).astype(np.float32)
+    base_cond = np.full((64, cfg0.cond_dim), soft(-1.0), np.float32)
+    real_img, real_cond = next(ds.epoch_iterator(1))
+    real_pm1 = ensure_pm1(real_img)
+
+    traj_path = None
+    records = []
+    done = 0
+    while done < args.epochs:
+        upto = min(done + args.eval_every, args.epochs)
+        cfg = Config(**{**base, "epoch": upto})
+        tr = Trainer(cfg, ds)
+        traj_path = os.path.join(cfg.result_dir, "campaign_trajectory.json")
+        if os.path.isfile(traj_path) and not records:
+            records = json.load(open(traj_path))
+        if tr.global_epoch > upto:  # resumed past this chunk
+            done = tr.global_epoch - 1
+            continue
+        t0 = time.time()
+        tr.train()
+        train_secs = time.time() - t0
+        done = upto
+
+        params = tr.state.params
+
+        # generator effect sizes
+        gen_fx = []
+        g_base = np.asarray(tr._gen_jit(params, eval_noise, base_cond))
+        for j in range(cfg.cond_dim):
+            c = base_cond.copy()
+            c[:, j] = soft(1.0)
+            g = np.asarray(tr._gen_jit(params, eval_noise, c))
+            gen_fx.append(round(stat(g, j) - stat(g_base, j), 4))
+
+        # adjuster effect sizes on real images
+        adj_fx = []
+        n64 = real_pm1[:64]
+        for j in range(cfg.cond_dim):
+            on = np.full((len(n64), cfg.cond_dim), (soft(-1.0) + 1) / 2, np.float32)
+            off = on.copy()
+            on[:, j] = (soft(1.0) + 1) / 2
+            a_on = np.asarray(tr._adj_jit(params, n64, on))
+            a_off = np.asarray(tr._adj_jit(params, n64, off))
+            adj_fx.append(round(stat(a_on, j) - stat(a_off, j), 4))
+
+        # D cond-head accuracy
+        _, d_cond = tr._disc_jit(params, n64)
+        acc = float(
+            ((np.asarray(d_cond) > 0.5) == (real_cond[: len(n64)] > 0)).mean()
+        )
+
+        # FID trend (random-init Inception — NOT comparable to published FID)
+        gen_imgs = []
+        for i in range(0, len(fid_noise), 128):
+            g = np.asarray(tr._gen_jit(params, fid_noise[i : i + 128], fid_cond[i : i + 128]))
+            gen_imgs.append(((g + 1) * 127.5).clip(0, 255).astype(np.uint8))
+        mu_g, sigma_g = activation_statistics(features_of(np.concatenate(gen_imgs)))
+        fid_trend = float(frechet_distance(mu_r, sigma_r, mu_g, sigma_g))
+
+        rec = {
+            "epoch": done,
+            "global_step": tr.global_step,
+            "train_secs": round(train_secs, 1),
+            "gen_effects": gen_fx,
+            "gen_learned": int(sum(d > 0.02 for d in gen_fx)),
+            "adj_effects": adj_fx,
+            "adj_learned": int(sum(d > 0.02 for d in adj_fx)),
+            "d_cond_acc": round(acc, 4),
+            "fid_trend_random_init": round(fid_trend, 3),
+            "cond_bias": args.cond_bias,
+        }
+        records.append(rec)
+        with open(traj_path, "w") as f:
+            json.dump(records, f, indent=1)
+        print("EVAL", json.dumps(rec))
+
+    print(f"trajectory -> {traj_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

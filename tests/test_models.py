@@ -122,3 +122,45 @@ def test_dropout_inert_by_default_matches_reference_quirk(tiny_cfg, rng):
     # but CAN be activated explicitly
     c, _ = discriminator_apply(p, img, tiny_cfg, dropout_rng=jax.random.PRNGKey(3))
     assert np.abs(np.asarray(c) - np.asarray(a)).max() > 1e-9
+
+
+def test_cond_bias_extension(tiny_cfg):
+    """Config.cond_bias (opt-in, non-parity): zeros-init => identical outputs
+    at init; the kernel receives gradient and shifts global statistics."""
+    import jax
+    import jax.numpy as jnp
+
+    from littlegan_tpu.models import generator_apply, init_params, param_count
+    from littlegan_tpu.training import create_train_state, make_train_step
+
+    cfg = tiny_cfg.replace(donate_state=False)
+    cfg_cb = cfg.replace(cond_bias=True)
+    p0 = init_params(cfg, jax.random.PRNGKey(0))
+    p1 = init_params(cfg_cb, jax.random.PRNGKey(0))
+    assert param_count(p1) - param_count(p0) == cfg.cond_dim * cfg.image_channel
+
+    noise = jnp.asarray(np.random.default_rng(1).normal(size=(2, cfg.noise_dim)), jnp.float32)
+    cond = jnp.asarray(np.where(np.random.default_rng(2).random((2, cfg.cond_dim)) < 0.5, 0.98, -0.94), jnp.float32)
+    a = np.asarray(generator_apply(p0, noise, cond, cfg))
+    b = np.asarray(generator_apply(p1, noise, cond, cfg_cb))
+    np.testing.assert_array_equal(a, b)  # zeros-init: exact reference behavior
+
+    # a nonzero kernel shifts the output in the cond direction
+    p2 = dict(p1)
+    p2["out_conv"] = dict(p1["out_conv"])
+    p2["out_conv"]["cond_kernel"] = jnp.ones((cfg.cond_dim, cfg.image_channel)) * 0.5
+    c = np.asarray(generator_apply(p2, noise, cond, cfg_cb))
+    assert np.abs(c - b).max() > 0.01
+
+    # the kernel trains: one step moves it off zero
+    state = create_train_state(cfg_cb, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    mk = lambda: (
+        jnp.asarray(rng.uniform(-1, 1, (cfg.batch_size, cfg.image_dim, cfg.image_dim, 3)), jnp.float32),
+        jnp.asarray(np.where(rng.random((cfg.batch_size, cfg.cond_dim)) < 0.5, 0.98, -0.94), jnp.float32),
+    )
+    # batch 21: NOT a partition step (21 % 5 != 0) -> all weights train
+    out = make_train_step(cfg_cb, state.params, donate=False)(
+        state, mk(), mk(), jax.random.PRNGKey(4), jnp.int32(21)
+    )
+    assert np.abs(np.asarray(out.state.params["out_conv"]["cond_kernel"])).max() > 0

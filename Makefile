@@ -26,3 +26,8 @@ smoke:
 
 dryrun:
 	LITTLEGAN_VIRTUAL_DEVICES=8 python -c "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
+
+# full convergence campaign on the structured set (real chip, ~25 min; CAMPAIGN.md)
+campaign:
+	python scripts/make_structured_data.py /tmp/structured_celeba 6400 128
+	python scripts/campaign.py parity100 --epochs 100 --eval-every 10

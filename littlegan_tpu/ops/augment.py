@@ -79,6 +79,39 @@ def adjust_contrast(x: jnp.ndarray, factor) -> jnp.ndarray:
     return (x - mean) * factor + mean
 
 
+def augment_s2d(rng: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
+    """:func:`augment` on a space-to-depth-layout batch [N, H/2, W/2, 4C]
+    (ops/s2d.py) — IDENTICAL math and PRNG stream to the raw-layout version:
+    the flip mask and scalar deltas are drawn with the same shapes, and the
+    additive noise is drawn in RAW image shape then rearranged, so a raw
+    pixel receives the same noise value in either layout (tested)."""
+    from littlegan_tpu.ops.s2d import space_to_depth
+
+    k_flip, k_bright, k_contrast, k_hue, k_noise = jax.random.split(rng, 5)
+    n, h, w, c4 = x.shape
+    c = c4 // 4
+    dtype = x.dtype
+    v = x.astype(jnp.float32).reshape(n, h, w, 2, 2, c)  # (N, hb, wb, pi, pj, c)
+
+    # flip W in raw space = reverse column blocks AND swap column phases
+    do_flip = jax.random.bernoulli(k_flip, 0.5, (n, 1, 1, 1)).reshape(n, 1, 1, 1, 1, 1)
+    v = jnp.where(do_flip, v[:, :, ::-1, :, ::-1, :], v)
+
+    delta_b = jax.random.uniform(k_bright, (), minval=-0.02, maxval=0.02)
+    v = v + delta_b
+
+    factor = jax.random.uniform(k_contrast, (), minval=0.75, maxval=1.003)
+    mean = jnp.mean(v, axis=(1, 2, 3, 4), keepdims=True)  # per-image per-CHANNEL
+    v = (v - mean) * factor + mean
+
+    delta_h = jax.random.uniform(k_hue, (), minval=-0.03, maxval=0.03)
+    v = adjust_hue(v, delta_h)  # HSV kernels operate on the trailing RGB axis
+
+    noise = jax.random.normal(k_noise, (n, 2 * h, 2 * w, c))  # raw-shape stream
+    out = v.reshape(n, h, w, c4) + 0.1 * (0.2 * space_to_depth(noise))
+    return out.astype(dtype)
+
+
 def augment(rng: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
     """Full reference augmentation chain (eager_trainer.py:127-131) on NHWC [-1,1]."""
     k_flip, k_bright, k_contrast, k_hue, k_noise = jax.random.split(rng, 5)

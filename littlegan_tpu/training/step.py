@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from littlegan_tpu.config import Config
 from littlegan_tpu.models import adjuster_apply, discriminator_apply, generator_apply
 from littlegan_tpu.models.littlegan import s2d_active
-from littlegan_tpu.ops.augment import augment
+from littlegan_tpu.ops.augment import augment, augment_s2d
 from littlegan_tpu.ops.losses import adjuster_loss, discriminator_loss, generator_loss
 from littlegan_tpu.training.optimizer import masked_adam_update
 from littlegan_tpu.training.partition import build_partition_masks, resolve_mask
@@ -85,18 +85,20 @@ def gradient_penalty(params, real: jnp.ndarray, fake: jnp.ndarray, rng: jax.Arra
     return jnp.mean(jnp.square(norms - 1.0))
 
 
-def total_loss_fn(params, batch1, batch2, noise, new_image, gp_rng, cfg: Config):
+def total_loss_fn(params, batch1, batch2, noise, new_image, gp_rng, cfg: Config, inputs_s2d: bool = False):
     """Single differentiable scalar; stop_gradient routes each loss's grads.
 
     With cfg.use_s2d every image tensor is carried in 2x2-block space end to
     end (ops/s2d.py — exact same values, lane-aligned layouts); the losses
     are elementwise/reduce-all, so they are rearrangement-invariant.
+    ``inputs_s2d`` marks batches that ALREADY arrive in block space (the
+    s2d-layout device store) — no per-step conversion at all.
     """
     sg = jax.lax.stop_gradient
     img1, cond1 = batch1
     img2, cond2 = batch2
     s2 = s2d_active(cfg)
-    if s2:
+    if s2 and not inputs_s2d:
         from littlegan_tpu.ops.s2d import space_to_depth
 
         img1 = space_to_depth(img1)
@@ -174,16 +176,20 @@ def train_step(
     batch_no: jnp.ndarray,
     cfg: Config,
     part_masks: Any,
+    inputs_s2d: bool = False,
 ) -> StepOutput:
     batch1 = (_prep_images(batch1[0]), batch1[1])
     batch2 = (_prep_images(batch2[0]), batch2[1])
     k_noise, k_aug, k_gp = jax.random.split(rng, 3)
     img1, _ = batch1
     noise = jax.random.normal(k_noise, (img1.shape[0], cfg.noise_dim), jnp.float32)
-    new_image = augment(k_aug, img1)  # eager_trainer.py:127-131, on device
+    # eager_trainer.py:127-131, on device; layout-matched variant for the
+    # s2d device store (identical math + PRNG stream, ops/augment.py)
+    aug = augment_s2d if inputs_s2d else augment
+    new_image = aug(k_aug, img1)
 
     grads, aux = jax.grad(total_loss_fn, has_aux=True)(
-        state.params, batch1, batch2, noise, new_image, k_gp, cfg
+        state.params, batch1, batch2, noise, new_image, k_gp, cfg, inputs_s2d
     )
 
     d_grads = subtree(grads, D_KEYS)
@@ -266,7 +272,9 @@ def _device_data_shardings(cfg: Config, mesh):
     return rep, store_img, store_cond, out
 
 
-def make_scan_train_step(cfg: Config, params, n_steps: int, donate: bool | None = None, mesh=None):
+def make_scan_train_step(
+    cfg: Config, params, n_steps: int, donate: bool | None = None, mesh=None, store_s2d: bool = False
+):
     """K train steps per dispatch: ``lax.scan`` over the store-slicing step.
 
     For the HBM-resident dataset mode on hosts where per-dispatch latency
@@ -289,7 +297,7 @@ def make_scan_train_step(cfg: Config, params, n_steps: int, donate: bool | None 
         cfg = cfg.replace(use_pallas=False)  # Mosaic is not auto-partitionable
     if mesh is not None and cfg.use_s2d and "model" in mesh.axis_names:
         cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
-    base = partial(train_step, cfg=cfg, part_masks=part_masks)
+    base = partial(train_step, cfg=cfg, part_masks=part_masks, inputs_s2d=store_s2d)
 
     def fn(state, images, conds, b1s, b2s, base_rng, global_step0, batch_no0):
         def body(carry, xs):
@@ -323,7 +331,9 @@ def make_scan_train_step(cfg: Config, params, n_steps: int, donate: bool | None 
     )
 
 
-def make_gather_train_step(cfg: Config, params, donate: bool | None = None, mesh=None):
+def make_gather_train_step(
+    cfg: Config, params, donate: bool | None = None, mesh=None, store_s2d: bool = False
+):
     """Train step with the batch selection FUSED into the XLA program, for
     the HBM-resident dataset mode (cfg.device_data).
 
@@ -341,7 +351,7 @@ def make_gather_train_step(cfg: Config, params, donate: bool | None = None, mesh
         cfg = cfg.replace(use_pallas=False)  # Mosaic is not auto-partitionable
     if mesh is not None and cfg.use_s2d and "model" in mesh.axis_names:
         cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
-    base = partial(train_step, cfg=cfg, part_masks=part_masks)
+    base = partial(train_step, cfg=cfg, part_masks=part_masks, inputs_s2d=store_s2d)
 
     def fn(state, images, conds, b1, b2, rng, batch_no):
         batch1 = (_take_batch(images, b1), _take_batch(conds, b1))

@@ -88,6 +88,7 @@ class Trainer:
 
         self._writer: Optional[SummaryWriter] = None  # created lazily (train only)
         self._device_store = None  # device-resident dataset (cfg.device_data)
+        self._store_s2d = False  # store layout, set at upload
         self._init_fixture(fixture_rng)
 
         # Parallelism selection (cfg.mesh_axes / cfg.mesh_shape):
@@ -180,12 +181,27 @@ class Trainer:
         (no collectives) and already step-sharded."""
         if self._device_store is None:
             cfg = self.cfg
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "device_data under multi-host (jax.distributed) needs "
+                    "make_array_from_process_local_data for the per-host "
+                    "store shards; use the host pipeline (device_data=false) "
+                    "on multi-host runs"
+                )
             images, conds = [], []
             for img, cond in self.dataset.epoch_iterator(0):
                 images.append(img)
                 conds.append(cond)
             imgs = np.concatenate(images)
             cs = np.concatenate(conds)
+            # Store layout: RAW, not s2d. Measured on v5e (sustained scan
+            # path, 128px b32): an s2d-layout uint8 store ran 5.3k img/s vs
+            # 6.0k raw — the step's raw->s2d transposes fuse in for free,
+            # while C=12 uint8 slicing and the view-heavy s2d augment cost
+            # more. The s2d-store machinery stays available at the step level
+            # (make_gather/scan_train_step(store_s2d=True), augment_s2d) and
+            # is equivalence-tested; the trainer keeps the faster raw store.
+            self._store_s2d = False
             n_batches = imgs.shape[0] // cfg.batch_size
             imgs = imgs[: n_batches * cfg.batch_size].reshape(
                 n_batches, cfg.batch_size, *imgs.shape[1:]
@@ -277,11 +293,13 @@ class Trainer:
             imgs_dev, conds_dev = self._ensure_device_store()
             if scan_k > 1:
                 scan_step = make_scan_train_step(
-                    cfg, self.state.params, scan_k, donate=False, mesh=self.mesh
+                    cfg, self.state.params, scan_k, donate=False, mesh=self.mesh,
+                    store_s2d=self._store_s2d,
                 )
             else:
                 gather_step = make_gather_train_step(
-                    cfg, self.state.params, donate=False, mesh=self.mesh
+                    cfg, self.state.params, donate=False, mesh=self.mesh,
+                    store_s2d=self._store_s2d,
                 )
                 step_fn = lambda s, i1, i2, rng, bno: gather_step(
                     s, imgs_dev, conds_dev, jnp.int32(i1), jnp.int32(i2), rng, bno

@@ -125,3 +125,84 @@ def test_s2d_with_gp(cfgs):
     )
     for k, v in out.metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_augment_s2d_matches_raw():
+    """augment_s2d on an s2d batch == s2d(augment(raw batch)): same PRNG
+    stream, same per-raw-pixel noise, layout-aware flip/contrast/hue."""
+    import jax
+
+    from littlegan_tpu.ops.augment import augment, augment_s2d
+
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.uniform(-1, 1, (4, 16, 16, 3)), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    a = space_to_depth(augment(key, x))
+    b = augment_s2d(key, space_to_depth(x))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_gather_step_s2d_store_matches_raw_store(cfgs, tiny_cfg):
+    """The s2d-layout device store must produce the same update as the raw
+    store (bounded at the Adam-update scale — f32 reduction order)."""
+    import jax
+
+    from littlegan_tpu.training.step import make_gather_train_step
+
+    cfg = cfgs[1].replace(use_partition=True, donate_state=False)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(41)
+    imgs = rng.uniform(-1, 1, (2, cfg.batch_size, cfg.image_dim, cfg.image_dim, 3)).astype(np.float32)
+    conds = np.where(rng.random((2, cfg.batch_size, cfg.cond_dim)) < 0.5, 0.98, -0.94).astype(np.float32)
+    key = jax.random.PRNGKey(9)
+
+    raw = make_gather_train_step(cfg, state.params, donate=False, store_s2d=False)
+    out_raw = raw(state, jnp.asarray(imgs), jnp.asarray(conds), jnp.int32(0), jnp.int32(1), key, jnp.int32(21))
+
+    m, b, hh, ww, cc = imgs.shape
+    imgs_s2d = (
+        imgs.reshape(m, b, hh // 2, 2, ww // 2, 2, cc)
+        .transpose(0, 1, 2, 4, 3, 5, 6)
+        .reshape(m, b, hh // 2, ww // 2, 4 * cc)
+    )
+    s2d_step = make_gather_train_step(cfg, state.params, donate=False, store_s2d=True)
+    out_s2d = s2d_step(state, jnp.asarray(imgs_s2d), jnp.asarray(conds), jnp.int32(0), jnp.int32(1), key, jnp.int32(21))
+
+    for k in ("loss/gen", "loss/disc", "loss/adj"):
+        assert abs(float(out_raw.metrics[k]) - float(out_s2d.metrics[k])) < 1e-4, k
+    np.testing.assert_allclose(
+        np.asarray(out_raw.fake_image), np.asarray(out_s2d.fake_image), atol=1e-5
+    )
+    for (path, a), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(out_raw.state.params),
+        jax.tree_util.tree_leaves_with_path(out_s2d.state.params),
+    ):
+        key_s = "/".join(str(getattr(p, "key", p)) for p in path)
+        assert np.abs(np.asarray(a) - np.asarray(b_)).max() <= 2.5 * cfg.lr, key_s
+
+
+def test_trainer_device_data_keeps_raw_store(cfgs, tmp_path):
+    """End-to-end: device_data trainer keeps the RAW-layout store (measured
+    faster than the s2d-layout store — see trainer._ensure_device_store)
+    while the s2d step path stays active."""
+    from littlegan_tpu.data.synthetic import SyntheticDataset
+    from littlegan_tpu.training.trainer import Trainer
+
+    cfg = cfgs[1].replace(
+        epoch=1,
+        device_data=True,
+        steps_per_dispatch=2,
+        freq_gen=100,
+        freq_test=100,
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="s2dstore",
+        donate_state=False,
+    )
+    ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    tr.train()
+    assert not tr._store_s2d
+    imgs_dev, _ = tr._device_store
+    assert imgs_dev.shape == (8, cfg.batch_size, cfg.image_dim, cfg.image_dim, 3)
+    assert tr.global_step == 4

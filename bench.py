@@ -6,6 +6,17 @@ training scale — 128x128 images, batch 32 (sample.config.json:2,7), bf16
 compute — on whatever accelerator JAX exposes (the driver runs this on one
 real TPU chip; it also runs on CPU for smoke).
 
+Measured through the PRODUCTION dispatch path: HBM-resident batch store +
+``steps_per_dispatch`` (lax.scan over K exact train steps, identical math
+to K sequential dispatches — training/step.py:make_scan_train_step). This
+is the trainer's sustained mode (trainer.py device_data) and what the
+convergence campaign ran. It also makes the measurement robust to
+host<->device RTT: this container reaches the chip over a tunnel whose
+per-dispatch latency varies ~10-90 ms across the day (measured 2026-08-16:
+the same unscanned loop read 3,739 img/s in the morning and 995 img/s in
+the evening while device step time was 11.0 ms in both — the scan path
+reads ~5,800 img/s at both RTTs because one dispatch covers K steps).
+
 Accounting matches the reference: each step consumes TWO batches
 (eager_trainer.py:117-118), so images/sec = 2 * batch * steps / time — the
 same quantity the reference's Progbar tracks (eager_trainer.py:213).
@@ -31,12 +42,14 @@ import jax.numpy as jnp
 from littlegan_tpu.config import Config
 from littlegan_tpu.data.synthetic import random_device_batch as make_batch
 from littlegan_tpu.training import create_train_state
-from littlegan_tpu.training.step import make_train_step
+from littlegan_tpu.training.step import make_scan_train_step
 
 V100_REFERENCE_IMAGES_PER_SEC = 190.0
 
-WARMUP_STEPS = 5
-MEASURE_STEPS = 30
+STEPS_PER_DISPATCH = 8  # trainer.py default for device_data runs
+WARMUP_DISPATCHES = 2
+MEASURE_DISPATCHES = 5
+N_STORE_BATCHES = 16
 
 
 def main():
@@ -49,25 +62,33 @@ def main():
         debug=True,
     )
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step = make_train_step(cfg, state.params)
+    step = make_scan_train_step(cfg, state.params, STEPS_PER_DISPATCH)
 
-    keys = jax.random.split(jax.random.PRNGKey(1), 8)
-    batches = [make_batch(cfg, k) for k in keys]  # device-resident, rotated
+    keys = jax.random.split(jax.random.PRNGKey(1), N_STORE_BATCHES)
+    images = jnp.stack([make_batch(cfg, k)[0] for k in keys])
+    conds = jnp.stack([make_batch(cfg, k)[1] for k in keys])
     rng = jax.random.PRNGKey(2)
+    k = STEPS_PER_DISPATCH
+    b1s = jnp.arange(k, dtype=jnp.int32)
+    b2s = b1s + k
 
-    for i in range(WARMUP_STEPS):
-        out = step(state, batches[i % 4], batches[(i % 4) + 4], rng, jnp.int32(i + 11))
-        state = out.state
+    def dispatch(state, d):
+        return step(
+            state, images, conds, b1s, b2s, rng, jnp.int32(d * k), jnp.int32(11 + d * k)
+        ).state
+
+    for d in range(WARMUP_DISPATCHES):
+        state = dispatch(state, d)
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
-    for i in range(MEASURE_STEPS):
-        out = step(state, batches[i % 4], batches[(i % 4) + 4], rng, jnp.int32(i + 11))
-        state = out.state
+    for d in range(MEASURE_DISPATCHES):
+        state = dispatch(state, WARMUP_DISPATCHES + d)
     jax.block_until_ready(state.params)
     elapsed = time.perf_counter() - t0
 
-    images_per_sec = 2 * cfg.batch_size * MEASURE_STEPS / elapsed
+    n_steps = MEASURE_DISPATCHES * STEPS_PER_DISPATCH
+    images_per_sec = 2 * cfg.batch_size * n_steps / elapsed
     print(
         json.dumps(
             {

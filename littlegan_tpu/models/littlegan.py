@@ -259,7 +259,12 @@ def _out_conv(
         if s2d_active(cfg):
             b = jnp.tile(b, (1, 4))  # channel order (pi, pj, c)
         y = y + b[:, None, None, :]
-    return jnp.tanh(y.astype(jnp.float32))
+    # tanh in f32 for accuracy; the IMAGE is carried in compute dtype. In bf16
+    # mode this keeps the 2B adjuster/G output tails (concats, D re-encodes,
+    # s2d layout copies, scan-stacked artifacts) at half bandwidth — losses
+    # upcast to f32 at their reductions (ops/losses.py:26,34,57). float32
+    # mode (the parity/golden-test mode) is bit-identical to before.
+    return jnp.tanh(y.astype(jnp.float32)).astype(_compute_dtype(cfg))
 
 
 def generator_apply(

@@ -105,6 +105,14 @@ def total_loss_fn(params, batch1, batch2, noise, new_image, gp_rng, cfg: Config,
         img2 = space_to_depth(img2)
         new_image = space_to_depth(new_image)
 
+    # bf16 tails: carry the image tensors in compute dtype. Every consumer
+    # either computes in that dtype anyway (D/A stems cast, littlegan.py:188)
+    # or upcasts at its f32 reduction (losses). Halves the bandwidth of the
+    # adjuster-input concats and the s2d layout copies. No-op in f32 mode.
+    dt = jnp.dtype(cfg.compute_dtype)
+    if dt != jnp.float32:
+        img1, img2, new_image = img1.astype(dt), img2.astype(dt), new_image.astype(dt)
+
     fake = generator_apply(params, noise, cond2, cfg, s2d_out=s2)
 
     # --- D loss: grads to encoder + d_head only (fake is data) ---

@@ -332,3 +332,29 @@ def test_adam_parity_vs_perleaf_drift_quantified():
     diff = np.abs(outs[True] - outs[False]).max()
     assert diff > 0.0  # the schedules genuinely differ...
     assert diff < 3 * lr  # ...by at most a few update magnitudes over 3 applies
+
+
+def test_bf16_tails_track_f32(tiny_cfg, rng):
+    """bf16 compute mode carries image tails in bf16 (littlegan.py:_out_conv,
+    step.py cast) — losses must stay within bf16 rounding of the f32 run,
+    and the step's image outputs must actually BE bf16 (no silent f32
+    materialization of the 2B tails)."""
+    from littlegan_tpu.training import make_train_step
+
+    b1, b2 = _batches(tiny_cfg, rng)
+    noise_rng = jax.random.PRNGKey(7)
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = tiny_cfg.replace(compute_dtype=dt, use_partition=False, train_adj=True)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = make_train_step(cfg, state.params, donate=False)
+        out = step(state, b1, b2, noise_rng, jnp.int32(11))
+        outs[dt] = out
+    assert outs["bfloat16"].fake_image.dtype == jnp.bfloat16
+    assert outs["bfloat16"].adj_image.dtype == jnp.bfloat16
+    assert outs["float32"].fake_image.dtype == jnp.float32
+    for k in ("loss/gen", "loss/disc", "loss/adj"):
+        a = float(outs["float32"].metrics[k])
+        b = float(outs["bfloat16"].metrics[k])
+        assert np.isfinite(b)
+        assert abs(a - b) < 0.05 * max(1.0, abs(a)), (k, a, b)

@@ -110,6 +110,11 @@ class Config:
     # sequential per-sample grid + custom-VJP residual pinning cost more
     # than the saved HBM round trips. Kept as an opt-in and a kernel pattern.
     use_pallas: bool = False
+    # XLA scoped-VMEM budget for the train-step compiles on TPU backends
+    # (passed as a per-jit compiler option; XLA's default on v5e is 16 MiB).
+    # Swept on v5e at reference scale (2026-08): 32768 KiB is the optimum
+    # (b32 step 10.4 -> 10.2 ms; 64 MiB regresses). 0 disables the override.
+    scoped_vmem_kib: int = 32768
     use_native_loader: bool = True  # C++ JPEG loader (falls back to PIL)
     profile_steps: int = 0  # >0: capture a jax.profiler trace of N steps -> result/<exp>/log/profile
     # Cache decoded uint8 images in host RAM after first touch. CelebA-128 is

@@ -34,6 +34,7 @@ from littlegan_tpu.config import Config
 from littlegan_tpu.training.partition import build_partition_masks
 from littlegan_tpu.training.state import TrainState
 from littlegan_tpu.training.step import StepOutput, train_step
+from littlegan_tpu.utils.jax_cache import tpu_compiler_options
 
 
 def _batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -77,4 +78,5 @@ def make_parallel_train_step(cfg: Config, params, mesh: Mesh, donate: bool | Non
         in_shardings=(rep, (bsh, bsh), (bsh, bsh), rep, rep),
         out_shardings=StepOutput(state=rep, metrics=rep, fake_image=bsh, adj_image=adj_sh),
         donate_argnums=(0,) if donate else (),
+        compiler_options=tpu_compiler_options(cfg),
     )

@@ -24,3 +24,22 @@ def enable_compilation_cache(directory: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax without these flags: fail open
+
+
+def tpu_compiler_options(cfg=None) -> dict | None:
+    """Per-jit XLA compiler options for TPU backends (None elsewhere —
+    TPU-only option names would fail CPU compiles).
+
+    ``scoped_vmem_kib``: swept on v5e at reference scale, 32 MiB beats the
+    16 MiB default by ~2% step time; see Config.scoped_vmem_kib."""
+    import jax
+
+    try:
+        if jax.default_backend() != "tpu":
+            return None
+    except Exception:
+        return None
+    kib = getattr(cfg, "scoped_vmem_kib", 32768) if cfg is not None else 32768
+    if not kib:
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": str(int(kib))}

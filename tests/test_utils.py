@@ -51,3 +51,21 @@ def test_save_image_file(tmp_path):
     p = tmp_path / "g.jpg"
     save_image(img, str(p))
     assert p.exists() and p.stat().st_size > 0
+
+
+def test_tpu_compiler_options_gating(monkeypatch):
+    """TPU-only compile options must stay off CPU compiles (option names
+    would be rejected), honor Config.scoped_vmem_kib, and disable on 0."""
+    import jax
+
+    from littlegan_tpu.config import Config
+    from littlegan_tpu.utils.jax_cache import tpu_compiler_options
+
+    assert tpu_compiler_options() is None  # conftest forces the CPU backend
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert tpu_compiler_options() == {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+    assert tpu_compiler_options(Config(scoped_vmem_kib=8192, debug=True)) == {
+        "xla_tpu_scoped_vmem_limit_kib": "8192"
+    }
+    assert tpu_compiler_options(Config(scoped_vmem_kib=0, debug=True)) is None

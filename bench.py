@@ -65,8 +65,9 @@ def main():
     step = make_scan_train_step(cfg, state.params, STEPS_PER_DISPATCH)
 
     keys = jax.random.split(jax.random.PRNGKey(1), N_STORE_BATCHES)
-    images = jnp.stack([make_batch(cfg, k)[0] for k in keys])
-    conds = jnp.stack([make_batch(cfg, k)[1] for k in keys])
+    pairs = [make_batch(cfg, k) for k in keys]
+    images = jnp.stack([p[0] for p in pairs])
+    conds = jnp.stack([p[1] for p in pairs])
     rng = jax.random.PRNGKey(2)
     k = STEPS_PER_DISPATCH
     b1s = jnp.arange(k, dtype=jnp.int32)

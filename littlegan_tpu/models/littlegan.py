@@ -270,7 +270,8 @@ def _out_conv(
 def generator_apply(
     params: Params, noise: jnp.ndarray, cond: jnp.ndarray, cfg: Config, s2d_out: bool = False
 ) -> jnp.ndarray:
-    """Reference model.py:89-105. Returns a f32 image in [-1,1].
+    """Reference model.py:89-105. Returns an image in [-1,1], in
+    cfg.compute_dtype (callers wanting f32 cast at the jit boundary).
     ``s2d_out=True`` (only with cfg.use_s2d) skips the final depth-to-space —
     the train step keeps images in block space end to end."""
     dt = _compute_dtype(cfg)

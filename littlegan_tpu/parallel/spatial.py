@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from littlegan_tpu.config import Config
 from littlegan_tpu.training.partition import build_partition_masks
 from littlegan_tpu.training.step import StepOutput, train_step
+from littlegan_tpu.utils.jax_cache import tpu_compiler_options
 
 
 def make_spatial_train_step(cfg: Config, params, mesh: Mesh, donate: bool | None = None):
@@ -70,6 +71,7 @@ def make_spatial_train_step(cfg: Config, params, mesh: Mesh, donate: bool | None
         in_shardings=(rep, batch_sh, batch_sh, rep, rep),
         out_shardings=StepOutput(state=rep, metrics=rep, fake_image=img_sh, adj_image=adj_sh),
         donate_argnums=(0,) if donate else (),
+        compiler_options=tpu_compiler_options(cfg),
     )
 
 

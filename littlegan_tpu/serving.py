@@ -51,8 +51,10 @@ class InferenceEngine:
 
         b, nd, cd = self.batch, cfg.noise_dim, cfg.cond_dim
         img_shape = (b, cfg.image_dim, cfg.image_dim, cfg.image_channel)
-        gen = lambda p, n, c: generator_apply(p, n, c, cfg)
-        adj = lambda p, i, c: adjuster_apply(p, i, c, cfg)
+        # public API contract: f32 images in [-1,1] (the model emits its
+        # compute dtype — bf16 in the default perf config)
+        gen = lambda p, n, c: generator_apply(p, n, c, cfg).astype(jnp.float32)
+        adj = lambda p, i, c: adjuster_apply(p, i, c, cfg).astype(jnp.float32)
         disc = lambda p, i: discriminator_apply(p, i, cfg)
         zeros = jnp.zeros
         # AOT-compile all three entry points at the fixed batch

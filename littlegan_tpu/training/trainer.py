@@ -122,9 +122,11 @@ class Trainer:
         else:
             self.mesh = None
             self._train_step = make_train_step(cfg, self.state.params, donate=False)
-        self._gen_jit = jax.jit(lambda p, n, c: generator_apply(p, n, c, cfg))
+        # inference entry points return f32 images (the apply fns emit
+        # compute dtype — bf16 by default; external consumers expect f32)
+        self._gen_jit = jax.jit(lambda p, n, c: generator_apply(p, n, c, cfg).astype(jnp.float32))
         self._disc_jit = jax.jit(lambda p, i: discriminator_apply(p, i, cfg))
-        self._adj_jit = jax.jit(lambda p, i, c: adjuster_apply(p, i, c, cfg))
+        self._adj_jit = jax.jit(lambda p, i, c: adjuster_apply(p, i, c, cfg).astype(jnp.float32))
 
     # ---------------------------------------------------------- fixture ----
 

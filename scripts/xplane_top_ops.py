@@ -41,9 +41,7 @@ def main():
         cat = {}
         total_ps = 0
         for line in plane.lines:
-            if "XLA Ops" not in line.name and "Steps" in line.name:
-                continue
-            if line.name not in ("XLA Ops",) and not line.name.startswith("XLA Ops"):
+            if not line.name.startswith("XLA Ops"):
                 continue
             for ev in line.events:
                 md = ev_meta[ev.metadata_id]
@@ -54,7 +52,7 @@ def main():
                 for st in ev.stats:
                     sname = stat_meta[st.metadata_id].name
                     if sname == "category":
-                        cat[name] = st.str_value or stat_meta[st.value if False else 0].name
+                        cat[name] = st.str_value or stat_meta[st.ref_value].name
         if not agg:
             continue
         print(f"\n== plane: {plane.name}  total XLA-op time {total_ps/1e9:.3f} ms")

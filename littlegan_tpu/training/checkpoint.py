@@ -30,6 +30,21 @@ import numpy as np
 from littlegan_tpu.utils.tree import path_str
 
 
+def _write_status(directory: str, status: Dict[str, Any]) -> None:
+    """Atomic status.json write (tmp + fsync + rename) — a kill mid-write must
+    not leave a truncated file that blocks every subsequent startup."""
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".status.tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(status, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(directory, "status.json"))
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
 def _flatten(tree) -> Dict[str, np.ndarray]:
     return {
         path_str(path): np.asarray(leaf)
@@ -49,7 +64,9 @@ def _unflatten(template, flat: Dict[str, np.ndarray]):
             raise ValueError(
                 f"checkpoint leaf {key} shape {arr.shape} != expected {np.shape(tmpl_leaf)}"
             )
-        leaves.append(arr.astype(np.asarray(tmpl_leaf).dtype))
+        # .dtype, not np.asarray(...).dtype: the template is the LIVE train
+        # state — materializing it would pull params + 3 opt states to host
+        leaves.append(arr.astype(getattr(tmpl_leaf, "dtype", np.asarray(tmpl_leaf).dtype)))
     treedef = jax.tree_util.tree_structure(template)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
@@ -79,14 +96,31 @@ class Checkpointer:
             if os.path.exists(tmp):
                 os.remove(tmp)
         if status is not None:
-            with open(os.path.join(self.directory, "status.json"), "w") as f:
-                json.dump(status, f)
+            _write_status(self.directory, status)
         return self._path(tag)
+
+    def wait(self) -> None:
+        """No-op (synchronous backend); uniform API with OrbaxCheckpointer."""
 
     def restore(self, tag: str, template):
         with np.load(self._path(tag)) as z:
             flat = {k: z[k] for k in z.files}
         return _unflatten(template, flat)
+
+    def epoch_tags(self) -> list:
+        """Numeric (epoch) tags, ascending — the prunable set."""
+        tags = []
+        for fn in os.listdir(self.directory):
+            m = re.match(r"ckpt-(\d+)\.npz$", fn)
+            if m:
+                tags.append(int(m.group(1)))
+        return sorted(tags)
+
+    def delete(self, tag) -> None:
+        try:
+            os.remove(self._path(str(tag)))
+        except FileNotFoundError:
+            pass
 
     def latest_tag(self) -> Optional[str]:
         """Numerically-latest epoch tag; 'interrupt' wins if most recent file."""
@@ -135,8 +169,8 @@ class OrbaxCheckpointer:
         path = self._path(tag)
         self._ckptr.save(path, args=self._ocp.args.StandardSave(tree), force=True)
         if status is not None:
-            with open(os.path.join(self.directory, "status.json"), "w") as f:
-                json.dump(status, f)
+            self.wait()  # status must not point at a checkpoint still in flight
+            _write_status(self.directory, status)
         return path
 
     def wait(self) -> None:
@@ -150,7 +184,11 @@ class OrbaxCheckpointer:
         self.wait()
         tags = {}
         for fn in os.listdir(self.directory):
-            m = re.match(r"ocp-(.+)$", fn)
+            # tags are epoch numbers / 'interrupt' / 'model' — the dot-free
+            # match excludes orbax's '*.orbax-checkpoint-tmp-*' partial dirs
+            # left by a crash mid-async-save (restoring one would fail instead
+            # of falling back to the last good checkpoint)
+            m = re.match(r"ocp-([A-Za-z0-9_-]+)$", fn)
             if m and os.path.isdir(os.path.join(self.directory, fn)):
                 tags[m.group(1)] = os.path.getmtime(os.path.join(self.directory, fn))
         return max(tags, key=lambda t: tags[t]) if tags else None
@@ -166,6 +204,20 @@ class OrbaxCheckpointer:
             with open(status_path) as f:
                 status = json.load(f)
         return state, status
+
+    def epoch_tags(self) -> list:
+        self.wait()
+        tags = []
+        for fn in os.listdir(self.directory):
+            m = re.match(r"ocp-(\d+)$", fn)
+            if m and os.path.isdir(os.path.join(self.directory, fn)):
+                tags.append(int(m.group(1)))
+        return sorted(tags)
+
+    def delete(self, tag) -> None:
+        import shutil
+
+        shutil.rmtree(self._path(str(tag)), ignore_errors=True)
 
 
 def make_checkpointer(cfg, directory: str):

@@ -88,6 +88,7 @@ class Trainer:
 
         self._writer: Optional[SummaryWriter] = None  # created lazily (train only)
         self._device_store = None  # device-resident dataset (cfg.device_data)
+        self._metrics_buffer = []  # device-side metrics pending TB flush
         self._store_s2d = False  # store layout, set at upload
         self._init_fixture(fixture_rng)
 
@@ -122,6 +123,12 @@ class Trainer:
         else:
             self.mesh = None
             self._train_step = make_train_step(cfg, self.state.params, donate=False)
+            if n_dev > 1:
+                print(
+                    f"WARNING: {n_dev} devices visible but batch_size "
+                    f"{cfg.batch_size} is not divisible by {n_dev}; training "
+                    "single-device. Pick a divisible batch_size for DP."
+                )
         # inference entry points return f32 images (the apply fns emit
         # compute dtype — bf16 by default; external consumers expect f32)
         self._gen_jit = jax.jit(lambda p, n, c: generator_apply(p, n, c, cfg).astype(jnp.float32))
@@ -241,26 +248,34 @@ class Trainer:
         (device_put is async; the step blocks only when it consumes)."""
         from collections import deque
 
+        pairs = _pairwise(it)  # two batches per step (eager_trainer.py:117-118)
         buf = deque()
         exhausted = False
         while True:
             while not exhausted and len(buf) < depth:
-                try:  # two batches per step (eager_trainer.py:117-118)
-                    b1 = next(it)
-                    b2 = next(it)
-                except StopIteration:
+                pair = next(pairs, None)
+                if pair is None:
                     exhausted = True
                     break
-                buf.append((self._put(b1), self._put(b2)))
+                buf.append((self._put(pair[0]), self._put(pair[1])))
             if not buf:
                 return
             yield buf.popleft()
 
     def _save_interrupt(self, signum=None, frame=None):
-        """SIGINT semantics (eager_trainer.py:171-178): checkpoint + exit(1)."""
+        """SIGINT semantics (eager_trainer.py:171-178): checkpoint + exit(1).
+        Buffered device-side metrics are flushed first (they would otherwise
+        be lost — up to flush_every dispatches of scalars), and an async
+        (orbax) save is waited out so the checkpoint status points at a
+        complete checkpoint before the process dies."""
+        if self._metrics_buffer:
+            self._flush_metrics(self._metrics_buffer)
+            self._metrics_buffer.clear()
+            self.writer.flush()
         self.checkpointer.save(
             "interrupt", self.state, {"epoch": self.global_epoch, "step": self.global_step}
         )
+        self.checkpointer.wait()
         print("\nCheckpoint has been saved (interrupt)")
         sys.exit(1)
 
@@ -268,7 +283,8 @@ class Trainer:
         cfg = self.cfg
         assert self.dataset is not None, "train mode needs a dataset"
         prev_handler = signal.signal(signal.SIGINT, self._save_interrupt)
-        metrics_buffer = []  # (step, device-side metrics dict) — flushed lazily
+        self._metrics_buffer = []  # (step, device metrics) — flushed lazily,
+        metrics_buffer = self._metrics_buffer  # shared with _save_interrupt
         flush_every = 16
         # tracing/profiling subsystem (SURVEY §5): capture an xplane trace of
         # steps [10, 10+profile_steps) of the first epoch, viewable in
@@ -316,6 +332,7 @@ class Trainer:
                     idx_stream = self._device_epoch(epoch)
                     batch_no = 0
                     images_done = 0
+                    dropped = 0
                     while True:
                         group = []
                         for _ in range(2 * scan_k):
@@ -324,7 +341,20 @@ class Trainer:
                                 break
                             group.append(nxt)
                         if len(group) < 2 * scan_k:
-                            break  # trailing partial group dropped (parity: odd batch dropped)
+                            dropped = len(group)
+                            break  # trailing partial group dropped
+                        # profiling at group granularity: skip the first
+                        # (warm-up) group, then trace ceil(N/K) groups
+                        if cfg.profile_steps > 0 and epoch == first_epoch:
+                            if batch_no == 2 * scan_k and not profiling:
+                                jax.block_until_ready(self.state.params)
+                                jax.profiler.start_trace(profile_dir)
+                                profiling = True
+                            elif profiling and batch_no >= 2 * scan_k + cfg.profile_steps:
+                                jax.block_until_ready(self.state.params)
+                                jax.profiler.stop_trace()
+                                profiling = False
+                                print("profiler trace written to", profile_dir)
                         out = scan_step(
                             self.state,
                             imgs_dev,
@@ -348,7 +378,7 @@ class Trainer:
                         images_done += 2 * cfg.batch_size * scan_k
                         if len(metrics_buffer) >= flush_every:
                             self._flush_metrics(metrics_buffer)
-                            metrics_buffer = []
+                            metrics_buffer.clear()
                         # cadences snap to dispatch-group boundaries: fire once
                         # if any step in the group crossed the cadence
                         if batch_no // cfg.freq_gen > prev_batch // cfg.freq_gen:
@@ -370,10 +400,14 @@ class Trainer:
                             )
                     if metrics_buffer:
                         self._flush_metrics(metrics_buffer)
-                        metrics_buffer = []
+                        metrics_buffer.clear()
                     elapsed = time.time() - start
                     rate = images_done / elapsed if elapsed > 0 else 0.0
-                    print(f"Time usage: {elapsed:.1f}s  ({rate:.1f} images/s)")
+                    drop_note = (
+                        f"  [{dropped} trailing batches < one {2 * scan_k}-batch "
+                        "dispatch group: dropped this epoch]" if dropped > 1 else ""
+                    )
+                    print(f"Time usage: {elapsed:.1f}s  ({rate:.1f} images/s){drop_note}")
                     self.checkpointer.save(
                         str(epoch), self.state, {"epoch": epoch + 1, "step": self.global_step}
                     )
@@ -407,7 +441,7 @@ class Trainer:
 
                     if len(metrics_buffer) >= flush_every:
                         self._flush_metrics(metrics_buffer)
-                        metrics_buffer = []
+                        metrics_buffer.clear()
 
                     if batch_no % cfg.freq_gen == 0:  # eager_trainer.py:216-220
                         save_image(
@@ -435,7 +469,7 @@ class Trainer:
                     print("profiler trace written to", profile_dir)
                 if metrics_buffer:
                     self._flush_metrics(metrics_buffer)
-                    metrics_buffer = []
+                    metrics_buffer.clear()
                 elapsed = time.time() - start
                 rate = images_done / elapsed if elapsed > 0 else 0.0
                 print(f"Time usage: {elapsed:.1f}s  ({rate:.1f} images/s)")
@@ -448,25 +482,14 @@ class Trainer:
             if profiling:
                 jax.profiler.stop_trace()
             signal.signal(signal.SIGINT, prev_handler)
+            self.checkpointer.wait()  # async backend: join the in-flight save
             self.writer.flush()
 
     def _prune_checkpoints(self, keep: int) -> None:
-        """Drop all but the newest ``keep`` numeric epoch checkpoints."""
-        import re
-
-        directory = self.checkpointer.directory
-        epochs = []
-        for fn in os.listdir(directory):
-            m = re.match(r"(?:ckpt|ocp)-(\d+)(?:\.npz)?$", fn)
-            if m:
-                epochs.append((int(m.group(1)), os.path.join(directory, fn)))
-        for _, path in sorted(epochs)[:-keep]:
-            if os.path.isdir(path):
-                import shutil
-
-                shutil.rmtree(path, ignore_errors=True)
-            else:
-                os.remove(path)
+        """Drop all but the newest ``keep`` epoch checkpoints (on-disk naming
+        lives with each backend: Checkpointer.epoch_tags/delete)."""
+        for tag in self.checkpointer.epoch_tags()[:-keep]:
+            self.checkpointer.delete(tag)
 
     @property
     def writer(self) -> SummaryWriter:

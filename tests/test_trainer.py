@@ -414,3 +414,50 @@ def test_scan_dispatch_artifacts_and_metrics(tiny_cfg, tmp_path):
     fn = [f for f in os.listdir(log_dir) if f.startswith("events")][0]
     data = open(os.path.join(log_dir, fn), "rb").read()
     assert data.count(b"loss/gen") == 8
+
+
+def test_orbax_latest_tag_ignores_partial_tmp_dirs(tiny_cfg, tmp_path):
+    """A crash mid-async-save leaves '*.orbax-checkpoint-tmp-*' dirs; restore
+    must fall back to the last COMPLETE checkpoint, not the partial one."""
+    from littlegan_tpu.training.checkpoint import OrbaxCheckpointer
+    from littlegan_tpu.training.state import create_train_state
+
+    ck = OrbaxCheckpointer(str(tmp_path / "ckpt"))
+    state = create_train_state(tiny_cfg, jax.random.PRNGKey(0))
+    ck.save("3", state, {"epoch": 4})
+    ck.wait()
+    # simulate a preempted save: newer-mtime partial directory
+    os.makedirs(tmp_path / "ckpt" / "ocp-4.orbax-checkpoint-tmp-99")
+    assert ck.latest_tag() == "3"
+    restored, status = ck.restore_latest(state)
+    assert status["epoch"] == 4
+    assert ck.epoch_tags() == [3]
+
+
+def test_checkpointer_epoch_tags_and_delete(tiny_cfg, tmp_path):
+    from littlegan_tpu.training.checkpoint import Checkpointer
+    from littlegan_tpu.training.state import create_train_state
+
+    ck = Checkpointer(str(tmp_path / "ckpt"))
+    state = create_train_state(tiny_cfg, jax.random.PRNGKey(0))
+    for tag in ("1", "2", "3", "interrupt"):
+        ck.save(tag, state)
+    assert ck.epoch_tags() == [1, 2, 3]  # non-numeric tags are not prunable
+    ck.delete(1)
+    assert ck.epoch_tags() == [2, 3]
+    assert ck.latest_tag() == "interrupt"  # mtime-newest wins (resume parity)
+
+
+def test_interrupt_flushes_buffered_metrics(run_cfg):
+    """SIGINT must not drop the metrics buffered since the last flush."""
+    from littlegan_tpu.training.trainer import Trainer
+
+    tr = Trainer(run_cfg)
+    tr._metrics_buffer.append(
+        (1, 1, {"loss/gen": np.float32(1.0), "loss/disc": np.float32(2.0), "loss/adj": np.float32(0.0)})
+    )
+    with pytest.raises(SystemExit):
+        tr._save_interrupt()
+    assert tr._metrics_buffer == []
+    log_dir = os.path.join(run_cfg.result_dir, "log")
+    assert any(f.startswith("events.out.tfevents") for f in os.listdir(log_dir))

@@ -9,8 +9,8 @@ main.py:26-132). Same CLI surface here via ``python -m littlegan_tpu <mode>
 Differences (on purpose):
 - ``evaluate`` runs IN-PROCESS (the reference shells out to evaluate.py via
   ``os.system``, main.py:85-104 — a process boundary we don't need),
-- ``-g/--gpu`` is accepted for compatibility but device selection is
-  JAX-native; ``--devices`` limits visible devices if given.
+- ``-g/--gpu`` is accepted for compatibility but ignored: device selection
+  is JAX-native (mesh_shape/mesh_axes in the config control parallelism).
 """
 
 from __future__ import annotations
@@ -49,7 +49,8 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     }
     overrides.pop("debug", None)
     cfg = load_config(args.env, overrides)
-    cfg = cfg.replace(debug=bool(args.debug))
+    if args.debug:  # CLI flag turns debug ON; a config-file "debug": true
+        cfg = cfg.replace(debug=True)  # must not be clobbered by its absence
     if args.synthetic_data:
         cfg.extra["synthetic_data"] = True
     return cfg
@@ -120,7 +121,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         now = int(time.time())
         rng = np.random.default_rng(cfg.seed)
         for b in range(cfg.random_sample_batch):
-            image, cond = next(it)
+            try:
+                image, cond = next(it)
+            except StopIteration:  # short dataset: re-iterate (new epoch perm)
+                it = data.epoch_iterator(b + 1)
+                image, cond = next(it)
             image = ensure_pm1(image)
             noise = rng.normal(size=(cond.shape[0], cfg.noise_dim)).astype(np.float32)
             trainer.predict(

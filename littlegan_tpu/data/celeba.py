@@ -114,6 +114,14 @@ class CelebA:
             if named < len(files):
                 print(f"CelebA: {len(files) - named} images missing from attr list; skipped")
         else:  # headerless fallback: line order pairing (reference behavior)
+            if len(files) != len(by_line):
+                # zip would silently truncate or shift every label by one —
+                # training on mislabeled pairs with no crash. Refuse instead.
+                raise ValueError(
+                    f"attr file has {len(by_line)} label lines for "
+                    f"{len(files)} images and no filename column to join on; "
+                    "counts must match exactly for line-order pairing"
+                )
             pairs = list(zip(files, by_line))
         # multi-host DP: each host owns a strided shard of the file list.
         # batches is computed from the GLOBAL count so every host dispatches

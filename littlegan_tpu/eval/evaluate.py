@@ -36,8 +36,18 @@ def _load_images(paths: Iterable[str], dim: Optional[int] = None) -> np.ndarray:
     for p in paths:
         img = Image.open(p).convert("RGB")
         if dim is not None and img.size != (dim, dim):
+            w, h = img.size
+            if w != h:  # center-crop to the short side FIRST — the same
+                s = min(w, h)  # geometry as data/celeba.py and native/loader.cc
+                img = img.crop(((w - s) // 2, (h - s) // 2, (w - s) // 2 + s, (h - s) // 2 + s))
             img = img.resize((dim, dim), Image.BILINEAR)
-        out.append(np.asarray(img, np.uint8))
+        arr = np.asarray(img, np.uint8)
+        if out and arr.shape != out[0].shape:
+            raise ValueError(
+                f"mixed image sizes under evaluation dir ({arr.shape} vs "
+                f"{out[0].shape} at {p}); pass image_dim to resize uniformly"
+            )
+        out.append(arr)
     return np.stack(out)
 
 
@@ -52,8 +62,11 @@ _FEAT_FN_CACHE: dict = {}
 def _featurizer(cfg: Config, params=None):
     """(jitted feature fn) with params cached per weights path: the evaluate
     mode scores gen AND adj dirs in one process — load/trace Inception once."""
-    if params is not None:
-        return jax.jit(lambda imgs: inception_features(params, imgs))
+    if params is not None:  # cache per params object: a per-epoch eval loop
+        key = ("<params>", id(params))  # must not retrace Inception each call
+        if key not in _FEAT_FN_CACHE:
+            _FEAT_FN_CACHE[key] = jax.jit(lambda imgs: inception_features(params, imgs))
+        return _FEAT_FN_CACHE[key]
     if not cfg.fid_weights:
         # Round-1 verdict: never print an uncomparable number labeled FID
         # without saying so. Mirror serving.py's untrained-weights policy.

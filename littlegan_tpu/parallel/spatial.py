@@ -37,18 +37,18 @@ def make_spatial_train_step(cfg: Config, params, mesh: Mesh, donate: bool | None
     """Jit the train step over a ('data', 'model') mesh with H-sharded images.
 
     Batches are ((image NHWC, cond NC), ...): images sharded P('data','model')
-    on (N, H); conds sharded P('data') on N. Global batch must divide the
-    data-axis size; image height must divide the model-axis size.
+    on (N, H); conds sharded P('data') on N. The data-axis size must divide
+    the global batch; the model-axis size must divide the image height.
     """
     assert set(mesh.axis_names) == {"data", "model"}, "need a ('data','model') mesh"
     shape = dict(zip(mesh.axis_names, mesh.devices.shape))
     if cfg.batch_size % shape["data"] != 0:
         raise ValueError(
-            f"batch_size {cfg.batch_size} must divide the data axis ({shape['data']})"
+            f"batch_size {cfg.batch_size} must be divisible by the data-axis size ({shape['data']})"
         )
     if cfg.image_dim % shape["model"] != 0:
         raise ValueError(
-            f"image_dim {cfg.image_dim} must divide the model axis ({shape['model']})"
+            f"image_dim {cfg.image_dim} must be divisible by the model-axis size ({shape['model']})"
         )
     if cfg.use_pallas:
         cfg = cfg.replace(use_pallas=False)  # Mosaic is not auto-partitionable

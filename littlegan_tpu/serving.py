@@ -71,6 +71,9 @@ class InferenceEngine:
         from littlegan_tpu.training.checkpoint import make_checkpointer
 
         template = init_params(cfg, jax.random.PRNGKey(cfg.seed))
+        if not cfg.restore:  # explicit fresh-init request: never pick up a
+            print("serving fresh-init weights (restore=false)")  # checkpoint
+            return template
         for sub in ("model", "checkpoint"):
             ck = make_checkpointer(cfg, os.path.join(cfg.result_dir, sub))
             tag = ck.latest_tag()
@@ -132,18 +135,24 @@ def _img_to_b64(img_pm1: np.ndarray) -> str:
     from PIL import Image
 
     arr = inverse_rescale(img_pm1).astype(np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 1:  # greyscale configs: PIL mode L
+        arr = arr[:, :, 0]
     buf = io.BytesIO()
     Image.fromarray(arr).save(buf, "JPEG", quality=95)
     return base64.b64encode(buf.getvalue()).decode()
 
 
-def _b64_to_img(b64: str, dim: int) -> np.ndarray:
+def _b64_to_img(b64: str, dim: int, channels: int = 3) -> np.ndarray:
     from PIL import Image
 
-    img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    img = Image.open(io.BytesIO(base64.b64decode(b64)))
+    img = img.convert("L" if channels == 1 else "RGB")
     if img.size != (dim, dim):
         img = img.resize((dim, dim), Image.BILINEAR)
-    return data_rescale(np.asarray(img, np.float32))
+    arr = np.asarray(img, np.float32)
+    if channels == 1:
+        arr = arr[:, :, None]
+    return data_rescale(arr)
 
 
 def make_handler(engine: InferenceEngine):
@@ -178,11 +187,11 @@ def make_handler(engine: InferenceEngine):
                     imgs = engine.generate(cond, noise, seed=int(req.get("seed", 0)))
                     out = {"images": [_img_to_b64(i) for i in imgs]}
                 elif self.path == "/adjust":
-                    img = _b64_to_img(req["image_b64"], engine.cfg.image_dim)[None]
+                    img = _b64_to_img(req["image_b64"], engine.cfg.image_dim, engine.cfg.image_channel)[None]
                     cond = np.asarray(req["cond"], np.float32).reshape(1, -1)
                     out = {"images": [_img_to_b64(engine.adjust(img, cond)[0])]}
                 elif self.path == "/discriminate":
-                    img = _b64_to_img(req["image_b64"], engine.cfg.image_dim)[None]
+                    img = _b64_to_img(req["image_b64"], engine.cfg.image_dim, engine.cfg.image_channel)[None]
                     d = engine.discriminate(img)
                     out = {"pr": d["pr"].tolist(), "cond": d["cond"].tolist()}
                 else:

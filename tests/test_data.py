@@ -226,3 +226,22 @@ def test_native_loader_autobuilds(tmp_path):
     finally:
         if backup and not os.path.isfile(so):
             shutil.move(backup, so)
+
+
+def test_headerless_count_mismatch_refused(tiny_cfg, tmp_path):
+    """Line-order pairing with a count mismatch would silently shift/truncate
+    labels (training on mislabeled data with no crash) — must refuse."""
+    from PIL import Image
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+            img_dir / f"{i:06d}.jpg"
+        )
+    # headerless attr file with only 4 label lines for 5 images
+    attr_file = tmp_path / "attrs.txt"
+    attr_file.write_text("\n".join(" ".join("1" for _ in range(40)) for _ in range(4)))
+    with pytest.raises(ValueError, match="counts must match"):
+        CelebA(_cfg(tiny_cfg, str(img_dir), str(attr_file)))

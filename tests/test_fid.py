@@ -236,3 +236,24 @@ def test_evaluate_refuses_random_fid_without_optin(tmp_path, tiny_cfg):
     cfg = tiny_cfg.replace(allow_random_fid=False)
     with pytest.raises(RuntimeError, match="allow_random_fid"):
         precalculate(cfg, str(d), str(tmp_path / "s.npz"), batch_size=4)
+
+
+def test_load_images_center_crops_nonsquare(tmp_path):
+    """Eval-time image loading must center-crop non-square files (same
+    geometry as the training pipeline), not squash them."""
+    from PIL import Image
+
+    from littlegan_tpu.eval.evaluate import _load_images
+
+    # 16x32 image: top half black, bottom half white -> center crop keeps the
+    # middle band; a squashing resize would keep both extremes at the edges
+    arr = np.zeros((32, 16, 3), np.uint8)
+    arr[16:] = 255
+    p = tmp_path / "tall.png"
+    Image.fromarray(arr).save(p)
+    out = _load_images([str(p)], dim=16)
+    assert out.shape == (1, 16, 16, 3)
+    assert out[0, 0].mean() == 0 and out[0, -1].mean() == 255  # crop keeps the
+    # transition inside the frame (squash would too, but the crop is exact:
+    # row 7 black, row 8 white)
+    assert out[0, 7].mean() == 0 and out[0, 8].mean() == 255

@@ -101,3 +101,15 @@ def test_generate_rejects_mismatched_noise(engine):
     noise = np.zeros((2, engine.cfg.noise_dim), np.float32)
     with pytest.raises(ValueError):
         engine.generate(cond, noise)
+
+
+def test_greyscale_image_codecs_roundtrip():
+    """1-channel configs must survive the HTTP JPEG codec path (PIL mode L)."""
+    from littlegan_tpu.serving import _b64_to_img, _img_to_b64
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-1, 1, (16, 16, 1)).astype(np.float32)
+    b64 = _img_to_b64(img)
+    back = _b64_to_img(b64, 16, channels=1)
+    assert back.shape == (16, 16, 1)
+    assert np.abs(back - img).mean() < 0.15  # JPEG-lossy but same image

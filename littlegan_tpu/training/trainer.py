@@ -190,12 +190,17 @@ class Trainer:
         (no collectives) and already step-sharded."""
         if self._device_store is None:
             cfg = self.cfg
-            if jax.process_count() > 1:
+            n_proc = jax.process_count()
+            if n_proc > 1 and self._spatial:
                 raise NotImplementedError(
-                    "device_data under multi-host (jax.distributed) needs "
-                    "make_array_from_process_local_data for the per-host "
-                    "store shards; use the host pipeline (device_data=false) "
-                    "on multi-host runs"
+                    "device_data + spatial ('data','model') mesh across hosts "
+                    "is not implemented; use the pure-DP mesh or the host "
+                    "pipeline (device_data=false)"
+                )
+            if n_proc > 1 and cfg.batch_size % n_proc != 0:
+                raise ValueError(
+                    f"device_data multi-host needs batch_size divisible by "
+                    f"process_count ({cfg.batch_size} % {n_proc} != 0)"
                 )
             images, conds = [], []
             for img, cond in self.dataset.epoch_iterator(0):
@@ -211,20 +216,35 @@ class Trainer:
             # (make_gather/scan_train_step(store_s2d=True), augment_s2d) and
             # is equivalence-tested; the trainer keeps the faster raw store.
             self._store_s2d = False
-            n_batches = imgs.shape[0] // cfg.batch_size
-            imgs = imgs[: n_batches * cfg.batch_size].reshape(
-                n_batches, cfg.batch_size, *imgs.shape[1:]
+            # Per-host rows of every batch: each host's DATASET SHARD becomes
+            # its devices' slice of the 'data' axis. Unlike the host-fed
+            # multi-host path (each host decodes a full batch but only its
+            # 1/n slice trains), this covers the FULL global dataset each
+            # epoch with zero decode waste.
+            b_local = cfg.batch_size // n_proc
+            n_batches = imgs.shape[0] // b_local
+            imgs = imgs[: n_batches * b_local].reshape(n_batches, b_local, *imgs.shape[1:])
+            cs = cs[: n_batches * b_local].reshape(n_batches, b_local, -1)
+            print(
+                f"device_data: uploading {imgs.nbytes / 1e9:.2f} GB uint8 "
+                f"dataset to HBM" + (f" ({n_proc}-host sharded)" if n_proc > 1 else "")
             )
-            cs = cs[: n_batches * cfg.batch_size].reshape(n_batches, cfg.batch_size, -1)
-            print(f"device_data: uploading {imgs.nbytes / 1e9:.2f} GB uint8 dataset to HBM")
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 img_axes = ("data", "model") if self._spatial else ("data",)
-                self._device_store = (
-                    jax.device_put(imgs, NamedSharding(self.mesh, P(None, *img_axes))),
-                    jax.device_put(cs, NamedSharding(self.mesh, P(None, "data"))),
-                )
+                img_sh = NamedSharding(self.mesh, P(None, *img_axes))
+                cond_sh = NamedSharding(self.mesh, P(None, "data"))
+                if n_proc > 1:
+                    self._device_store = (
+                        jax.make_array_from_process_local_data(img_sh, imgs),
+                        jax.make_array_from_process_local_data(cond_sh, cs),
+                    )
+                else:
+                    self._device_store = (
+                        jax.device_put(imgs, img_sh),
+                        jax.device_put(cs, cond_sh),
+                    )
             else:
                 self._device_store = (jax.device_put(imgs), jax.device_put(cs))
         return self._device_store

@@ -47,3 +47,62 @@ def test_two_process_dp_training(tmp_path):
     # both processes must report the SAME losses (global all-reduce consistent)
     metrics = [l.split(" ", 2)[2] for l in lines]
     assert metrics[0] == metrics[1], lines
+
+
+@pytest.mark.slow
+def test_two_process_device_store_matches_single_process(tmp_path):
+    """The multi-host HBM store (per-host rows of every batch via
+    make_array_from_process_local_data) + K-step scan must produce the same
+    losses on both processes AND as one process over the full global store."""
+    import numpy as np
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    lines = [l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_STORE_OK")]
+    assert len(lines) == 2, outs
+    metrics = [l.split(" ", 2)[2] for l in lines]
+    assert metrics[0] == metrics[1], lines
+
+    # single-process reference over the same global store (8 local devices)
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from littlegan_tpu.config import Config
+    from littlegan_tpu.parallel import make_mesh, replicate_state
+    from littlegan_tpu.training import create_train_state
+    from littlegan_tpu.training.step import make_scan_train_step
+
+    cfg = Config(
+        batch_size=8, image_dim=16, init_dim=1, noise_dim=13,
+        conv_filter=[24, 16, 12, 8, 4], compute_dtype="float32",
+        donate_state=False, debug=True,
+    )
+    K = 2
+    n_batches = 2 * K * 2
+    rng_np = np.random.default_rng(7)
+    g_imgs = rng_np.uniform(-1, 1, (n_batches, cfg.batch_size, 16, 16, 3)).astype(np.float32)
+    g_conds = np.where(rng_np.random((n_batches, cfg.batch_size, cfg.cond_dim)) < 0.5, 0.98, -0.94).astype(np.float32)
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P(None, "data"))
+    store = (jax.device_put(g_imgs, sh), jax.device_put(g_conds, sh))
+    state = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    step = make_scan_train_step(cfg, state.params, K, donate=False, mesh=mesh)
+    b1s = jnp.arange(K, dtype=jnp.int32)
+    out = step(state, store[0], store[1], b1s, b1s + K, jax.random.PRNGKey(3), jnp.int32(0), jnp.int32(11))
+    expect = {k: float(np.asarray(v)[-1]) for k, v in sorted(jax.device_get(out.metrics).items())}
+    got = dict(kv.split("=") for kv in metrics[0].split())
+    # cross-process all-reduce ordering differs from single-process by ~1 ulp
+    for k, v in expect.items():
+        assert abs(float(got[k]) - v) < 1e-4 * max(1.0, abs(v)), (k, got[k], v)

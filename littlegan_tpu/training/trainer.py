@@ -197,10 +197,13 @@ class Trainer:
                     "is not implemented; use the pure-DP mesh or the host "
                     "pipeline (device_data=false)"
                 )
-            if n_proc > 1 and cfg.batch_size % n_proc != 0:
+            if n_proc > 1 and self.mesh is None:
+                # without the DP mesh each host would silently train its own
+                # independent model on half-size batches (no all-reduce)
                 raise ValueError(
-                    f"device_data multi-host needs batch_size divisible by "
-                    f"process_count ({cfg.batch_size} % {n_proc} != 0)"
+                    "device_data multi-host requires the DP mesh: pick a "
+                    f"batch_size divisible by the {len(jax.devices())} global "
+                    f"devices (got {cfg.batch_size})"
                 )
             images, conds = [], []
             for img, cond in self.dataset.epoch_iterator(0):
@@ -223,11 +226,28 @@ class Trainer:
             # epoch with zero decode waste.
             b_local = cfg.batch_size // n_proc
             n_batches = imgs.shape[0] // b_local
+            if n_proc > 1:
+                # make_array_from_process_local_data infers the GLOBAL shape
+                # from each process's local shape: a cross-host n_batches
+                # mismatch would deadlock the first collective deep in XLA.
+                # CelebA computes batches from the GLOBAL item count, so the
+                # expected local row count is process-consistent; verify.
+                expected = getattr(self.dataset, "batches", None)
+                if expected is not None:
+                    expected_rows = expected * cfg.batch_size  # local shard rows
+                    if imgs.shape[0] < expected_rows:
+                        raise ValueError(
+                            f"host {jax.process_index()} produced {imgs.shape[0]} "
+                            f"rows, expected {expected_rows} (dataset.batches="
+                            f"{expected}); per-host shards must agree in size"
+                        )
+                    n_batches = expected_rows // b_local
             imgs = imgs[: n_batches * b_local].reshape(n_batches, b_local, *imgs.shape[1:])
             cs = cs[: n_batches * b_local].reshape(n_batches, b_local, -1)
             print(
-                f"device_data: uploading {imgs.nbytes / 1e9:.2f} GB uint8 "
-                f"dataset to HBM" + (f" ({n_proc}-host sharded)" if n_proc > 1 else "")
+                f"device_data: uploading {imgs.nbytes * n_proc / 1e9:.2f} GB "
+                f"uint8 dataset to HBM"
+                + (f" ({n_proc}-host sharded, {imgs.nbytes / 1e9:.2f} GB/host)" if n_proc > 1 else "")
             )
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P

@@ -8,6 +8,7 @@ import sys
 
 proc_id = int(sys.argv[1])
 port = sys.argv[2]
+phase = sys.argv[3] if len(sys.argv) > 3 else "all"  # dp | store | all
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
@@ -31,55 +32,52 @@ from littlegan_tpu.training import create_train_state
 assert jax.process_count() == 2, jax.process_count()
 assert len(jax.devices()) == 8, len(jax.devices())
 
-cfg = Config(
-    batch_size=8, image_dim=16, init_dim=1, noise_dim=13,
-    conv_filter=[24, 16, 12, 8, 4], compute_dtype="float32",
-    donate_state=False, debug=True,
-)
+from tests.multihost_common import STORE_K, make_cfg, make_store_data
+
+cfg = make_cfg()
 mesh = make_mesh(8)
-state = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
-step = make_parallel_train_step(cfg, state.params, mesh, donate=False)
-ks = jax.random.split(jax.random.PRNGKey(1), 2)
-b1 = shard_batch(random_device_batch(cfg, ks[0]), mesh)
-b2 = shard_batch(random_device_batch(cfg, ks[1]), mesh)
-out = None
-for i in range(2):
-    out = step(state, b1, b2, jax.random.PRNGKey(2), jnp.int32(i + 11))
-    state = out.state
-m = jax.device_get(out.metrics)
-print(
-    f"MULTIHOST_OK proc={proc_id} "
-    + " ".join(f"{k}={float(v):.6f}" for k, v in sorted(m.items()))
-)
+if phase in ("dp", "all"):
+    state = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    step = make_parallel_train_step(cfg, state.params, mesh, donate=False)
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    b1 = shard_batch(random_device_batch(cfg, ks[0]), mesh)
+    b2 = shard_batch(random_device_batch(cfg, ks[1]), mesh)
+    out = None
+    for i in range(2):
+        out = step(state, b1, b2, jax.random.PRNGKey(2), jnp.int32(i + 11))
+        state = out.state
+    m = jax.device_get(out.metrics)
+    print(
+        f"MULTIHOST_OK proc={proc_id} "
+        + " ".join(f"{k}={float(v):.6f}" for k, v in sorted(m.items()))
+    )
 
 # ---- phase 2: multi-host device_data store + K-step scan dispatch ----
 # Each host contributes its b_local rows of EVERY batch (the trainer's
 # _ensure_device_store layout); losses must agree across processes and with
 # a single-process run over the same global store (the test harness checks
 # the printed values against one).
-import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+if phase in ("store", "all"):
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-from littlegan_tpu.training.step import make_scan_train_step
+    from littlegan_tpu.training.step import make_scan_train_step
 
-K = 2
-n_batches = 2 * K * 2
-rng_np = np.random.default_rng(7)
-g_imgs = rng_np.uniform(-1, 1, (n_batches, cfg.batch_size, cfg.image_dim, cfg.image_dim, 3)).astype(np.float32)
-g_conds = np.where(rng_np.random((n_batches, cfg.batch_size, cfg.cond_dim)) < 0.5, 0.98, -0.94).astype(np.float32)
-b_local = cfg.batch_size // 2
-lo, hi = proc_id * b_local, (proc_id + 1) * b_local
-img_sh = NamedSharding(mesh, P(None, "data"))
-store = (
-    jax.make_array_from_process_local_data(img_sh, g_imgs[:, lo:hi]),
-    jax.make_array_from_process_local_data(img_sh, g_conds[:, lo:hi]),
-)
-state2 = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
-scan_step = make_scan_train_step(cfg, state2.params, K, donate=False, mesh=mesh)
-b1s = jnp.arange(K, dtype=jnp.int32)
-out2 = scan_step(state2, store[0], store[1], b1s, b1s + K, jax.random.PRNGKey(3), jnp.int32(0), jnp.int32(11))
-m2 = jax.device_get(out2.metrics)
-print(
-    f"MULTIHOST_STORE_OK proc={proc_id} "
-    + " ".join(f"{k}={float(np.asarray(v)[-1]):.6f}" for k, v in sorted(m2.items()))
-)
+    K = STORE_K
+    g_imgs, g_conds = make_store_data(cfg)
+    b_local = cfg.batch_size // 2
+    lo, hi = proc_id * b_local, (proc_id + 1) * b_local
+    img_sh = NamedSharding(mesh, P(None, "data"))
+    store = (
+        jax.make_array_from_process_local_data(img_sh, g_imgs[:, lo:hi]),
+        jax.make_array_from_process_local_data(img_sh, g_conds[:, lo:hi]),
+    )
+    state2 = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    scan_step = make_scan_train_step(cfg, state2.params, K, donate=False, mesh=mesh)
+    b1s = jnp.arange(K, dtype=jnp.int32)
+    out2 = scan_step(state2, store[0], store[1], b1s, b1s + K, jax.random.PRNGKey(3), jnp.int32(0), jnp.int32(11))
+    m2 = jax.device_get(out2.metrics)
+    print(
+        f"MULTIHOST_STORE_OK proc={proc_id} "
+        + " ".join(f"{k}={float(np.asarray(v)[-1]):.6f}" for k, v in sorted(m2.items()))
+    )

@@ -21,27 +21,36 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_dp_training(tmp_path):
+def _run_workers(phase: str):
+    """Launch the 2-process cluster; ALWAYS kill both on timeout/error so a
+    hung peer blocked in a collective can't leak past the test."""
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), port],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-            env=env,
+            [sys.executable, worker, str(i), port, phase],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         )
         for i in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outs.append(out)
-        assert p.returncode == 0, out[-2000:]
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert all(p.returncode == 0 for p in procs), outs
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_dp_training(tmp_path):
+    outs = _run_workers("dp")
     lines = [l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_OK")]
     assert len(lines) == 2, outs
     # both processes must report the SAME losses (global all-reduce consistent)
@@ -56,19 +65,7 @@ def test_two_process_device_store_matches_single_process(tmp_path):
     losses on both processes AND as one process over the full global store."""
     import numpy as np
 
-    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
-    port = str(_free_port())
-    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
-    env["JAX_PLATFORMS"] = "cpu"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), port],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
-        )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
-    assert all(p.returncode == 0 for p in procs), outs
+    outs = _run_workers("store")
     lines = [l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_STORE_OK")]
     assert len(lines) == 2, outs
     metrics = [l.split(" ", 2)[2] for l in lines]
@@ -79,21 +76,13 @@ def test_two_process_device_store_matches_single_process(tmp_path):
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from littlegan_tpu.config import Config
     from littlegan_tpu.parallel import make_mesh, replicate_state
     from littlegan_tpu.training import create_train_state
     from littlegan_tpu.training.step import make_scan_train_step
+    from tests.multihost_common import STORE_K as K, make_cfg, make_store_data
 
-    cfg = Config(
-        batch_size=8, image_dim=16, init_dim=1, noise_dim=13,
-        conv_filter=[24, 16, 12, 8, 4], compute_dtype="float32",
-        donate_state=False, debug=True,
-    )
-    K = 2
-    n_batches = 2 * K * 2
-    rng_np = np.random.default_rng(7)
-    g_imgs = rng_np.uniform(-1, 1, (n_batches, cfg.batch_size, 16, 16, 3)).astype(np.float32)
-    g_conds = np.where(rng_np.random((n_batches, cfg.batch_size, cfg.cond_dim)) < 0.5, 0.98, -0.94).astype(np.float32)
+    cfg = make_cfg()
+    g_imgs, g_conds = make_store_data(cfg)
     mesh = make_mesh(8)
     sh = NamedSharding(mesh, P(None, "data"))
     store = (jax.device_put(g_imgs, sh), jax.device_put(g_conds, sh))

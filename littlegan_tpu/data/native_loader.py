@@ -65,7 +65,7 @@ class NativeBatchLoader:
     def load(self, paths: Sequence[str]) -> np.ndarray:
         n = len(paths)
         out = np.empty((n, self.dim, self.dim, self.channels), np.uint8)
-        c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        c_paths = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
         failures = self._lib.lg_loader_load(
             self._handle,
             c_paths,

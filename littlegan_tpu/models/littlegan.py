@@ -96,8 +96,9 @@ def init_params(cfg: Config, rng: jax.Array) -> Params:
     decoder = {
         f"block{i}": _deconv_block(next(keys), k, cf[i - 1], cf[i]) for i in range(1, 5)
     }
+    # g_head/adj_head dense width == flattened final encoder fmap (8*8*384
+    # at reference scale) — ONE size by construction (model.py:80,112,127)
     feat = cfg.init_dim * cfg.init_dim * cf[0]
-    flat = cfg.init_dim * cfg.init_dim * cf[0]  # encoder final fmap, flattened
     g_head = {
         "dense": {
             "kernel": _glorot(next(keys), (cfg.noise_dim + cfg.cond_dim, feat)),
@@ -115,8 +116,8 @@ def init_params(cfg: Config, rng: jax.Array) -> Params:
         # generator's partition group 3 with the rest of out_conv
         out_conv["cond_kernel"] = jnp.zeros((cfg.cond_dim, cfg.image_channel))
     d_head = {
-        "pr": {"kernel": _glorot(next(keys), (flat, 1)), "bias": jnp.zeros((1,))},
-        "cond": {"kernel": _glorot(next(keys), (flat, cfg.cond_dim)), "bias": jnp.zeros((cfg.cond_dim,))},
+        "pr": {"kernel": _glorot(next(keys), (feat, 1)), "bias": jnp.zeros((1,))},
+        "cond": {"kernel": _glorot(next(keys), (feat, cfg.cond_dim)), "bias": jnp.zeros((cfg.cond_dim,))},
     }
     adj_head = {
         "dense": {

@@ -147,7 +147,7 @@ void crop_resize(const uint8_t* src, int w, int h, int channels, int dim,
     return;
   }
   const FilterTaps hx = build_triangle_taps(s, dim);
-  const FilterTaps vy = build_triangle_taps(s, dim);
+  const FilterTaps& vy = hx;  // square crop: both axes use identical taps
   // pass 1: horizontal (s rows x dim cols), uint8 intermediate — Pillow
   // quantizes between passes for 8bpc images; keeping f32 here would break
   // byte-parity with the PIL fallback
@@ -233,12 +233,16 @@ struct Loader {
   WorkerPool pool;
 };
 
-bool load_one(const char* path, int dim, int channels, uint8_t* out) {
+bool load_one(const char* path, int dim, int channels, uint8_t* out) try {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   std::fseek(f, 0, SEEK_END);
   const long size = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
+  if (size <= 0) {  // unseekable/empty: ftell -1 would become SIZE_MAX below
+    std::fclose(f);
+    return false;
+  }
   std::vector<uint8_t> buf(static_cast<size_t>(size));
   const bool read_ok = std::fread(buf.data(), 1, buf.size(), f) == buf.size();
   std::fclose(f);
@@ -248,6 +252,11 @@ bool load_one(const char* path, int dim, int channels, uint8_t* out) {
   if (!decode_jpeg(buf.data(), buf.size(), channels, &pixels, &w, &h)) return false;
   crop_resize(pixels.data(), w, h, channels, dim, out);
   return true;
+} catch (const std::exception&) {
+  // e.g. bad_alloc from a corrupt header claiming a gigapixel image: count
+  // the file as failed instead of std::terminate-ing the whole process from
+  // an exception escaping a worker thread
+  return false;
 }
 
 }  // namespace

@@ -137,7 +137,13 @@ def load_state_dict(src: str) -> dict:
             return {k: z[k] for k in z.files}
     import torch
 
-    sd = torch.load(src, map_location="cpu", weights_only=True)
+    try:
+        sd = torch.load(src, map_location="cpu", weights_only=True)
+    except Exception:
+        # full-module checkpoints can't unpickle under weights_only; retry
+        # unrestricted (explicit local user action on a file they chose)
+        print("weights-only load failed; retrying full unpickle", file=sys.stderr)
+        sd = torch.load(src, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return sd

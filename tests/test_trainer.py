@@ -461,3 +461,17 @@ def test_interrupt_flushes_buffered_metrics(run_cfg):
     assert tr._metrics_buffer == []
     log_dir = os.path.join(run_cfg.result_dir, "log")
     assert any(f.startswith("events.out.tfevents") for f in os.listdir(log_dir))
+
+
+def test_profile_steps_on_scan_path(run_cfg):
+    """profile_steps must produce a trace in the steps_per_dispatch scan mode
+    (it used to be silently ignored there)."""
+    cfg = run_cfg.replace(
+        device_data=True, steps_per_dispatch=2, profile_steps=2, epoch=1,
+        freq_gen=1000, freq_test=1000,
+    )
+    ds = SyntheticDataset(cfg, num_items=16 * cfg.batch_size)
+    Trainer(cfg, ds).train()
+    profile_dir = os.path.join(cfg.result_dir, "log", "profile")
+    assert os.path.isdir(profile_dir)
+    assert any(os.scandir(profile_dir)), "no trace files written"

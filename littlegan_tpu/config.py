@@ -110,6 +110,13 @@ class Config:
     # sequential per-sample grid + custom-VJP residual pinning cost more
     # than the saved HBM round trips. Kept as an opt-in and a kernel pattern.
     use_pallas: bool = False
+    # OPT-IN, beyond the reference: gradient accumulation — mean grads over
+    # M micro-batch pairs, one optimizer apply (effective batch M*batch_size
+    # with one micro-batch's activation memory; for 512²+ where the target
+    # batch no longer fits, see README resolution table). 1 = off. Applies
+    # to the single-device host-fed path; incompatible with device_data and
+    # multi-device meshes (those scale batch by sharding instead).
+    grad_accum: int = 1
     # XLA scoped-VMEM budget for the train-step compiles on TPU backends
     # (passed as a per-jit compiler option; XLA's default on v5e is 16 MiB).
     # Swept on v5e at reference scale (2026-08): 32768 KiB is the optimum

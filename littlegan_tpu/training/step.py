@@ -177,16 +177,9 @@ def _prep_images(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def train_step(
-    state: TrainState,
-    batch1: Tuple[jnp.ndarray, jnp.ndarray],
-    batch2: Tuple[jnp.ndarray, jnp.ndarray],
-    rng: jax.Array,
-    batch_no: jnp.ndarray,
-    cfg: Config,
-    part_masks: Any,
-    inputs_s2d: bool = False,
-) -> StepOutput:
+def _micro_grads(state, batch1, batch2, rng, cfg: Config, inputs_s2d: bool):
+    """One micro-batch's (grads, aux): data prep, noise, augmentation, and
+    the fused backward — everything in train_step up to the optimizer."""
     batch1 = (_prep_images(batch1[0]), batch1[1])
     batch2 = (_prep_images(batch2[0]), batch2[1])
     k_noise, k_aug, k_gp = jax.random.split(rng, 3)
@@ -196,11 +189,17 @@ def train_step(
     # s2d device store (identical math + PRNG stream, ops/augment.py)
     aug = augment_s2d if inputs_s2d else augment
     new_image = aug(k_aug, img1)
-
-    grads, aux = jax.grad(total_loss_fn, has_aux=True)(
+    return jax.grad(total_loss_fn, has_aux=True)(
         state.params, batch1, batch2, noise, new_image, k_gp, cfg, inputs_s2d
     )
 
+
+def apply_updates(
+    state: TrainState, grads, aux, batch_no, cfg: Config, part_masks: Any
+) -> StepOutput:
+    """Optimizer tail shared by train_step and the grad-accumulation step:
+    D-grad clipping, partition-schedule masks, adjuster warm-up gate, three
+    masked TF-v1 Adam applies."""
     d_grads = subtree(grads, D_KEYS)
     if cfg.use_clip:  # eager_trainer.py:146-148 — D grads only
         d_grads = jax.tree_util.tree_map(
@@ -247,11 +246,81 @@ def train_step(
     )
 
 
+def train_step(
+    state: TrainState,
+    batch1: Tuple[jnp.ndarray, jnp.ndarray],
+    batch2: Tuple[jnp.ndarray, jnp.ndarray],
+    rng: jax.Array,
+    batch_no: jnp.ndarray,
+    cfg: Config,
+    part_masks: Any,
+    inputs_s2d: bool = False,
+) -> StepOutput:
+    grads, aux = _micro_grads(state, batch1, batch2, rng, cfg, inputs_s2d)
+    return apply_updates(state, grads, aux, batch_no, cfg, part_masks)
+
+
+def accum_train_step(
+    state: TrainState,
+    batch1s: Tuple[jnp.ndarray, jnp.ndarray],
+    batch2s: Tuple[jnp.ndarray, jnp.ndarray],
+    rng: jax.Array,
+    batch_no: jnp.ndarray,
+    cfg: Config,
+    part_masks: Any,
+) -> StepOutput:
+    """Gradient accumulation (OPT-IN, beyond the reference): MEAN gradients
+    over M micro-batch pairs, then ONE optimizer application — effective
+    batch M x batch_size with one micro-batch's activation memory. For
+    resolutions where the target batch no longer fits (512²+, README table).
+
+    ``batch1s``/``batch2s`` leaves carry a leading (M,) axis. Per micro-step
+    the noise/augment PRNG stream is ``fold_in(rng, i)`` (distinct per
+    micro-batch, deterministic). The partition schedule, adjuster warm-up
+    gate, and D-grad clipping see one ``batch_no`` tick per APPLIED update —
+    clipping applies to the mean gradient, matching a single big batch, not
+    per-micro-batch. Metrics and artifact images are the last micro-step's.
+    """
+    grads, aux = accum_grads(state, batch1s, batch2s, rng, cfg)
+    return apply_updates(state, grads, aux, batch_no, cfg, part_masks)
+
+
+def accum_grads(state: TrainState, batch1s, batch2s, rng: jax.Array, cfg: Config):
+    """(mean grads over the M stacked micro-pairs, last micro-step's aux)."""
+    m = batch1s[0].shape[0]
+
+    def body(carry, i):
+        acc = carry
+        b1 = jax.tree_util.tree_map(lambda x: x[i], batch1s)
+        b2 = jax.tree_util.tree_map(lambda x: x[i], batch2s)
+        grads, aux = _micro_grads(state, b1, b2, jax.random.fold_in(rng, i), cfg, False)
+        acc = jax.tree_util.tree_map(lambda a, g: a + g.astype(jnp.float32), acc, grads)
+        return acc, aux
+
+    zeros = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+    )
+    acc, auxs = jax.lax.scan(body, zeros, jnp.arange(m, dtype=jnp.int32))
+    grads = jax.tree_util.tree_map(lambda a: a / m, acc)
+    aux = jax.tree_util.tree_map(lambda x: x[-1], auxs)
+    return grads, aux
+
+
 def make_train_step(cfg: Config, params, donate: bool | None = None):
     """Build the jitted single-device train step (multi-device: parallel/)."""
     part_masks = build_partition_masks(params)
     donate = cfg.donate_state if donate is None else donate
     fn = partial(train_step, cfg=cfg, part_masks=part_masks)
+    return jax.jit(fn, donate_argnums=(0,) if donate else (), compiler_options=tpu_compiler_options(cfg))
+
+
+def make_accum_train_step(cfg: Config, params, donate: bool | None = None):
+    """Jitted gradient-accumulation step (cfg.grad_accum micro-pairs per
+    update); signature ``step(state, batch1s, batch2s, rng, batch_no)`` with
+    (M, B, ...) stacked batches."""
+    part_masks = build_partition_masks(params)
+    donate = cfg.donate_state if donate is None else donate
+    fn = partial(accum_train_step, cfg=cfg, part_masks=part_masks)
     return jax.jit(fn, donate_argnums=(0,) if donate else (), compiler_options=tpu_compiler_options(cfg))
 
 

@@ -62,6 +62,22 @@ def _pairwise(it):
         yield b1, b2
 
 
+def _accum_groups(pairs, m: int):
+    """Stack ``m`` (batch1, batch2) pairs into (M, B, ...) arrays for the
+    gradient-accumulation step (Config.grad_accum); a trailing partial
+    group is dropped."""
+    while True:
+        chunk = []
+        for _ in range(m):
+            p = next(pairs, None)
+            if p is None:
+                return
+            chunk.append(p)
+        b1s = tuple(jnp.stack([c[0][j] for c in chunk]) for j in range(2))
+        b2s = tuple(jnp.stack([c[1][j] for c in chunk]) for j in range(2))
+        yield b1s, b2s
+
+
 class Trainer:
     def __init__(self, cfg: Config, dataset=None, init_rng: Optional[jax.Array] = None):
         self.cfg = cfg
@@ -104,6 +120,12 @@ class Trainer:
         n_dev = len(jax.devices())
         axes = tuple(cfg.mesh_axes)
         self._spatial = False
+        if cfg.grad_accum > 1 and (cfg.device_data or (n_dev > 1 and cfg.batch_size % n_dev == 0)):
+            raise ValueError(
+                "grad_accum > 1 is the single-device host-fed path only "
+                "(device_data and multi-device meshes scale batch by "
+                "sharding; combine them by lowering grad_accum to 1)"
+            )
         if axes == ("data", "model") and n_dev > 1:
             from littlegan_tpu.parallel import make_mesh
             from littlegan_tpu.parallel.spatial import make_spatial_train_step
@@ -122,7 +144,16 @@ class Trainer:
             print(f"Data-parallel training over {n_dev} devices")
         else:
             self.mesh = None
-            self._train_step = make_train_step(cfg, self.state.params, donate=False)
+            if cfg.grad_accum > 1:
+                from littlegan_tpu.training.step import make_accum_train_step
+
+                self._train_step = make_accum_train_step(cfg, self.state.params, donate=False)
+                print(
+                    f"Gradient accumulation: {cfg.grad_accum} micro-pairs per "
+                    f"update (effective batch {cfg.grad_accum * cfg.batch_size})"
+                )
+            else:
+                self._train_step = make_train_step(cfg, self.state.params, donate=False)
             if n_dev > 1:
                 print(
                     f"WARNING: {n_dev} devices visible but batch_size "
@@ -459,6 +490,8 @@ class Trainer:
                     pairs = _pairwise(self._device_epoch(epoch))
                 else:
                     pairs = self._device_prefetch(self.dataset.epoch_iterator(epoch))
+                if cfg.grad_accum > 1:
+                    pairs = _accum_groups(pairs, cfg.grad_accum)
                 batch_no = 0
                 images_done = 0
                 for b1, b2 in pairs:
@@ -477,7 +510,7 @@ class Trainer:
                     out = step_fn(self.state, b1, b2, step_rng, jnp.int32(batch_no))
                     self.state = out.state
                     metrics_buffer.append((self.global_step, batch_no, out.metrics))
-                    images_done += 2 * cfg.batch_size
+                    images_done += 2 * cfg.batch_size * max(1, cfg.grad_accum)
 
                     if len(metrics_buffer) >= flush_every:
                         self._flush_metrics(metrics_buffer)

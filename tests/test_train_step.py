@@ -358,3 +358,43 @@ def test_bf16_tails_track_f32(tiny_cfg, rng):
         b = float(outs["bfloat16"].metrics[k])
         assert np.isfinite(b)
         assert abs(a - b) < 0.05 * max(1.0, abs(a)), (k, a, b)
+
+
+def test_accum_grads_mean_micro_grads(tiny_cfg, rng):
+    """accum_grads must return the MEAN of the per-micro-batch gradients
+    (same fold_in PRNG stream) and the LAST micro-step's aux. Gradients are
+    compared directly — Adam's normalized update is sign-unstable for
+    near-cancelling mean grads, so param-space comparison would flake."""
+    from littlegan_tpu.training.step import _micro_grads, accum_grads
+
+    cfg = tiny_cfg.replace(use_partition=False, train_adj=True, grad_accum=2)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    m = 2
+    pairs = [_batches(cfg, jax.random.fold_in(rng, 100 + i)) for i in range(m)]
+    b1s = tuple(jnp.stack([p[0][j] for p in pairs]) for j in range(2))
+    b2s = tuple(jnp.stack([p[1][j] for p in pairs]) for j in range(2))
+    base_rng = jax.random.PRNGKey(5)
+
+    from functools import partial
+
+    grads, aux = jax.jit(partial(accum_grads, cfg=cfg))(state, b1s, b2s, base_rng)
+
+    acc = None
+    for i in range(m):
+        g, aux_i = _micro_grads(
+            state, pairs[i][0], pairs[i][1], jax.random.fold_in(base_rng, i), cfg, False
+        )
+        g = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), g)
+        acc = g if acc is None else jax.tree_util.tree_map(np.add, acc, g)
+    mean = jax.tree_util.tree_map(lambda x: x / m, acc)
+
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(grads),
+        jax.tree_util.tree_leaves_with_path(mean),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6, err_msg=str(path)
+        )
+    # aux is the last micro-step's
+    for k in ("loss/gen", "loss/disc", "loss/adj"):
+        np.testing.assert_allclose(float(aux[k]), float(aux_i[k]), rtol=1e-5)

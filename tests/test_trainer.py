@@ -475,3 +475,19 @@ def test_profile_steps_on_scan_path(run_cfg):
     profile_dir = os.path.join(cfg.result_dir, "log", "profile")
     assert os.path.isdir(profile_dir)
     assert any(os.scandir(profile_dir)), "no trace files written"
+
+
+def test_grad_accum_epoch(run_cfg):
+    """grad_accum=2 trains end to end: half the applied updates, same
+    artifact flow; incompatible combinations are rejected."""
+    cfg = run_cfg.replace(grad_accum=2, epoch=1, freq_gen=2, freq_test=100)
+    ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    tr.train()
+    # 8 batches -> 4 pairs -> 2 accum groups = 2 applied updates
+    assert tr.global_step == 2
+    assert os.path.isfile(
+        os.path.join(cfg.result_dir, "train", "gen", "1-2.jpg")
+    )
+    with pytest.raises(ValueError, match="grad_accum"):
+        Trainer(run_cfg.replace(grad_accum=2, device_data=True), ds)

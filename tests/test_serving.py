@@ -113,3 +113,73 @@ def test_greyscale_image_codecs_roundtrip():
     back = _b64_to_img(b64, 16, channels=1)
     assert back.shape == (16, 16, 1)
     assert np.abs(back - img).mean() < 0.15  # JPEG-lossy but same image
+
+
+def test_dynamic_batcher_batches_and_matches_direct(tiny_cfg, tmp_path):
+    """8 concurrent single-image requests must produce the same images as
+    direct per-request engine calls AND ride fewer engine invocations."""
+    import threading
+
+    from littlegan_tpu.serving import DynamicBatcher, InferenceEngine
+
+    cfg = tiny_cfg.replace(
+        all_result_dir=str(tmp_path / "result"), test_data_dir=str(tmp_path / "td"),
+        exp_name="srv", restore=False,
+    )
+    engine = InferenceEngine(cfg, batch_size=8)
+    calls = []
+    real_generate = engine.generate
+    engine.generate = lambda c, n=None, seed=0: (calls.append(1), real_generate(c, n, seed))[1]
+
+    rng = np.random.default_rng(0)
+    noise = rng.normal(size=(8, cfg.noise_dim)).astype(np.float32)
+    cond = np.where(rng.random((8, cfg.cond_dim)) < 0.5, 0.98, -0.94).astype(np.float32)
+    direct = real_generate(cond, noise)
+
+    batcher = DynamicBatcher(engine, max_wait_ms=200.0)  # wide window: one batch
+    try:
+        results = [None] * 8
+        def worker(i):
+            results[i] = batcher.submit(noise[i], cond[i])
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+    finally:
+        batcher.close()
+    assert all(r is not None for r in results)
+    for i in range(8):
+        np.testing.assert_allclose(results[i], direct[i], rtol=1e-5, atol=1e-6)
+    assert len(calls) < 8, f"batcher made {len(calls)} engine calls for 8 requests"
+
+
+def test_http_concurrent_generate_with_batcher(engine):
+    """Concurrent single-image POSTs through ThreadingHTTPServer + batcher."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from littlegan_tpu.serving import DynamicBatcher, make_handler
+
+    batcher = DynamicBatcher(engine, max_wait_ms=100.0)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine, batcher))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}/generate"
+        results = [None] * 4
+        def worker(i):
+            results[i] = _post(url, {"cond": [[0.98] * engine.cfg.cond_dim], "seed": i})
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+        assert all(r is not None and r[0] == 200 and len(r[1]["images"]) == 1 for r in results)
+        # distinct seeds -> distinct images
+        assert len({r[1]["images"][0] for r in results}) == 4
+    finally:
+        server.shutdown()
+        batcher.close()

@@ -393,6 +393,7 @@ class Trainer:
                 step_fn = lambda s, i1, i2, rng, bno: gather_step(
                     s, imgs_dev, conds_dev, jnp.int32(i1), jnp.int32(i2), rng, bno
                 )
+        rem_steps = {}  # remainder-scan compiles, keyed by K_r (scan path)
         try:
             for epoch in range(self.global_epoch, cfg.epoch + 1):
                 self.global_epoch = epoch
@@ -412,8 +413,37 @@ class Trainer:
                                 break
                             group.append(nxt)
                         if len(group) < 2 * scan_k:
-                            dropped = len(group)
-                            break  # trailing partial group dropped
+                            # trailing partial group: run it with a remainder-
+                            # sized scan (n_batches is constant, so this is
+                            # ONE extra compile, first epoch only) — full
+                            # dataset coverage per epoch, matching the
+                            # reference's drop of at most the single odd batch
+                            rem = len(group) // 2
+                            if rem >= 1:
+                                rstep = rem_steps.get(rem)
+                                if rstep is None:
+                                    rstep = make_scan_train_step(
+                                        cfg, self.state.params, rem, donate=False,
+                                        mesh=self.mesh, store_s2d=self._store_s2d,
+                                    )
+                                    rem_steps[rem] = rstep
+                                out = rstep(
+                                    self.state, imgs_dev, conds_dev,
+                                    np.asarray(group[0 : 2 * rem : 2], np.int32),
+                                    np.asarray(group[1 : 2 * rem : 2], np.int32),
+                                    self._base_rng,
+                                    jnp.int32(self.global_step + 1),
+                                    jnp.int32(batch_no + 1),
+                                )
+                                self.state = out.state
+                                metrics_buffer.append(
+                                    (self.global_step + 1, batch_no + 1, out.metrics)
+                                )
+                                batch_no += rem
+                                self.global_step += rem
+                                images_done += 2 * cfg.batch_size * rem
+                            dropped = len(group) - 2 * rem
+                            break
                         # profiling at group granularity: skip the first
                         # (warm-up) group, then trace ceil(N/K) groups
                         if cfg.profile_steps > 0 and epoch == first_epoch:
@@ -474,9 +504,8 @@ class Trainer:
                         metrics_buffer.clear()
                     elapsed = time.time() - start
                     rate = images_done / elapsed if elapsed > 0 else 0.0
-                    drop_note = (
-                        f"  [{dropped} trailing batches < one {2 * scan_k}-batch "
-                        "dispatch group: dropped this epoch]" if dropped > 1 else ""
+                    drop_note = (  # only a single odd batch can remain (parity)
+                        f"  [{dropped} trailing odd batch dropped]" if dropped else ""
                     )
                     print(f"Time usage: {elapsed:.1f}s  ({rate:.1f} images/s){drop_note}")
                     self.checkpointer.save(

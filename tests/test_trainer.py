@@ -491,3 +491,18 @@ def test_grad_accum_epoch(run_cfg):
     )
     with pytest.raises(ValueError, match="grad_accum"):
         Trainer(run_cfg.replace(grad_accum=2, device_data=True), ds)
+
+
+def test_scan_path_remainder_dispatch_full_coverage(run_cfg):
+    """steps_per_dispatch must not drop whole trailing groups: an epoch with
+    n_batches % 2K != 0 runs the remainder through a smaller scan — only the
+    reference-parity single odd batch may be dropped."""
+    cfg = run_cfg.replace(
+        device_data=True, steps_per_dispatch=3, epoch=1,
+        freq_gen=1000, freq_test=1000,
+    )
+    # 10 batches, 2K=6: one full group (6) + remainder 4 -> 2 more steps
+    ds = SyntheticDataset(cfg, num_items=10 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    tr.train()
+    assert tr.global_step == 5  # all 10 batches consumed (5 steps x 2)

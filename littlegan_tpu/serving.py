@@ -202,9 +202,14 @@ class DynamicBatcher:
                 for i, s in enumerate(batch):
                     s.result = imgs[i]
                     s.done.set()
-            except Exception as e:  # fan the failure out; server turns it into 400/500
+            except Exception:
+                # one bad row must not poison its batch-mates: retry each
+                # slot alone so only the offender gets the error
                 for s in batch:
-                    s.error = e
+                    try:
+                        s.result = self.engine.generate(s.cond[None], s.noise[None])[0]
+                    except Exception as e:
+                        s.error = e
                     s.done.set()
 
     def close(self) -> None:
@@ -269,11 +274,17 @@ def make_handler(engine: InferenceEngine, batcher: Optional[DynamicBatcher] = No
                 if self.path == "/generate":
                     cond = np.asarray(req["cond"], np.float32)
                     noise = np.asarray(req["noise"], np.float32) if "noise" in req else None
-                    if batcher is not None and cond.shape[0] == 1:
+                    if batcher is not None and cond.shape == (1, engine.cfg.cond_dim):
+                        # shapes validated BEFORE joining the shared batch: a
+                        # malformed row must 400 alone, not poison the peers
                         if noise is None:
                             noise = np.random.default_rng(int(req.get("seed", 0))).normal(
                                 size=(1, engine.cfg.noise_dim)
                             ).astype(np.float32)
+                        if np.shape(noise) != (1, engine.cfg.noise_dim):
+                            raise ValueError(
+                                f"noise shape {np.shape(noise)} != (1, {engine.cfg.noise_dim})"
+                            )
                         imgs = batcher.submit(noise[0], cond[0])[None]
                     else:
                         imgs = engine.generate(cond, noise, seed=int(req.get("seed", 0)))

@@ -160,6 +160,7 @@ class OrbaxCheckpointer:
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
         self._ocp = ocp
+        self._pending_status: Optional[Dict[str, Any]] = None
 
     def _path(self, tag: str) -> str:
         return os.path.join(self.directory, f"ocp-{tag}")
@@ -168,13 +169,19 @@ class OrbaxCheckpointer:
         self.wait()  # an in-flight async save must finish before the next one
         path = self._path(tag)
         self._ckptr.save(path, args=self._ocp.args.StandardSave(tree), force=True)
-        if status is not None:
-            self.wait()  # status must not point at a checkpoint still in flight
-            _write_status(self.directory, status)
+        # status is written by the NEXT wait(), after the async save commits:
+        # save stays async (the backend's point), yet status.json never
+        # points at a checkpoint that did not finish (crash mid-save -> the
+        # old status + old checkpoint still pair up). Every exit path calls
+        # wait() (trainer's finally / interrupt handler), flushing this.
+        self._pending_status = status
         return path
 
     def wait(self) -> None:
         self._ckptr.wait_until_finished()
+        if self._pending_status is not None:
+            _write_status(self.directory, self._pending_status)
+            self._pending_status = None
 
     def restore(self, tag: str, template):
         self.wait()

@@ -286,23 +286,33 @@ def accum_train_step(
 
 
 def accum_grads(state: TrainState, batch1s, batch2s, rng: jax.Array, cfg: Config):
-    """(mean grads over the M stacked micro-pairs, last micro-step's aux)."""
+    """(mean grads over the M stacked micro-pairs, last micro-step's aux).
+
+    aux (which includes (B,H,W,C) image buffers) rides the scan CARRY — a
+    stacked (M,B,H,W,C) output would burn exactly the activation-memory
+    headroom this feature exists to create (same fix as the K-step scan's
+    artifact carry)."""
     m = batch1s[0].shape[0]
 
     def body(carry, i):
-        acc = carry
+        acc, _ = carry
         b1 = jax.tree_util.tree_map(lambda x: x[i], batch1s)
         b2 = jax.tree_util.tree_map(lambda x: x[i], batch2s)
         grads, aux = _micro_grads(state, b1, b2, jax.random.fold_in(rng, i), cfg, False)
         acc = jax.tree_util.tree_map(lambda a, g: a + g.astype(jnp.float32), acc, grads)
-        return acc, aux
+        return (acc, aux), None
 
     zeros = jax.tree_util.tree_map(
         lambda p: jnp.zeros(p.shape, jnp.float32), state.params
     )
-    acc, auxs = jax.lax.scan(body, zeros, jnp.arange(m, dtype=jnp.int32))
+    b1_0 = jax.tree_util.tree_map(lambda x: x[0], batch1s)
+    b2_0 = jax.tree_util.tree_map(lambda x: x[0], batch2s)
+    aux0_sd = jax.eval_shape(
+        lambda st: _micro_grads(st, b1_0, b2_0, rng, cfg, False)[1], state
+    )
+    aux0 = jax.tree_util.tree_map(lambda sd: jnp.zeros(sd.shape, sd.dtype), aux0_sd)
+    (acc, aux), _ = jax.lax.scan(body, (zeros, aux0), jnp.arange(m, dtype=jnp.int32))
     grads = jax.tree_util.tree_map(lambda a: a / m, acc)
-    aux = jax.tree_util.tree_map(lambda x: x[-1], auxs)
     return grads, aux
 
 

@@ -120,7 +120,10 @@ class Trainer:
         n_dev = len(jax.devices())
         axes = tuple(cfg.mesh_axes)
         self._spatial = False
-        if cfg.grad_accum > 1 and (cfg.device_data or (n_dev > 1 and cfg.batch_size % n_dev == 0)):
+        multi_dev = n_dev > 1 and (
+            axes == ("data", "model") or cfg.batch_size % n_dev == 0
+        )  # any branch below that builds a mesh
+        if cfg.grad_accum > 1 and (cfg.device_data or multi_dev):
             raise ValueError(
                 "grad_accum > 1 is the single-device host-fed path only "
                 "(device_data and multi-device meshes scale batch by "
@@ -499,6 +502,13 @@ class Trainer:
                                 os.path.join(cfg.result_dir, "test", "disc", f"{epoch}-{batch_no}.json"),
                                 os.path.join(cfg.result_dir, "test", "adj", f"{epoch}-{batch_no}.jpg"),
                             )
+                    if profiling:  # short first epoch: stop at epoch end —
+                        # later epochs never pass the first-epoch gate, so an
+                        # open trace would silently span the whole run
+                        jax.block_until_ready(self.state.params)
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        print("profiler trace written to", profile_dir)
                     if metrics_buffer:
                         self._flush_metrics(metrics_buffer)
                         metrics_buffer.clear()

@@ -183,3 +183,35 @@ def test_http_concurrent_generate_with_batcher(engine):
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_batcher_bad_row_does_not_poison_batch(engine):
+    """A malformed row in a dynamic batch must fail alone; batch-mates get
+    their images."""
+    import threading
+
+    from littlegan_tpu.serving import DynamicBatcher
+
+    batcher = DynamicBatcher(engine, max_wait_ms=200.0)
+    try:
+        good_noise = np.zeros((engine.cfg.noise_dim,), np.float32)
+        good_cond = np.zeros((engine.cfg.cond_dim,), np.float32)
+        bad_cond = np.zeros((engine.cfg.cond_dim + 3,), np.float32)  # wrong width
+        results = {}
+        def worker(key, noise, cond):
+            try:
+                results[key] = batcher.submit(noise, cond)
+            except Exception as e:
+                results[key] = e
+        threads = [
+            threading.Thread(target=worker, args=("good", good_noise, good_cond)),
+            threading.Thread(target=worker, args=("bad", good_noise, bad_cond)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+    finally:
+        batcher.close()
+    assert isinstance(results["good"], np.ndarray)
+    assert isinstance(results["bad"], Exception)

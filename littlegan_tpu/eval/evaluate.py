@@ -62,11 +62,18 @@ _FEAT_FN_CACHE: dict = {}
 def _featurizer(cfg: Config, params=None):
     """(jitted feature fn) with params cached per weights path: the evaluate
     mode scores gen AND adj dirs in one process — load/trace Inception once."""
-    if params is not None:  # cache per params object: a per-epoch eval loop
-        key = ("<params>", id(params))  # must not retrace Inception each call
-        if key not in _FEAT_FN_CACHE:
-            _FEAT_FN_CACHE[key] = jax.jit(lambda imgs: inception_features(params, imgs))
-        return _FEAT_FN_CACHE[key]
+    if params is not None:
+        # single-slot cache keyed on object identity: a per-epoch eval loop
+        # reusing one params tree must not retrace Inception each call, and
+        # a fresh tree per epoch must not accumulate pinned device arrays
+        # (the old entry is dropped). Callers must NOT mutate leaves of a
+        # cached tree in place — pass a new tree instead.
+        cached = _FEAT_FN_CACHE.get("<params>")
+        if cached is None or cached[0] != id(params):
+            fn = jax.jit(lambda imgs: inception_features(params, imgs))
+            _FEAT_FN_CACHE["<params>"] = (id(params), fn)
+            return fn
+        return cached[1]
     if not cfg.fid_weights:
         # Round-1 verdict: never print an uncomparable number labeled FID
         # without saying so. Mirror serving.py's untrained-weights policy.

@@ -167,6 +167,8 @@ class DynamicBatcher:
         """Blocking: returns this request's generated image."""
         slot = _Slot(noise_row, cond_row)
         with self._lock:
+            if self._stop:  # racing close(): fail fast, never hang on done
+                raise RuntimeError("batcher is closed")
             self._pending.append(slot)
         self._kick.set()
         slot.done.wait()
@@ -213,7 +215,13 @@ class DynamicBatcher:
                     s.done.set()
 
     def close(self) -> None:
-        self._stop = True
+        with self._lock:
+            self._stop = True
+            pending = self._pending[:]
+            self._pending.clear()
+        for s in pending:  # a request that raced shutdown gets an error,
+            s.error = RuntimeError("batcher is closed")  # not a hang
+            s.done.set()
         self._kick.set()
         self._thread.join(timeout=2)
 

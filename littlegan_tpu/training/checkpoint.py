@@ -210,10 +210,23 @@ class OrbaxCheckpointer:
         if os.path.isfile(status_path):
             with open(status_path) as f:
                 status = json.load(f)
+        # deferred-status window: a kill after the async save committed but
+        # before the next wait() leaves status one epoch behind the newest
+        # checkpoint. Reconcile from the tag (conservative: re-derive the
+        # resume epoch; global_step stays the stale value and is said so).
+        if tag.isdigit() and int(status.get("epoch", 1)) <= int(tag):
+            print(
+                f"WARNING: status.json lags checkpoint {tag} (crash between "
+                f"async commit and status write); resuming at epoch "
+                f"{int(tag) + 1} with the stale global_step {status.get('step', 0)}"
+            )
+            status = {**status, "epoch": int(tag) + 1}
         return state, status
 
     def epoch_tags(self) -> list:
-        self.wait()
+        # no wait(): pruning OLD tags must not join the just-launched async
+        # save of the NEWEST tag (orbax commits via rename, so an in-flight
+        # save is invisible to this listing until complete)
         tags = []
         for fn in os.listdir(self.directory):
             m = re.match(r"ocp-(\d+)$", fn)

@@ -105,6 +105,7 @@ class Trainer:
         self._writer: Optional[SummaryWriter] = None  # created lazily (train only)
         self._device_store = None  # device-resident dataset (cfg.device_data)
         self._metrics_buffer = []  # device-side metrics pending TB flush
+        self._flushing = False  # guards the flush against SIGINT reentrancy
         self._store_s2d = False  # store layout, set at upload
         self._init_fixture(fixture_rng)
 
@@ -336,16 +337,27 @@ class Trainer:
                 return
             yield buf.popleft()
 
+    def _flush_buffered(self) -> None:
+        """Flush + clear the shared metrics buffer, reentrancy-safe: a SIGINT
+        landing INSIDE a flush must not re-flush the same entries from the
+        interrupt handler (duplicate TB points)."""
+        if self._flushing or not self._metrics_buffer:
+            return
+        self._flushing = True
+        try:
+            self._flush_metrics(self._metrics_buffer)
+            self._metrics_buffer.clear()
+        finally:
+            self._flushing = False
+
     def _save_interrupt(self, signum=None, frame=None):
         """SIGINT semantics (eager_trainer.py:171-178): checkpoint + exit(1).
         Buffered device-side metrics are flushed first (they would otherwise
         be lost — up to flush_every dispatches of scalars), and an async
         (orbax) save is waited out so the checkpoint status points at a
         complete checkpoint before the process dies."""
-        if self._metrics_buffer:
-            self._flush_metrics(self._metrics_buffer)
-            self._metrics_buffer.clear()
-            self.writer.flush()
+        self._flush_buffered()
+        self.writer.flush()
         self.checkpointer.save(
             "interrupt", self.state, {"epoch": self.global_epoch, "step": self.global_step}
         )
@@ -365,6 +377,7 @@ class Trainer:
         # TensorBoard's profile plugin / xprof.
         profile_dir = os.path.join(cfg.result_dir, "log", "profile")
         profiling = False
+        profile_started = False  # one trace per run
         first_epoch = self.global_epoch
         step_fn = self._train_step
         gather_mode = cfg.device_data
@@ -415,51 +428,41 @@ class Trainer:
                             if nxt is None:
                                 break
                             group.append(nxt)
+                        k_r, step, last = scan_k, scan_step, False
                         if len(group) < 2 * scan_k:
                             # trailing partial group: run it with a remainder-
                             # sized scan (n_batches is constant, so this is
                             # ONE extra compile, first epoch only) — full
-                            # dataset coverage per epoch, matching the
-                            # reference's drop of at most the single odd batch
+                            # dataset coverage per epoch; only the reference-
+                            # parity single odd batch can be dropped
                             rem = len(group) // 2
-                            if rem >= 1:
-                                rstep = rem_steps.get(rem)
-                                if rstep is None:
-                                    rstep = make_scan_train_step(
-                                        cfg, self.state.params, rem, donate=False,
-                                        mesh=self.mesh, store_s2d=self._store_s2d,
-                                    )
-                                    rem_steps[rem] = rstep
-                                out = rstep(
-                                    self.state, imgs_dev, conds_dev,
-                                    np.asarray(group[0 : 2 * rem : 2], np.int32),
-                                    np.asarray(group[1 : 2 * rem : 2], np.int32),
-                                    self._base_rng,
-                                    jnp.int32(self.global_step + 1),
-                                    jnp.int32(batch_no + 1),
-                                )
-                                self.state = out.state
-                                metrics_buffer.append(
-                                    (self.global_step + 1, batch_no + 1, out.metrics)
-                                )
-                                batch_no += rem
-                                self.global_step += rem
-                                images_done += 2 * cfg.batch_size * rem
                             dropped = len(group) - 2 * rem
-                            break
+                            if rem == 0:
+                                break
+                            k_r, last = rem, True
+                            group = group[: 2 * rem]
+                            step = rem_steps.get(rem)
+                            if step is None:
+                                step = make_scan_train_step(
+                                    cfg, self.state.params, rem, donate=False,
+                                    mesh=self.mesh, store_s2d=self._store_s2d,
+                                )
+                                rem_steps[rem] = step
                         # profiling at group granularity: skip the first
-                        # (warm-up) group, then trace ceil(N/K) groups
+                        # (warm-up) group, then trace until profile_steps
+                        # steps are covered (or the epoch ends, whichever
+                        # comes first)
                         if cfg.profile_steps > 0 and epoch == first_epoch:
-                            if batch_no == 2 * scan_k and not profiling:
+                            if not profile_started and batch_no >= scan_k:
                                 jax.block_until_ready(self.state.params)
                                 jax.profiler.start_trace(profile_dir)
-                                profiling = True
-                            elif profiling and batch_no >= 2 * scan_k + cfg.profile_steps:
+                                profile_started = profiling = True
+                            elif profiling and batch_no >= scan_k + cfg.profile_steps:
                                 jax.block_until_ready(self.state.params)
                                 jax.profiler.stop_trace()
                                 profiling = False
                                 print("profiler trace written to", profile_dir)
-                        out = scan_step(
+                        out = step(
                             self.state,
                             imgs_dev,
                             conds_dev,
@@ -477,14 +480,15 @@ class Trainer:
                             (self.global_step + 1, batch_no + 1, out.metrics)
                         )
                         prev_batch = batch_no
-                        batch_no += scan_k
-                        self.global_step += scan_k
-                        images_done += 2 * cfg.batch_size * scan_k
+                        batch_no += k_r
+                        self.global_step += k_r
+                        images_done += 2 * cfg.batch_size * k_r
                         if len(metrics_buffer) >= flush_every:
-                            self._flush_metrics(metrics_buffer)
-                            metrics_buffer.clear()
+                            self._flush_buffered()
                         # cadences snap to dispatch-group boundaries: fire once
-                        # if any step in the group crossed the cadence
+                        # if any step in the group crossed the cadence (the
+                        # remainder group shares this path — a cadence inside
+                        # the epoch tail still fires)
                         if batch_no // cfg.freq_gen > prev_batch // cfg.freq_gen:
                             save_image(
                                 np.asarray(out.fake_image),
@@ -502,6 +506,8 @@ class Trainer:
                                 os.path.join(cfg.result_dir, "test", "disc", f"{epoch}-{batch_no}.json"),
                                 os.path.join(cfg.result_dir, "test", "adj", f"{epoch}-{batch_no}.jpg"),
                             )
+                        if last:
+                            break
                     if profiling:  # short first epoch: stop at epoch end —
                         # later epochs never pass the first-epoch gate, so an
                         # open trace would silently span the whole run
@@ -509,9 +515,7 @@ class Trainer:
                         jax.profiler.stop_trace()
                         profiling = False
                         print("profiler trace written to", profile_dir)
-                    if metrics_buffer:
-                        self._flush_metrics(metrics_buffer)
-                        metrics_buffer.clear()
+                    self._flush_buffered()
                     elapsed = time.time() - start
                     rate = images_done / elapsed if elapsed > 0 else 0.0
                     drop_note = (  # only a single odd batch can remain (parity)
@@ -552,8 +556,7 @@ class Trainer:
                     images_done += 2 * cfg.batch_size * max(1, cfg.grad_accum)
 
                     if len(metrics_buffer) >= flush_every:
-                        self._flush_metrics(metrics_buffer)
-                        metrics_buffer.clear()
+                        self._flush_buffered()
 
                     if batch_no % cfg.freq_gen == 0:  # eager_trainer.py:216-220
                         save_image(
@@ -579,9 +582,7 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = False
                     print("profiler trace written to", profile_dir)
-                if metrics_buffer:
-                    self._flush_metrics(metrics_buffer)
-                    metrics_buffer.clear()
+                self._flush_buffered()
                 elapsed = time.time() - start
                 rate = images_done / elapsed if elapsed > 0 else 0.0
                 print(f"Time usage: {elapsed:.1f}s  ({rate:.1f} images/s)")

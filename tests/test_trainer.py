@@ -506,3 +506,19 @@ def test_scan_path_remainder_dispatch_full_coverage(run_cfg):
     tr = Trainer(cfg, ds)
     tr.train()
     assert tr.global_step == 5  # all 10 batches consumed (5 steps x 2)
+
+
+def test_scan_remainder_fires_cadences(run_cfg):
+    """A freq_gen cadence crossing INSIDE the trailing remainder group must
+    still produce its artifact (the remainder shares the cadence path)."""
+    cfg = run_cfg.replace(
+        device_data=True, steps_per_dispatch=3, epoch=1,
+        freq_gen=4, freq_test=1000,
+    )
+    ds = SyntheticDataset(cfg, num_items=10 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    tr.train()
+    # 10 batches -> full group (steps 1-3) + remainder (steps 4-5);
+    # batch_no 3 -> 5 crosses freq_gen=4 inside the remainder
+    gen_dir = os.path.join(cfg.result_dir, "train", "gen")
+    assert os.listdir(gen_dir), "cadence inside the remainder group produced no artifact"

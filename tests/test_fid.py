@@ -223,6 +223,84 @@ def test_converted_weights_drive_full_extractor(tmp_path):
     assert np.abs(feats - rand_feats).max() > 1e-3
 
 
+# ------------------------------------ full-network torch parity (r3 #1) ----
+# Round-2 verdict #1: block-level _conv_bn parity (above) cannot catch a
+# swapped branch-concat order, a wrong pool count_include_pad, or a stem
+# padding error. These tests pin the ENTIRE extractor against a straight-line
+# torch transcription of torchvision's InceptionV3 (tests/torch_inception_ref
+# .py) driven directly by the raw synthetic state_dict — and prove their own
+# sensitivity by asserting the comparison FAILS under each of those exact
+# structural mutations.
+
+_PARITY_RTOL = 1e-3
+_PARITY_ATOL = 1e-3
+
+
+@pytest.fixture(scope="module")
+def inception_pair():
+    """(state_dict, converted jax params, 299 input, 128 input, jax feats)."""
+    import jax.numpy as jnp
+
+    from littlegan_tpu.eval.inception import inception_features
+
+    conv = _converter()
+    sd = conv.synthetic_state_dict(seed=6)
+    params = conv.convert(sd)
+    rng = np.random.default_rng(7)
+    img299 = rng.integers(0, 256, (1, 299, 299, 3)).astype(np.float32)
+    img128 = rng.integers(0, 256, (1, 128, 128, 3)).astype(np.float32)
+    f299 = np.asarray(inception_features(params, jnp.asarray(img299)))
+    f128 = np.asarray(inception_features(params, jnp.asarray(img128)))
+    return sd, params, img299, img128, f299, f128
+
+
+@pytest.mark.slow
+def test_full_network_matches_torch_299(inception_pair):
+    """JAX extractor == torch full-network forward on a native 299x299 input
+    (no resize in play): stem geometry, pool semantics, block wiring, branch
+    order, global average pool — everything end-to-end."""
+    from tests.torch_inception_ref import torch_inception_features
+
+    sd, _, img299, _, f299, _ = inception_pair
+    want = torch_inception_features(sd, img299).numpy()
+    np.testing.assert_allclose(f299, want, rtol=_PARITY_RTOL, atol=_PARITY_ATOL)
+
+
+@pytest.mark.slow
+def test_full_network_matches_torch_128_preprocessing(inception_pair):
+    """Same, via the full preprocessing path (bilinear 128->299 resize with
+    half-pixel centers + [-1,1] scaling) — the geometry every FID eval of
+    this model family actually exercises."""
+    from tests.torch_inception_ref import torch_inception_features
+
+    sd, _, _, img128, _, f128 = inception_pair
+    want = torch_inception_features(sd, img128).numpy()
+    np.testing.assert_allclose(f128, want, rtol=_PARITY_RTOL, atol=_PARITY_ATOL)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "mutation",
+    ["swap_concat_5b", "avgpool_exclude_pad", "stem_c3_pad0", "maxpool_window2"],
+)
+def test_full_network_parity_detects_mutations(inception_pair, mutation):
+    """Sensitivity proof: each single structural perturbation of the torch
+    reference (swapped branch concat, count_include_pad=False, stem padding,
+    pool window) pushes the features OUTSIDE the parity tolerance, so the
+    tests above would catch the equivalent bug in the JAX extractor."""
+    from tests.torch_inception_ref import Mutation, torch_inception_features
+
+    sd, _, img299, _, f299, _ = inception_pair
+    mutated = torch_inception_features(
+        sd, img299, Mutation(**{mutation: True})
+    ).numpy()
+    err = np.abs(f299 - mutated) / (np.abs(mutated) + _PARITY_ATOL)
+    assert err.max() > 10 * _PARITY_RTOL, (
+        f"mutation {mutation} not detectable at parity tolerance "
+        f"(max rel err {err.max():.2e}) — the parity test has a blind spot"
+    )
+
+
 def test_evaluate_refuses_random_fid_without_optin(tmp_path, tiny_cfg):
     """fid_weights unset + allow_random_fid unset -> hard refusal (round-1
     verdict: no code path may print an uncomparable number labeled FID)."""

@@ -43,7 +43,11 @@ class SyntheticDataset:
         self.batches = num_items // cfg.batch_size
         self.label = [f"attr{i}" for i in cfg.attr]
 
-    def epoch_iterator(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def epoch_iterator(
+        self, epoch: int = 0, shuffle: bool = True
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        # ``shuffle`` is accepted for pipeline-mode API parity with CelebA
+        # and ignored: batches are IID draws, so every order IS canonical.
         rng = np.random.default_rng(self.cfg.seed * 100003 + epoch)
         c = self.cfg
         for _ in range(self.batches):

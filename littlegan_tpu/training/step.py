@@ -324,14 +324,38 @@ def make_train_step(cfg: Config, params, donate: bool | None = None):
     return jax.jit(fn, donate_argnums=(0,) if donate else (), compiler_options=tpu_compiler_options(cfg))
 
 
-def make_accum_train_step(cfg: Config, params, donate: bool | None = None):
+def make_accum_train_step(cfg: Config, params, donate: bool | None = None, mesh=None):
     """Jitted gradient-accumulation step (cfg.grad_accum micro-pairs per
     update); signature ``step(state, batch1s, batch2s, rng, batch_no)`` with
-    (M, B, ...) stacked batches."""
+    (M, B, ...) stacked batches.
+
+    With ``mesh`` (a pure-DP 'data' mesh) the stacked batches are sharded
+    ``P(None, 'data')``: each scanned micro-step runs batch-sharded across
+    the mesh and the single optimizer apply per group sees the all-reduced
+    mean gradient — effective batch M x B x n_devices with one micro-batch
+    shard's activation memory per chip (the 1024²+ regime where both levers
+    are needed at once). Update-equivalence with the single-device
+    accumulation step is asserted in tests/test_parallel.py."""
     part_masks = build_partition_masks(params)
     donate = cfg.donate_state if donate is None else donate
+    if mesh is not None and cfg.use_pallas:
+        cfg = cfg.replace(use_pallas=False)  # Mosaic is not auto-partitionable
     fn = partial(accum_train_step, cfg=cfg, part_masks=part_masks)
-    return jax.jit(fn, donate_argnums=(0,) if donate else (), compiler_options=tpu_compiler_options(cfg))
+    if mesh is None:
+        return jax.jit(fn, donate_argnums=(0,) if donate else (), compiler_options=tpu_compiler_options(cfg))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    micro = NamedSharding(mesh, P(None, "data"))  # (M, B, ...) -> B sharded
+    bsh = NamedSharding(mesh, P("data"))
+    adj_sh = bsh if cfg.train_adj else rep  # placeholder adj output is tiny
+    return jax.jit(
+        fn,
+        in_shardings=(rep, (micro, micro), (micro, micro), rep, rep),
+        out_shardings=StepOutput(state=rep, metrics=rep, fake_image=bsh, adj_image=adj_sh),
+        donate_argnums=(0,) if donate else (),
+        compiler_options=tpu_compiler_options(cfg),
+    )
 
 
 def _take_batch(store, b):

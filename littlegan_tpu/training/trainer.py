@@ -63,9 +63,10 @@ def _pairwise(it):
 
 
 def _accum_groups(pairs, m: int):
-    """Stack ``m`` (batch1, batch2) pairs into (M, B, ...) arrays for the
-    gradient-accumulation step (Config.grad_accum); a trailing partial
-    group is dropped."""
+    """Stack ``m`` HOST (batch1, batch2) pairs into (M, B, ...) numpy arrays
+    for the gradient-accumulation step (Config.grad_accum); a trailing
+    partial group is dropped. Stacking happens host-side so the group can be
+    device_put in one (mesh-shardable) transfer (_accum_prefetch)."""
     while True:
         chunk = []
         for _ in range(m):
@@ -73,8 +74,8 @@ def _accum_groups(pairs, m: int):
             if p is None:
                 return
             chunk.append(p)
-        b1s = tuple(jnp.stack([c[0][j] for c in chunk]) for j in range(2))
-        b2s = tuple(jnp.stack([c[1][j] for c in chunk]) for j in range(2))
+        b1s = tuple(np.stack([np.asarray(c[0][j]) for c in chunk]) for j in range(2))
+        b2s = tuple(np.stack([np.asarray(c[1][j]) for c in chunk]) for j in range(2))
         yield b1s, b2s
 
 
@@ -121,14 +122,14 @@ class Trainer:
         n_dev = len(jax.devices())
         axes = tuple(cfg.mesh_axes)
         self._spatial = False
-        multi_dev = n_dev > 1 and (
-            axes == ("data", "model") or cfg.batch_size % n_dev == 0
-        )  # any branch below that builds a mesh
-        if cfg.grad_accum > 1 and (cfg.device_data or multi_dev):
+        if cfg.grad_accum > 1 and (
+            cfg.device_data or (axes == ("data", "model") and n_dev > 1)
+        ):
             raise ValueError(
-                "grad_accum > 1 is the single-device host-fed path only "
-                "(device_data and multi-device meshes scale batch by "
-                "sharding; combine them by lowering grad_accum to 1)"
+                "grad_accum > 1 composes with the host-fed path only (single "
+                "device or the pure-DP 'data' mesh); device_data and spatial "
+                "('data','model') meshes are not supported with accumulation "
+                "— lower grad_accum to 1 there"
             )
         if axes == ("data", "model") and n_dev > 1:
             from littlegan_tpu.parallel import make_mesh
@@ -144,8 +145,20 @@ class Trainer:
 
             self.mesh = make_mesh(n_dev)
             self.state = replicate_state(self.state, self.mesh)
-            self._train_step = make_parallel_train_step(cfg, self.state.params, self.mesh, donate=False)
-            print(f"Data-parallel training over {n_dev} devices")
+            if cfg.grad_accum > 1:
+                from littlegan_tpu.training.step import make_accum_train_step
+
+                self._train_step = make_accum_train_step(
+                    cfg, self.state.params, donate=False, mesh=self.mesh
+                )
+                print(
+                    f"Data-parallel training over {n_dev} devices with "
+                    f"{cfg.grad_accum}-pair gradient accumulation (effective "
+                    f"batch {cfg.grad_accum * cfg.batch_size})"
+                )
+            else:
+                self._train_step = make_parallel_train_step(cfg, self.state.params, self.mesh, donate=False)
+                print(f"Data-parallel training over {n_dev} devices")
         else:
             self.mesh = None
             if cfg.grad_accum > 1:
@@ -241,7 +254,10 @@ class Trainer:
                     f"devices (got {cfg.batch_size})"
                 )
             images, conds = [], []
-            for img, cond in self.dataset.epoch_iterator(0):
+            # canonical (unshuffled) order: store row j == canonical batch j,
+            # so _device_epoch's permutation reproduces the host pipeline's
+            # batch sequence exactly (epoch_batch_order is the shared stream)
+            for img, cond in self.dataset.epoch_iterator(0, shuffle=False):
                 images.append(img)
                 conds.append(cond)
             imgs = np.concatenate(images)
@@ -308,13 +324,16 @@ class Trainer:
         """Device-resident dataset path (cfg.device_data): the full uint8
         dataset lives in HBM; per-step batches are on-device slices — zero
         image bytes cross host->device in the hot loop. Batch membership
-        stays fixed and batch order is permuted per epoch, matching the host
-        pipeline. Yields int32 batch ids into the (n_batches, B, ...) store."""
+        stays fixed and batch order is permuted per epoch with the SAME
+        (seed, epoch) stream as the host pipeline (epoch_batch_order) — the
+        same seed yields a bitwise-identical batch sequence in host-fed,
+        device_data, and scan modes. Yields int32 batch ids into the
+        (n_batches, B, ...) store (row j == canonical batch j)."""
+        from littlegan_tpu.data.celeba import epoch_batch_order
+
         cfg = self.cfg
         imgs_dev, _ = self._ensure_device_store()
-        n_batches = imgs_dev.shape[0]
-        order = np.random.default_rng((cfg.seed, epoch, 1)).permutation(n_batches)
-        for b in order:
+        for b in epoch_batch_order(cfg.seed, epoch, imgs_dev.shape[0]):
             yield int(b)
 
     def _device_prefetch(self, it, depth: int = 2):
@@ -333,6 +352,35 @@ class Trainer:
                     exhausted = True
                     break
                 buf.append((self._put(pair[0]), self._put(pair[1])))
+            if not buf:
+                return
+            yield buf.popleft()
+
+    def _accum_prefetch(self, it, depth: int = 2):
+        """Yield device-resident (M, B, ...) accumulation groups, ``depth``
+        in flight. Under the DP mesh each group is sharded P(None, 'data'):
+        the micro-batch scan runs batch-sharded across the mesh with ONE
+        all-reduced optimizer apply per group (grad_accum x DP — effective
+        batch M x B x n_devices at one micro-shard's activation memory)."""
+        from collections import deque
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            put = lambda g: jax.device_put(g, sh)
+        else:
+            put = jax.device_put
+        groups = _accum_groups(_pairwise(it), self.cfg.grad_accum)
+        buf = deque()
+        exhausted = False
+        while True:
+            while not exhausted and len(buf) < depth:
+                g = next(groups, None)
+                if g is None:
+                    exhausted = True
+                    break
+                buf.append(put(g))
             if not buf:
                 return
             yield buf.popleft()
@@ -529,12 +577,12 @@ class Trainer:
                         self._prune_checkpoints(cfg.keep_checkpoints)
                     continue
 
-                if cfg.device_data:
+                if cfg.grad_accum > 1:  # host-fed only (device_data refused)
+                    pairs = self._accum_prefetch(self.dataset.epoch_iterator(epoch))
+                elif cfg.device_data:
                     pairs = _pairwise(self._device_epoch(epoch))
                 else:
                     pairs = self._device_prefetch(self.dataset.epoch_iterator(epoch))
-                if cfg.grad_accum > 1:
-                    pairs = _accum_groups(pairs, cfg.grad_accum)
                 batch_no = 0
                 images_done = 0
                 for b1, b2 in pairs:

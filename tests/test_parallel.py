@@ -202,3 +202,44 @@ def test_graft_entry_compiles():
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn).lower(*args).compile()(*args)
     assert out.shape == (8, 128, 128, 3)
+
+
+def test_accum_step_dp_matches_single_device(dp_cfg):
+    """grad_accum composed with the DP mesh (round-2 verdict #3): M=2
+    stacked micro-pairs sharded P(None, 'data') must produce the same
+    update and losses as the single-device accumulation step on the same
+    stacked batches — XLA's all-reduce of the scanned micro-gradients
+    reproduces the host math exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from littlegan_tpu.training.step import make_accum_train_step
+
+    cfg = dp_cfg.replace(grad_accum=2)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    p1, p2 = _global_batches(cfg, seed=7), _global_batches(cfg, seed=8)
+    stack = lambda a, b: tuple(jnp.stack([x, y]) for x, y in zip(a, b))
+    b1s, b2s = stack(p1[0], p2[0]), stack(p1[1], p2[1])
+    rng = jax.random.PRNGKey(3)
+
+    single = make_accum_train_step(cfg, state.params, donate=False)
+    out_single = single(state, b1s, b2s, rng, jnp.int32(20))
+
+    mesh = make_mesh(8)
+    dp_state = replicate_state(state, mesh)
+    dp = make_accum_train_step(cfg, state.params, donate=False, mesh=mesh)
+    sh = NamedSharding(mesh, P(None, "data"))
+    out_dp = dp(
+        dp_state, jax.device_put(b1s, sh), jax.device_put(b2s, sh), rng, jnp.int32(20)
+    )
+
+    assert len(out_dp.fake_image.sharding.device_set) == 8  # stays sharded
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(out_single.state.params),
+        jax.tree_util.tree_leaves_with_path(out_dp.state.params),
+    ):
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5, err_msg=key
+        )
+    for k in ("loss/gen", "loss/disc", "loss/adj"):
+        assert abs(float(out_single.metrics[k]) - float(out_dp.metrics[k])) < 1e-3, k

@@ -522,3 +522,17 @@ def test_scan_remainder_fires_cadences(run_cfg):
     # batch_no 3 -> 5 crosses freq_gen=4 inside the remainder
     gen_dir = os.path.join(cfg.result_dir, "train", "gen")
     assert os.listdir(gen_dir), "cadence inside the remainder group produced no artifact"
+
+
+def test_grad_accum_composes_with_dp_mesh(run_cfg):
+    """grad_accum x DP (round-2 verdict #3): batch 8 over the 8-device mesh
+    with 2-pair accumulation trains end to end — the trainer must build the
+    mesh-sharded accumulation step instead of refusing."""
+    cfg = run_cfg.replace(batch_size=8, grad_accum=2, epoch=1, freq_gen=2, freq_test=100)
+    ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    assert tr.mesh is not None, "8 virtual devices + batch 8 must pick the DP mesh"
+    tr.train()
+    # 8 batches -> 4 pairs -> 2 accum groups = 2 applied updates
+    assert tr.global_step == 2
+    assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))

@@ -13,8 +13,10 @@ demo site; nothing in-repo). Here serving is first-class:
     POST /adjust        {"image_b64": <png/jpeg base64>, "cond": [[...]]}
     POST /discriminate  {"image_b64": ...}
     GET  /healthz
-  Responses carry base64 JPEG images. Single-threaded by design: the TPU is
-  the serial resource; concurrency belongs in a fronting load balancer.
+  Responses carry base64 JPEG images. The device is the serial resource:
+  concurrent single-image requests to ANY entry point are dynamically
+  batched (one DynamicBatcher queue per endpoint) so they share one
+  AOT-compiled device call instead of paying a padded call each.
 """
 
 from __future__ import annotations
@@ -130,42 +132,50 @@ class InferenceEngine:
 
 
 class _Slot:
-    __slots__ = ("noise", "cond", "done", "result", "error")
+    __slots__ = ("rows", "done", "result", "error")
 
-    def __init__(self, noise: np.ndarray, cond: np.ndarray):
-        self.noise, self.cond = noise, cond
+    def __init__(self, rows: tuple):
+        self.rows = rows  # one array per row field (e.g. (noise, cond))
         self.done = threading.Event()
-        self.result: Optional[np.ndarray] = None
+        self.result = None
         self.error: Optional[Exception] = None
 
 
 class DynamicBatcher:
-    """Cross-request micro-batching for ``/generate``.
+    """Cross-request micro-batching for ONE engine entry point.
 
-    Concurrent single-image requests ride ONE AOT-compiled engine call
+    Concurrent single-row requests ride ONE AOT-compiled engine call
     instead of one padded call each: a collector thread gathers pending
-    rows up to ``engine.batch`` (or until ``max_wait_ms`` passes with a
-    partial batch) and fans results back out. Per-sample outputs are
-    independent (instance norm is per-sample; no cross-batch coupling), so
-    batched results are identical to per-request calls with the same noise.
-    At engine batch 8 this turns 8 concurrent ~1.6 ms padded calls into one
+    rows up to ``batch`` (or until ``max_wait_ms`` passes with a partial
+    batch) and fans results back out. Per-sample outputs are independent
+    (instance norm is per-sample; no cross-batch coupling), so batched
+    results are identical to per-request calls with the same inputs. At
+    engine batch 8 this turns 8 concurrent ~1.6 ms padded calls into one
     ~1.6 ms full call — ~8x serving throughput under concurrency (README
     latency table: b1 and b8 cost the same).
+
+    ``compute(*stacked)`` receives one (N, ...) array per row field and
+    must return a length-N sequence of per-row results. One batcher per
+    entry point (generate / adjust / discriminate — ``make_batchers``);
+    each keeps its own queue and collector thread.
     """
 
-    def __init__(self, engine: InferenceEngine, max_wait_ms: float = 3.0):
-        self.engine = engine
+    def __init__(self, compute, batch: int, max_wait_ms: float = 3.0, name: str = "generate"):
+        self.compute = compute
+        self.batch = batch
         self.max_wait = max_wait_ms / 1000.0
         self._lock = threading.Lock()
         self._pending: List[_Slot] = []
         self._kick = threading.Event()
         self._stop = False
-        self._thread = threading.Thread(target=self._run, daemon=True, name="lg-batcher")
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name=f"lg-batcher-{name}"
+        )
         self._thread.start()
 
-    def submit(self, noise_row: np.ndarray, cond_row: np.ndarray) -> np.ndarray:
-        """Blocking: returns this request's generated image."""
-        slot = _Slot(noise_row, cond_row)
+    def submit(self, *rows: np.ndarray):
+        """Blocking: returns this request's per-row result."""
+        slot = _Slot(rows)
         with self._lock:
             if self._stop:  # racing close(): fail fast, never hang on done
                 raise RuntimeError("batcher is closed")
@@ -178,7 +188,7 @@ class DynamicBatcher:
 
     def _take_batch(self) -> List[_Slot]:
         with self._lock:
-            batch = self._pending[: self.engine.batch]
+            batch = self._pending[: self.batch]
             del self._pending[: len(batch)]
             if not self._pending:
                 self._kick.clear()
@@ -191,25 +201,25 @@ class DynamicBatcher:
             deadline = time.monotonic() + self.max_wait
             while time.monotonic() < deadline:
                 with self._lock:
-                    if len(self._pending) >= self.engine.batch:
+                    if len(self._pending) >= self.batch:
                         break
                 time.sleep(0.0005)
             batch = self._take_batch()
             if not batch:
                 continue
             try:
-                noise = np.stack([s.noise for s in batch])
-                cond = np.stack([s.cond for s in batch])
-                imgs = self.engine.generate(cond, noise)
+                n_fields = len(batch[0].rows)
+                stacked = [np.stack([s.rows[j] for s in batch]) for j in range(n_fields)]
+                results = self.compute(*stacked)
                 for i, s in enumerate(batch):
-                    s.result = imgs[i]
+                    s.result = results[i]
                     s.done.set()
             except Exception:
                 # one bad row must not poison its batch-mates: retry each
                 # slot alone so only the offender gets the error
                 for s in batch:
                     try:
-                        s.result = self.engine.generate(s.cond[None], s.noise[None])[0]
+                        s.result = self.compute(*[r[None] for r in s.rows])[0]
                     except Exception as e:
                         s.error = e
                     s.done.set()
@@ -224,6 +234,34 @@ class DynamicBatcher:
             s.done.set()
         self._kick.set()
         self._thread.join(timeout=2)
+
+
+def make_batchers(engine: InferenceEngine, max_wait_ms: float = 3.0) -> Dict[str, DynamicBatcher]:
+    """One DynamicBatcher per entry point: /generate, /adjust, and
+    /discriminate each get their own queue so concurrent single-image
+    requests to ANY endpoint share one device call (round-2 verdict #7 —
+    previously only /generate batched; /adjust//discriminate paid a full
+    padded AOT call per request)."""
+
+    def _disc(image):
+        d = engine.discriminate(image)
+        return list(zip(d["pr"], d["cond"]))
+
+    b = engine.batch
+    return {
+        "generate": DynamicBatcher(
+            lambda noise, cond: engine.generate(cond, noise), b, max_wait_ms, "generate"
+        ),
+        "adjust": DynamicBatcher(
+            lambda image, cond: engine.adjust(image, cond), b, max_wait_ms, "adjust"
+        ),
+        "discriminate": DynamicBatcher(_disc, b, max_wait_ms, "discriminate"),
+    }
+
+
+def close_batchers(batchers: Optional[Dict[str, DynamicBatcher]]) -> None:
+    for b in (batchers or {}).values():
+        b.close()
 
 
 # ------------------------------------------------------------- http layer ----
@@ -253,8 +291,12 @@ def _b64_to_img(b64: str, dim: int, channels: int = 3) -> np.ndarray:
     return data_rescale(arr)
 
 
-def make_handler(engine: InferenceEngine, batcher: Optional[DynamicBatcher] = None):
+def make_handler(
+    engine: InferenceEngine, batchers: Optional[Dict[str, DynamicBatcher]] = None
+):
     from http.server import BaseHTTPRequestHandler
+
+    batchers = batchers or {}
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict):
@@ -282,6 +324,7 @@ def make_handler(engine: InferenceEngine, batcher: Optional[DynamicBatcher] = No
                 if self.path == "/generate":
                     cond = np.asarray(req["cond"], np.float32)
                     noise = np.asarray(req["noise"], np.float32) if "noise" in req else None
+                    batcher = batchers.get("generate")
                     if batcher is not None and cond.shape == (1, engine.cfg.cond_dim):
                         # shapes validated BEFORE joining the shared batch: a
                         # malformed row must 400 alone, not poison the peers
@@ -298,20 +341,40 @@ def make_handler(engine: InferenceEngine, batcher: Optional[DynamicBatcher] = No
                         imgs = engine.generate(cond, noise, seed=int(req.get("seed", 0)))
                     out = {"images": [_img_to_b64(i) for i in imgs]}
                 elif self.path == "/adjust":
-                    img = _b64_to_img(req["image_b64"], engine.cfg.image_dim, engine.cfg.image_channel)[None]
+                    img = _b64_to_img(req["image_b64"], engine.cfg.image_dim, engine.cfg.image_channel)
                     cond = np.asarray(req["cond"], np.float32).reshape(1, -1)
-                    out = {"images": [_img_to_b64(engine.adjust(img, cond)[0])]}
+                    if cond.shape[1] != engine.cfg.cond_dim:
+                        raise ValueError(
+                            f"cond width {cond.shape[1]} != {engine.cfg.cond_dim}"
+                        )
+                    batcher = batchers.get("adjust")
+                    if batcher is not None:
+                        adj = batcher.submit(img, cond[0])
+                    else:
+                        adj = engine.adjust(img[None], cond)[0]
+                    out = {"images": [_img_to_b64(adj)]}
                 elif self.path == "/discriminate":
-                    img = _b64_to_img(req["image_b64"], engine.cfg.image_dim, engine.cfg.image_channel)[None]
-                    d = engine.discriminate(img)
-                    out = {"pr": d["pr"].tolist(), "cond": d["cond"].tolist()}
+                    img = _b64_to_img(req["image_b64"], engine.cfg.image_dim, engine.cfg.image_channel)
+                    batcher = batchers.get("discriminate")
+                    if batcher is not None:
+                        pr, dcond = batcher.submit(img)
+                    else:
+                        d = engine.discriminate(img[None])
+                        pr, dcond = d["pr"][0], d["cond"][0]
+                    out = {"pr": [pr.tolist()], "cond": [dcond.tolist()]}
                 else:
                     return self._reply(404, {"error": "unknown path"})
                 out["latency_ms"] = round((time.time() - t0) * 1000, 2)
                 self._reply(200, out)
-            except (KeyError, ValueError, TypeError, OSError, json.JSONDecodeError) as e:
-                # OSError covers PIL's UnidentifiedImageError on bad image bytes
-                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except (KeyError, ValueError, TypeError, OSError, json.JSONDecodeError, RuntimeError) as e:
+                # OSError covers PIL's UnidentifiedImageError on bad image
+                # bytes; RuntimeError covers batcher shutdown / engine
+                # failures surfaced via slot.error (advisor r2: these
+                # previously dropped the connection instead of replying)
+                self._reply(400 if not isinstance(e, RuntimeError) else 500,
+                            {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # unexpected: reply 500, never hang up
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 
@@ -323,22 +386,22 @@ def serve(
     batch_size: int = 8,
     max_wait_ms: float = 3.0,
 ):
-    """Threaded HTTP server with cross-request dynamic batching
-    (``max_wait_ms <= 0`` disables the batcher: serial per-request calls)."""
+    """Threaded HTTP server with cross-request dynamic batching on all three
+    entry points (``max_wait_ms <= 0`` disables the batchers: serial
+    per-request calls)."""
     from http.server import ThreadingHTTPServer
 
     engine = InferenceEngine(cfg, batch_size=batch_size)
-    batcher = DynamicBatcher(engine, max_wait_ms) if max_wait_ms > 0 else None
-    server = ThreadingHTTPServer((host, port), make_handler(engine, batcher))
+    batchers = make_batchers(engine, max_wait_ms) if max_wait_ms > 0 else None
+    server = ThreadingHTTPServer((host, port), make_handler(engine, batchers))
     print(
         f"littlegan-tpu serving on {host}:{port} (batch {batch_size}, "
-        f"dynamic batching {'on' if batcher else 'off'})"
+        f"dynamic batching {'on' if batchers else 'off'})"
     )
     try:
         server.serve_forever()
     finally:
-        if batcher is not None:
-            batcher.close()
+        close_batchers(batchers)
 
 
 def main(argv=None) -> int:

@@ -107,6 +107,8 @@ class Trainer:
         self._device_store = None  # device-resident dataset (cfg.device_data)
         self._metrics_buffer = []  # device-side metrics pending TB flush
         self._flushing = False  # guards the flush against SIGINT reentrancy
+        self._interrupt_requested = False  # set by the SIGINT handler; acted
+        # on at train-loop safe points (_request_interrupt)
         self._store_s2d = False  # store layout, set at upload
         self._init_fixture(fixture_rng)
 
@@ -398,12 +400,24 @@ class Trainer:
         finally:
             self._flushing = False
 
+    def _request_interrupt(self, signum=None, frame=None):
+        """SIGINT handler: set a flag ONLY. The train loop performs the
+        flush/checkpoint/exit at its next safe point (advisor r2: orbax's
+        AsyncCheckpointer is not reentrant — saving from inside the signal
+        handler could interrupt an in-flight epoch save mid-write and hang
+        or corrupt the interrupt checkpoint). Same deferred design as the
+        atomic status.json write."""
+        self._interrupt_requested = True
+        print("\nSIGINT received; checkpointing at the next step boundary...")
+
     def _save_interrupt(self, signum=None, frame=None):
         """SIGINT semantics (eager_trainer.py:171-178): checkpoint + exit(1).
-        Buffered device-side metrics are flushed first (they would otherwise
-        be lost — up to flush_every dispatches of scalars), and an async
-        (orbax) save is waited out so the checkpoint status points at a
-        complete checkpoint before the process dies."""
+        Runs from the train loop (deferred via _request_interrupt), never
+        from signal-handler context. Buffered device-side metrics are
+        flushed first (they would otherwise be lost — up to flush_every
+        dispatches of scalars), and an async (orbax) save is waited out so
+        the checkpoint status points at a complete checkpoint before the
+        process dies."""
         self._flush_buffered()
         self.writer.flush()
         self.checkpointer.save(
@@ -416,7 +430,8 @@ class Trainer:
     def train(self) -> None:
         cfg = self.cfg
         assert self.dataset is not None, "train mode needs a dataset"
-        prev_handler = signal.signal(signal.SIGINT, self._save_interrupt)
+        self._interrupt_requested = False
+        prev_handler = signal.signal(signal.SIGINT, self._request_interrupt)
         self._metrics_buffer = []  # (step, device metrics) — flushed lazily,
         metrics_buffer = self._metrics_buffer  # shared with _save_interrupt
         flush_every = 16
@@ -499,9 +514,12 @@ class Trainer:
                         # profiling at group granularity: skip the first
                         # (warm-up) group, then trace until profile_steps
                         # steps are covered (or the epoch ends, whichever
-                        # comes first)
+                        # comes first). An epoch whose SECOND group is
+                        # already the trailing remainder would never pass
+                        # the warm-up gate — trace it anyway rather than
+                        # silently ignoring profile_steps (advisor r2).
                         if cfg.profile_steps > 0 and epoch == first_epoch:
-                            if not profile_started and batch_no >= scan_k:
+                            if not profile_started and (batch_no >= scan_k or last):
                                 jax.block_until_ready(self.state.params)
                                 jax.profiler.start_trace(profile_dir)
                                 profile_started = profiling = True
@@ -554,6 +572,8 @@ class Trainer:
                                 os.path.join(cfg.result_dir, "test", "disc", f"{epoch}-{batch_no}.json"),
                                 os.path.join(cfg.result_dir, "test", "adj", f"{epoch}-{batch_no}.jpg"),
                             )
+                        if self._interrupt_requested:  # deferred SIGINT
+                            self._save_interrupt()
                         if last:
                             break
                     if profiling:  # short first epoch: stop at epoch end —
@@ -575,6 +595,8 @@ class Trainer:
                     )
                     if cfg.keep_checkpoints > 0:
                         self._prune_checkpoints(cfg.keep_checkpoints)
+                    if self._interrupt_requested:  # SIGINT during epoch save
+                        self._save_interrupt()
                     continue
 
                 if cfg.grad_accum > 1:  # host-fed only (device_data refused)
@@ -625,6 +647,8 @@ class Trainer:
                             os.path.join(cfg.result_dir, "test", "disc", f"{epoch}-{batch_no}.json"),
                             os.path.join(cfg.result_dir, "test", "adj", f"{epoch}-{batch_no}.jpg"),
                         )
+                    if self._interrupt_requested:  # deferred SIGINT
+                        self._save_interrupt()
                 if profiling:  # short first epoch: stop at epoch end, not run end
                     jax.block_until_ready(self.state.params)
                     jax.profiler.stop_trace()
@@ -639,6 +663,8 @@ class Trainer:
                 )
                 if cfg.keep_checkpoints > 0:
                     self._prune_checkpoints(cfg.keep_checkpoints)
+                if self._interrupt_requested:  # SIGINT during epoch save
+                    self._save_interrupt()
         finally:
             if profiling:
                 jax.profiler.stop_trace()

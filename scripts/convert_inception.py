@@ -7,6 +7,9 @@ offline: point this script at a torchvision ``inception_v3`` checkpoint
 consumed by ``Config.fid_weights`` / eval/inception.py.
 
 Usage: python scripts/convert_inception.py /path/to/inception_v3.pth out.npz
+       (add --allow-full-unpickle ONLY for trusted full-module checkpoints
+        that fail the safe weights_only load — full unpickling runs code
+        from the file)
 
 Mapping: torchvision module names -> our layer names; conv weights are
 transposed OIHW -> HWIO; each BatchNorm is folded into an affine
@@ -128,10 +131,14 @@ def synthetic_state_dict(seed: int = 0) -> dict:
     return sd
 
 
-def load_state_dict(src: str) -> dict:
+def load_state_dict(src: str, allow_full_unpickle: bool = False) -> dict:
     """Load a torchvision state_dict from a .pth (torch) or a .npz holding
     the same key->array mapping (lets the conversion path be validated
-    in environments without torch checkpoints)."""
+    in environments without torch checkpoints).
+
+    ``weights_only=True`` is the only default load path: full unpickling
+    executes arbitrary code from the checkpoint file, so it requires the
+    explicit ``--allow-full-unpickle`` opt-in (never an automatic retry)."""
     if src.endswith(".npz"):
         with np.load(src) as z:
             return {k: z[k] for k in z.files}
@@ -139,10 +146,15 @@ def load_state_dict(src: str) -> dict:
 
     try:
         sd = torch.load(src, map_location="cpu", weights_only=True)
-    except Exception:
-        # full-module checkpoints can't unpickle under weights_only; retry
-        # unrestricted (explicit local user action on a file they chose)
-        print("weights-only load failed; retrying full unpickle", file=sys.stderr)
+    except Exception as e:
+        if not allow_full_unpickle:
+            raise SystemExit(
+                f"weights-only load failed ({type(e).__name__}: {e}).\n"
+                "Full-module checkpoints need unrestricted unpickling, which "
+                "EXECUTES CODE from the file. If you trust this checkpoint, "
+                "re-run with --allow-full-unpickle."
+            )
+        print("weights-only load failed; full unpickle (explicitly allowed)", file=sys.stderr)
         sd = torch.load(src, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
@@ -150,11 +162,15 @@ def load_state_dict(src: str) -> dict:
 
 
 def main() -> int:
-    if len(sys.argv) != 3:
+    argv = list(sys.argv[1:])
+    allow_full = "--allow-full-unpickle" in argv
+    if allow_full:
+        argv.remove("--allow-full-unpickle")
+    if len(argv) != 2:
         print(__doc__)
         return 2
-    src, dst = sys.argv[1], sys.argv[2]
-    np.savez_compressed(dst, **convert(load_state_dict(src)))
+    src, dst = argv
+    np.savez_compressed(dst, **convert(load_state_dict(src, allow_full)))
     print(f"converted {len(_NAME_MAP)} conv-bn blocks -> {dst}")
     return 0
 

@@ -536,3 +536,26 @@ def test_grad_accum_composes_with_dp_mesh(run_cfg):
     # 8 batches -> 4 pairs -> 2 accum groups = 2 applied updates
     assert tr.global_step == 2
     assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))
+
+
+def test_deferred_sigint_saves_and_exits(run_cfg):
+    """SIGINT is deferred (advisor r2): the handler only sets a flag; the
+    train loop flushes, checkpoints and exits at the next step boundary —
+    never from signal-handler context (orbax AsyncCheckpointer is not
+    reentrant)."""
+    import signal as _signal
+    import threading as _threading
+
+    cfg = run_cfg.replace(epoch=50, freq_gen=1000, freq_test=1000)
+    ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    timer = _threading.Timer(1.0, os.kill, (os.getpid(), _signal.SIGINT))
+    timer.start()
+    with pytest.raises(SystemExit) as e:
+        tr.train()
+    timer.cancel()
+    assert e.value.code == 1  # reference exits 1 (eager_trainer.py:177-178)
+    assert tr._interrupt_requested  # flag path, not an in-handler save
+    assert os.path.isfile(
+        os.path.join(cfg.result_dir, "checkpoint", "ckpt-interrupt.npz")
+    )

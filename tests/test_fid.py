@@ -2,6 +2,8 @@
 agreement, Newton–Schulz device path, inception extractor shapes, and the
 two-mode eval driver on synthetic images (SURVEY §4)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -335,3 +337,89 @@ def test_load_images_center_crops_nonsquare(tmp_path):
     # transition inside the frame (squash would too, but the crop is exact:
     # row 7 black, row 8 white)
     assert out[0, 7].mean() == 0 and out[0, 8].mean() == 255
+
+
+# ------------------------------------------------ real-weights runbook ----
+# docs/fid_real_weights.md: the moment a container holds a real torchvision
+# inception_v3 checkpoint, convert -> fid_weights -> evaluate must run
+# unmodified. The chain is dry-run here on every pass with the synthetic
+# state_dict; the gated test below runs the identical chain on real weights
+# when LITTLEGAN_FID_WEIGHTS is set.
+
+
+def _run_weights_chain(tmp_path, tiny_cfg, src_path):
+    """convert -> load as fid_weights -> precalculate + evaluate_generated."""
+    import subprocess
+    import sys as _sys
+
+    from PIL import Image
+
+    from littlegan_tpu.eval.evaluate import evaluate_generated, precalculate
+
+    dst = tmp_path / "fid_weights.npz"
+    proc = subprocess.run(
+        [_sys.executable, "scripts/convert_inception.py", str(src_path), str(dst)],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+
+    rng = np.random.default_rng(0)
+    real_dir, gen_dir = tmp_path / "real", tmp_path / "gen"
+    real_dir.mkdir(), gen_dir.mkdir()
+    for i in range(8):
+        for d in (real_dir, gen_dir):
+            Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+                d / f"{i}.jpg"
+            )
+    # real weights present -> NO allow_random_fid needed, plain FID label
+    cfg = tiny_cfg.replace(fid_weights=str(dst), allow_random_fid=False)
+    stats, log = tmp_path / "stats.npz", tmp_path / "fid.log"
+    precalculate(cfg, str(real_dir), str(stats), batch_size=8)
+    fid = evaluate_generated(cfg, str(gen_dir), str(stats), str(log), batch_size=8)
+    assert np.isfinite(fid)
+    text = log.read_text()
+    assert "RANDOM-INIT" not in text and "FID" in text
+    return dst
+
+
+@pytest.mark.slow
+def test_runbook_dry_run_synthetic_weights(tmp_path, tiny_cfg):
+    """The full runbook chain on the synthetic torchvision-format state_dict
+    (keeps docs/fid_real_weights.md from rotting while no real checkpoint
+    exists in-container)."""
+    conv = _converter()
+    src = tmp_path / "tv_state.npz"
+    np.savez_compressed(src, **conv.synthetic_state_dict(seed=9))
+    _run_weights_chain(tmp_path, tiny_cfg, src)
+
+
+@pytest.mark.slow
+def test_real_weights_runbook(tmp_path, tiny_cfg):
+    """Gated on LITTLEGAN_FID_WEIGHTS (a real torchvision inception_v3 .pth
+    or .npz): runs the identical chain, then writes/compares the golden
+    feature fixture (tests/golden_inception_features.npz — commit it on
+    first success, see docs/fid_real_weights.md)."""
+    import pathlib
+
+    import jax.numpy as jnp
+
+    src = os.environ.get("LITTLEGAN_FID_WEIGHTS", "")
+    if not src or not os.path.isfile(src):
+        pytest.skip("LITTLEGAN_FID_WEIGHTS not set (no real checkpoint in-container)")
+
+    from littlegan_tpu.eval.inception import inception_features, init_inception_params
+
+    dst = _run_weights_chain(tmp_path, tiny_cfg, src)
+    params = init_inception_params(str(dst))
+    imgs = jnp.asarray(
+        np.random.default_rng(42).integers(0, 256, (2, 299, 299, 3)), jnp.float32
+    )
+    feats = np.asarray(inception_features(params, imgs))
+    golden = pathlib.Path(__file__).parent / "golden_inception_features.npz"
+    if golden.is_file():
+        with np.load(golden) as z:
+            np.testing.assert_allclose(feats, z["features"], rtol=1e-3, atol=1e-3)
+    else:
+        np.savez_compressed(golden, features=feats)
+        print(f"wrote golden fixture {golden} — commit it")

@@ -1,4 +1,4 @@
-"""Benchmark: training images/sec on one chip (the BASELINE.md north-star).
+"""Benchmark: training throughput + MFU on one chip (BASELINE.md north-star).
 
 Measures the full fused train step (G+D+A forward/backward, on-device
 augmentation, masked-Adam updates, partition schedule) at the reference
@@ -21,12 +21,25 @@ Accounting matches the reference: each step consumes TWO batches
 (eager_trainer.py:117-118), so images/sec = 2 * batch * steps / time — the
 same quantity the reference's Progbar tracks (eager_trainer.py:213).
 
-``vs_baseline``: the reference publishes NO numbers (BASELINE.md). We use
-the BASELINE.json north-star definition — ``>=5x V100-class reference
-throughput`` — with the V100-class reference estimated at 190 images/sec
-(TF-1.15 eager + defun, batch 32, measured-class estimate for this model
-size; documented assumption, revisit if a real reference run lands).
-vs_baseline = measured / 190.0, so the 5x target reads as vs_baseline >= 5.
+Emitted alongside images/sec (round-2 verdict #2 — the trustworthy
+north-star metrics are device step time and MFU):
+
+- ``step_ms``: wall time per train step through the production path.
+- ``model_tflops_per_step``: analytic FLOPs of ONE train step from XLA's
+  own cost model (``Compiled.cost_analysis()`` of the K-step program / K) —
+  fwd+bwd for G+D+A at reference semantics, ~0.87 TFLOP at 128²/b32.
+- ``mfu``: achieved model FLOP/s over the chip's peak (bf16 peak looked up
+  from device_kind; emitted so the assumption is visible).
+
+``vs_baseline``: the reference publishes NO numbers (BASELINE.md), so the
+baseline is DERIVED, not asserted: the reference stack is TF-1.15 fp32 on a
+V100 (README.md:4-5; no mixed-precision setup anywhere in the repo), peak
+15.7 TFLOP/s fp32. Granting it a generous 30% utilization (eager + defun
+conv stack; cuDNN-era measured range ~15-40%) gives an effective 4.71
+TFLOP/s, i.e. ``baseline_images_per_sec = 2*B / (flops_per_step /
+4.71e12)`` ≈ 345 img/s at this model size. That replaces round-1/2's bald
+190 img/s constant (which corresponded to an undocumented ~16% util
+assumption); the derivation and both knobs are emitted in the JSON.
 """
 
 import json
@@ -44,12 +57,32 @@ from littlegan_tpu.data.synthetic import random_device_batch as make_batch
 from littlegan_tpu.training import create_train_state
 from littlegan_tpu.training.step import make_scan_train_step
 
-V100_REFERENCE_IMAGES_PER_SEC = 190.0
-
 STEPS_PER_DISPATCH = 8  # trainer.py default for device_data runs
 WARMUP_DISPATCHES = 2
 MEASURE_DISPATCHES = 5
 N_STORE_BATCHES = 16
+
+# bf16 peak TFLOP/s by device_kind substring (first match wins)
+_PEAK_TFLOPS = [
+    ("v6 lite", 918e12), ("v6e", 918e12),
+    ("v5 lite", 197e12), ("v5e", 197e12),
+    ("v5p", 459e12), ("v5", 459e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+]
+
+# Derived V100 baseline (see module docstring): fp32 peak x assumed util.
+V100_FP32_PEAK = 15.7e12
+V100_ASSUMED_UTIL = 0.30
+
+
+def _peak_flops(device) -> float | None:
+    kind = device.device_kind.lower()
+    for sub, peak in _PEAK_TFLOPS:
+        if sub in kind:
+            return peak
+    return None
 
 
 def main():
@@ -73,6 +106,21 @@ def main():
     b1s = jnp.arange(k, dtype=jnp.int32)
     b2s = b1s + k
 
+    # analytic model FLOPs from XLA's cost model, on a SINGLE-step program:
+    # cost_analysis counts a lax.scan body ONCE regardless of trip count
+    # (measured: the K=8 scan program reports ~= one step's flops), so the
+    # scan program cannot be divided by K. The single step is the same math
+    # the scan body runs (equivalence-tested in tests/test_train_step.py).
+    from littlegan_tpu.training.step import make_train_step
+
+    one_step = make_train_step(cfg, state.params, donate=False)
+    ca = one_step.lower(
+        state, (images[0], conds[0]), (images[1], conds[1]), rng, jnp.int32(11)
+    ).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops_per_step = float(ca.get("flops", 0.0))
+
     def dispatch(state, d):
         return step(
             state, images, conds, b1s, b2s, rng, jnp.int32(d * k), jnp.int32(11 + d * k)
@@ -90,16 +138,36 @@ def main():
 
     n_steps = MEASURE_DISPATCHES * STEPS_PER_DISPATCH
     images_per_sec = 2 * cfg.batch_size * n_steps / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "train_images_per_sec_per_chip_128px_b32",
-                "value": round(images_per_sec, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(images_per_sec / V100_REFERENCE_IMAGES_PER_SEC, 3),
-            }
-        )
+    step_s = elapsed / n_steps
+
+    dev = jax.devices()[0]
+    peak = _peak_flops(dev)
+    achieved = flops_per_step / step_s if step_s > 0 else 0.0
+    baseline_img_s = (
+        2 * cfg.batch_size / (flops_per_step / (V100_FP32_PEAK * V100_ASSUMED_UTIL))
+        if flops_per_step > 0
+        else float("nan")
     )
+
+    out = {
+        "metric": "train_images_per_sec_per_chip_128px_b32",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / baseline_img_s, 3),
+        "step_ms": round(step_s * 1000, 3),
+        "model_tflops_per_step": round(flops_per_step / 1e12, 4),
+        "achieved_tflops": round(achieved / 1e12, 2),
+        "device_kind": dev.device_kind,
+        "baseline_images_per_sec": round(baseline_img_s, 1),
+        "baseline_derivation": (
+            f"V100 fp32 peak {V100_FP32_PEAK/1e12:.1f}TF x "
+            f"{V100_ASSUMED_UTIL:.0%} assumed util (TF1.15 eager+defun)"
+        ),
+    }
+    if peak is not None:
+        out["mfu"] = round(achieved / peak, 4)
+        out["peak_tflops_bf16"] = round(peak / 1e12, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

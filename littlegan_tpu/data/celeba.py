@@ -142,13 +142,30 @@ class CelebA:
         self._files = [p[0] for p in pairs]
         self._conds = np.asarray([p[1] for p in pairs], np.float32)
         self.num_items = len(self._files)
+        self._global_items = global_items
+        self._shard_count = shard_count
+        self.rows_per_batch = cfg.batch_size
         self.batches = (global_items // shard_count) // cfg.batch_size
+        self.decoded_rows = 0  # observability: total rows decoded (tests
+        # assert the multi-host path decodes only its devices' rows)
         self.all_label = list(CELEBA_ATTR_NAMES)
         self.label = [CELEBA_ATTR_NAMES[i] for i in cfg.attr]
         self._decoder = self._pick_decoder()
         # optional in-RAM uint8 cache (cfg.cache_decoded): decode each image
         # once, serve later epochs at memcpy speed
         self._cache: dict = {} if cfg.cache_decoded else None
+
+    def set_rows_per_batch(self, rows: int) -> None:
+        """Multi-host host-fed DP (round-2 verdict #5b): each host decodes
+        ONLY the ``rows = batch_size / n_proc`` rows its own devices train;
+        the trainer assembles the global batch from every host's rows via
+        ``make_array_from_process_local_data`` (parallel.shard_local_batch).
+        With the same ``batches`` count on every host (computed from the
+        GLOBAL item count), each host's full shard is covered per epoch —
+        no decode waste and no never-trained rows."""
+        assert self.cfg.batch_size % rows == 0, (rows, self.cfg.batch_size)
+        self.rows_per_batch = rows
+        self.batches = (self._global_items // self._shard_count) // rows
 
     def _pick_decoder(self):
         """Batch decoder: callable(list of paths) -> (N, dim, dim, C) uint8."""
@@ -163,6 +180,7 @@ class CelebA:
         return lambda paths: np.stack([_decode_pil(p, dim, ch) for p in paths])
 
     def _load_batch(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        self.decoded_rows += len(idx)
         if self._cache is not None:
             missing = [int(i) for i in idx if int(i) not in self._cache]
             if missing:
@@ -195,9 +213,8 @@ class CelebA:
             order = epoch_batch_order(cfg.seed, epoch, self.batches)
         else:
             order = np.arange(self.batches)
-        batch_indices = [
-            np.arange(b * cfg.batch_size, (b + 1) * cfg.batch_size) for b in order
-        ]
+        rows = self.rows_per_batch  # == batch_size unless multi-host host-fed
+        batch_indices = [np.arange(b * rows, (b + 1) * rows) for b in order]
         depth = max(2, cfg.prefetch_batch)
         pool = ThreadPoolExecutor(max_workers=cfg.threads)
         try:

@@ -2,5 +2,6 @@ from littlegan_tpu.parallel.mesh import make_mesh  # noqa: F401
 from littlegan_tpu.parallel.train import (  # noqa: F401
     make_parallel_train_step,
     shard_batch,
+    shard_local_batch,
     replicate_state,
 )

@@ -50,6 +50,23 @@ def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, _batch_sharding(mesh))
 
 
+def shard_local_batch(batch, mesh: Mesh, spec: P = P("data")):
+    """Per-process LOCAL rows -> one GLOBAL batch sharded over ``mesh``.
+
+    Multi-host host-fed feeding (round-2 verdict #5b): every process passes
+    only the rows its own devices train (its 1/n_proc slice of the global
+    batch) and ``make_array_from_process_local_data`` assembles the global
+    sharded array. Previously each host decoded the full global batch while
+    its devices trained a 1/n slice — and, with fixed batch membership, the
+    other rows of its shard never trained at all."""
+    import numpy as np
+
+    sh = NamedSharding(mesh, spec)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
+    )
+
+
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
     return jax.device_put(state, _replicated(mesh))
 

@@ -110,6 +110,29 @@ class Trainer:
         self._interrupt_requested = False  # set by the SIGINT handler; acted
         # on at train-loop safe points (_request_interrupt)
         self._store_s2d = False  # store layout, set at upload
+
+        n_dev = len(jax.devices())
+        axes = tuple(cfg.mesh_axes)
+        n_proc = jax.process_count()
+        # Multi-host host-fed DP (round-2 verdict #5b): each host decodes
+        # ONLY the batch_size/n_proc rows its own devices train; the global
+        # batch is assembled from every host's rows (shard_local_batch).
+        # Must run BEFORE the fixture pull so even that decodes local rows.
+        if (
+            n_proc > 1
+            and self.dataset is not None
+            and not cfg.device_data
+            and axes == ("data",)
+            and n_dev > 1
+            and cfg.batch_size % n_dev == 0
+            and hasattr(self.dataset, "set_rows_per_batch")
+        ):
+            rows = cfg.batch_size // n_proc
+            self.dataset.set_rows_per_batch(rows)
+            print(
+                f"multi-host host-fed: each host decodes {rows}/{cfg.batch_size} "
+                "rows per batch (its own devices' slice)"
+            )
         self._init_fixture(fixture_rng)
 
         # Parallelism selection (cfg.mesh_axes / cfg.mesh_shape):
@@ -121,8 +144,6 @@ class Trainer:
         # donate=False throughout: the SIGINT handler may fire between step
         # dispatch and state reassignment; donated input buffers would then
         # be dead when the interrupt checkpoint reads them (bench donates).
-        n_dev = len(jax.devices())
-        axes = tuple(cfg.mesh_axes)
         self._spatial = False
         if cfg.grad_accum > 1 and (
             cfg.device_data or (axes == ("data", "model") and n_dev > 1)
@@ -218,14 +239,18 @@ class Trainer:
     # ------------------------------------------------------------- train ----
 
     def _put(self, batch):
-        """Host batch -> device(s): sharded over the mesh when parallel."""
+        """Host batch -> device(s): sharded over the mesh when parallel.
+        Multi-host: each process passes only its local rows and the global
+        batch is assembled across hosts (shard_local_batch)."""
         if self._spatial:
             from littlegan_tpu.parallel.spatial import shard_spatial_batch
 
             return shard_spatial_batch(batch, self.mesh)
         if self.mesh is not None:
-            from littlegan_tpu.parallel import shard_batch
+            from littlegan_tpu.parallel import shard_batch, shard_local_batch
 
+            if jax.process_count() > 1:
+                return shard_local_batch(batch, self.mesh)
             return shard_batch(batch, self.mesh)
         return jax.device_put(batch)
 
@@ -241,12 +266,20 @@ class Trainer:
         if self._device_store is None:
             cfg = self.cfg
             n_proc = jax.process_count()
+            # spatial ('data','model') multi-host: supported when the
+            # 'model' (H) axis shards within each process — every host then
+            # contributes whole-H blocks of its b_local rows and the
+            # P(None,'data','model') store assembles across hosts exactly
+            # like pure DP (2-process test: test_multihost spatial_store)
             if n_proc > 1 and self._spatial:
-                raise NotImplementedError(
-                    "device_data + spatial ('data','model') mesh across hosts "
-                    "is not implemented; use the pure-DP mesh or the host "
-                    "pipeline (device_data=false)"
-                )
+                for grp in self.mesh.devices.reshape(-1, self.mesh.devices.shape[-1]):
+                    if len({d.process_index for d in grp}) > 1:
+                        raise ValueError(
+                            "device_data + spatial across hosts needs the "
+                            "'model' axis within one process (hosts ship "
+                            "whole-H store blocks); pick mesh_shape = "
+                            "(n_hosts * k, devices_per_host / k)"
+                        )
             if n_proc > 1 and self.mesh is None:
                 # without the DP mesh each host would silently train its own
                 # independent model on half-size batches (no all-reduce)
@@ -369,8 +402,13 @@ class Trainer:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            sh = NamedSharding(self.mesh, P(None, "data"))
-            put = lambda g: jax.device_put(g, sh)
+            if jax.process_count() > 1:  # per-host rows -> global group
+                from littlegan_tpu.parallel import shard_local_batch
+
+                put = lambda g: shard_local_batch(g, self.mesh, P(None, "data"))
+            else:
+                sh = NamedSharding(self.mesh, P(None, "data"))
+                put = lambda g: jax.device_put(g, sh)
         else:
             put = jax.device_put
         groups = _accum_groups(_pairwise(it), self.cfg.grad_accum)

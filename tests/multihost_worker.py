@@ -81,3 +81,69 @@ if phase in ("store", "all"):
         f"MULTIHOST_STORE_OK proc={proc_id} "
         + " ".join(f"{k}={float(np.asarray(v)[-1]):.6f}" for k, v in sorted(m2.items()))
     )
+
+# ---- phase 3: device_data + SPATIAL ('data','model') mesh across hosts ----
+# (round-2 verdict #5a) mesh (2, 4): 'data' spans the two processes, 'model'
+# (image H) shards within each process. Store sharded P(None,'data','model');
+# each process contributes its b_local rows with FULL H (the model axis is
+# process-internal, so make_array_from_process_local_data takes whole-H
+# local blocks). Losses must agree across processes and with a
+# single-process run over the same global store (harness checks).
+if phase in ("spatial_store",):
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from littlegan_tpu.training.step import make_scan_train_step
+
+    K = STORE_K
+    scfg = cfg.replace(mesh_axes=["data", "model"], mesh_shape=[2, 4])
+    smesh = make_mesh(8, axis_names=("data", "model"), shape=(2, 4))
+    g_imgs, g_conds = make_store_data(scfg)
+    b_local = scfg.batch_size // 2
+    lo, hi = proc_id * b_local, (proc_id + 1) * b_local
+    img_sh = NamedSharding(smesh, P(None, "data", "model"))
+    cond_sh = NamedSharding(smesh, P(None, "data"))
+    store = (
+        jax.make_array_from_process_local_data(img_sh, g_imgs[:, lo:hi]),
+        jax.make_array_from_process_local_data(cond_sh, g_conds[:, lo:hi]),
+    )
+    state3 = replicate_state(create_train_state(scfg, jax.random.PRNGKey(0)), smesh)
+    scan_step = make_scan_train_step(scfg, state3.params, K, donate=False, mesh=smesh)
+    b1s = jnp.arange(K, dtype=jnp.int32)
+    out3 = scan_step(state3, store[0], store[1], b1s, b1s + K, jax.random.PRNGKey(3), jnp.int32(0), jnp.int32(11))
+    m3 = jax.device_get(out3.metrics)
+    print(
+        f"MULTIHOST_SPATIAL_OK proc={proc_id} "
+        + " ".join(f"{k}={float(np.asarray(v)[-1]):.6f}" for k, v in sorted(m3.items()))
+    )
+
+# ---- phase 4: host-fed multi-host DP with per-host decode slicing ----
+# (round-2 verdict #5b) Full Trainer over a real CelebA tmp tree: each
+# process decodes ONLY its devices' rows (batch_size/2 per batch) and the
+# global batch assembles via shard_local_batch. The harness asserts decode
+# counts and cross-process loss equality.
+if phase in ("hostfed",):
+    import numpy as np
+
+    data_root, out_root = sys.argv[4], sys.argv[5]
+    from littlegan_tpu.data.celeba import CelebA
+    from littlegan_tpu.training.trainer import Trainer
+
+    hcfg = cfg.replace(
+        image_path=os.path.join(data_root, "img"),
+        attr_path=os.path.join(data_root, "attrs.txt"),
+        image_dim=16, attr=[0, 1, 2, 3, 4, 5, 6],
+        epoch=1, freq_gen=1000, freq_test=1000, restore=False, reuse=False,
+        all_result_dir=os.path.join(out_root, f"proc{proc_id}"),
+        test_data_dir=os.path.join(out_root, f"proc{proc_id}", "td"),
+        exp_name="mh", debug=True, use_native_loader=False, train_adj=True,
+    )
+    ds = CelebA(hcfg, shard_index=proc_id, shard_count=2)
+    tr = Trainer(hcfg, ds)
+    assert tr.mesh is not None, "expected the DP mesh"
+    assert ds.rows_per_batch == hcfg.batch_size // 2, ds.rows_per_batch
+    tr.train()
+    print(
+        f"MULTIHOST_HOSTFED_OK proc={proc_id} decoded={ds.decoded_rows} "
+        f"batches={ds.batches} rows={ds.rows_per_batch} steps={tr.global_step}"
+    )

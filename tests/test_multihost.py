@@ -21,7 +21,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(phase: str):
+def _run_workers(phase: str, *extra: str):
     """Launch the 2-process cluster; ALWAYS kill both on timeout/error so a
     hung peer blocked in a collective can't leak past the test."""
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
@@ -30,7 +30,7 @@ def _run_workers(phase: str):
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), port, phase],
+            [sys.executable, worker, str(i), port, phase, *extra],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         )
         for i in range(2)
@@ -95,3 +95,89 @@ def test_two_process_device_store_matches_single_process(tmp_path):
     # cross-process all-reduce ordering differs from single-process by ~1 ulp
     for k, v in expect.items():
         assert abs(float(got[k]) - v) < 1e-4 * max(1.0, abs(v)), (k, got[k], v)
+
+
+@pytest.mark.slow
+def test_two_process_spatial_device_store(tmp_path):
+    """device_data + spatial ('data','model') mesh ACROSS hosts (round-2
+    verdict #5a): mesh (2,4) with 'data' spanning processes and H sharding
+    within each; both processes must report the same losses, matching a
+    single-process run over the same global store."""
+    import numpy as np
+
+    outs = _run_workers("spatial_store")
+    lines = [l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_SPATIAL_OK")]
+    assert len(lines) == 2, outs
+    metrics = [l.split(" ", 2)[2] for l in lines]
+    assert metrics[0] == metrics[1], lines
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from littlegan_tpu.parallel import make_mesh, replicate_state
+    from littlegan_tpu.training import create_train_state
+    from littlegan_tpu.training.step import make_scan_train_step
+    from tests.multihost_common import STORE_K as K, make_cfg, make_store_data
+
+    cfg = make_cfg().replace(mesh_axes=["data", "model"], mesh_shape=[2, 4])
+    g_imgs, g_conds = make_store_data(cfg)
+    mesh = make_mesh(8, axis_names=("data", "model"), shape=(2, 4))
+    store = (
+        jax.device_put(g_imgs, NamedSharding(mesh, P(None, "data", "model"))),
+        jax.device_put(g_conds, NamedSharding(mesh, P(None, "data"))),
+    )
+    state = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    step = make_scan_train_step(cfg, state.params, K, donate=False, mesh=mesh)
+    b1s = jnp.arange(K, dtype=jnp.int32)
+    out = step(state, store[0], store[1], b1s, b1s + K, jax.random.PRNGKey(3), jnp.int32(0), jnp.int32(11))
+    expect = {k: float(np.asarray(v)[-1]) for k, v in sorted(jax.device_get(out.metrics).items())}
+    got = dict(kv.split("=") for kv in metrics[0].split())
+    for k, v in expect.items():
+        assert abs(float(got[k]) - v) < 1e-4 * max(1.0, abs(v)), (k, got[k], v)
+
+
+@pytest.mark.slow
+def test_two_process_hostfed_decodes_only_local_rows(tmp_path):
+    """Host-fed multi-host DP (round-2 verdict #5b): the full Trainer over a
+    real JPEG tree must decode ONLY each host's devices' rows (strictly
+    fewer than one epoch of full-batch decode), train the same number of
+    steps on both processes, and report identical losses."""
+    import numpy as np
+    from PIL import Image
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(32):
+        name = f"{i:06d}.jpg"
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+            img_dir / name, quality=95
+        )
+        names.append(name)
+    attrs = rng.choice([-1, 1], size=(32, 40))
+    lines = ["32", " ".join(f"A{i}" for i in range(40))]
+    for name, row in zip(names, attrs):
+        lines.append(name + " " + " ".join(str(v) for v in row))
+    (tmp_path / "attrs.txt").write_text("\n".join(lines))
+
+    outs = _run_workers("hostfed", str(tmp_path), str(tmp_path / "out"))
+    ok = [l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_HOSTFED_OK")]
+    assert len(ok) == 2, outs
+    for line in ok:
+        kv = dict(p.split("=") for p in line.split()[1:])
+        batches, rows, decoded = int(kv["batches"]), int(kv["rows"]), int(kv["decoded"])
+        assert rows == 4  # batch 8 over 2 hosts
+        assert batches == 4  # (32 global items / 2 hosts) / 4 rows
+        # full local coverage (epoch = batches*rows) plus at most the
+        # fixture pull's abandoned prefetch (<= 4 quarter-size batches).
+        # The pre-#5b path decoded batch_size rows EVERYWHERE: 32 for the
+        # epoch + 32 of fixture prefetch per host — 2x this bound.
+        assert batches * rows <= decoded <= batches * rows + 4 * rows, line
+        assert int(kv["steps"]) == 2  # 4 batches -> 2 pairs
+    # identical losses on both processes (the flushed "step N: Loss..." line)
+    loss_lines = [
+        [l for l in o.splitlines() if "LossG" in l][-1] for o in outs
+    ]
+    assert loss_lines[0] == loss_lines[1], loss_lines

@@ -110,6 +110,17 @@ class Config:
     # sequential per-sample grid + custom-VJP residual pinning cost more
     # than the saved HBM round trips. Kept as an opt-in and a kernel pattern.
     use_pallas: bool = False
+    # Pallas im2col-GEMM kernel for the s2d boundary conv (encoder block1:
+    # 12->64 channels at 64², ops/pallas/boundary_conv.py). The xplane
+    # profile shows XLA lowers this narrow-channel family with an N-minor
+    # layout at ~3% MFU; the kernel runs it as one MXU GEMM per sample.
+    # Default OFF: measured on v5e (2026-08-17), the b32 step REGRESSES
+    # 10.4 -> 17.5 ms — the per-sample VMEM relayouts (scratch-realigned
+    # im2col, forced by a Mosaic concatenate compiler crash on misaligned
+    # operands) cost as much as XLA's mis-layout, plus boundary copies.
+    # Full measurement record in the kernel docstring. Kept as an opt-in
+    # pattern; disabled automatically under meshes (not partitionable).
+    use_pallas_boundary: bool = False
     # OPT-IN, beyond the reference: gradient accumulation — mean grads over
     # M micro-batch pairs, one optimizer apply (effective batch M*batch_size
     # with one micro-batch's activation memory; for 512²+ where the target

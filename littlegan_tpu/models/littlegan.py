@@ -194,13 +194,32 @@ def encoder_apply(
     outputs = []
     for i in range(1, 5):
         blk = enc[f"block{i}"]
+        normed = False
         if i == 1 and s2d_active(cfg):
             from littlegan_tpu.ops.s2d import s2d_conv1_kernel
 
-            x = conv2d(x, s2d_conv1_kernel(blk["conv"]["kernel"]), blk["conv"]["bias"], stride=1)
+            kern = s2d_conv1_kernel(blk["conv"]["kernel"])
+            if cfg.use_pallas_boundary:
+                from littlegan_tpu.ops.norm import instance_norm_from_stats
+                from littlegan_tpu.ops.pallas.boundary_conv import boundary_conv_s2d, supports
+
+                if supports(x.shape):
+                    y, s1, s2 = boundary_conv_s2d(
+                        x, kern.astype(x.dtype), blk["conv"]["bias"], True
+                    )
+                    x = leaky_relu(
+                        instance_norm_from_stats(
+                            y, s1, s2, blk["norm"]["gamma"], blk["norm"]["beta"]
+                        ),
+                        cfg.leaky_alpha,
+                    )
+                    normed = True
+            if not normed:
+                x = conv2d(x, kern, blk["conv"]["bias"], stride=1)
         else:
             x = conv2d(x, blk["conv"]["kernel"], blk["conv"]["bias"], stride=2)
-        x = _norm_lrelu(x, blk["norm"], cfg)
+        if not normed:
+            x = _norm_lrelu(x, blk["norm"], cfg)
         if dropout_rng is not None:
             dropout_rng, sub = jax.random.split(dropout_rng)
             keep = 1.0 - cfg.dropout_rate

@@ -54,3 +54,28 @@ def instance_norm(
     normed = (xf - mean) / (std + eps)
     out = normed * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     return out.astype(dtype)
+
+
+def instance_norm_from_stats(
+    x: jnp.ndarray,
+    s1: jnp.ndarray,
+    s2: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    eps: float = 1e-3,
+) -> jnp.ndarray:
+    """The one-pass ``instance_norm`` when the per-sample sum / sum-of-
+    squares are already available — fused conv epilogues hand them over
+    (ops/pallas/boundary_conv.py) so the stats pass over the activation is
+    skipped entirely. Same math as ``instance_norm(two_pass=False)``; f32
+    reduction-order deltas are ~1e-7 relative (see module docstring)."""
+    m = 1.0
+    for d in x.shape[1:]:
+        m *= d
+    shape = (-1,) + (1,) * (x.ndim - 1)
+    mean = (s1.astype(jnp.float32) / m).reshape(shape)
+    var = jnp.maximum((s2.astype(jnp.float32) / m).reshape(shape) - jnp.square(mean), 0.0)
+    std = jnp.sqrt(var)
+    normed = (x.astype(jnp.float32) - mean) / (std + eps)
+    out = normed * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return out.astype(x.dtype)

@@ -50,8 +50,8 @@ def make_spatial_train_step(cfg: Config, params, mesh: Mesh, donate: bool | None
         raise ValueError(
             f"image_dim {cfg.image_dim} must be divisible by the model-axis size ({shape['model']})"
         )
-    if cfg.use_pallas:
-        cfg = cfg.replace(use_pallas=False)  # Mosaic is not auto-partitionable
+    if cfg.use_pallas or cfg.use_pallas_boundary:
+        cfg = cfg.replace(use_pallas=False, use_pallas_boundary=False)  # Mosaic is not auto-partitionable
     if cfg.use_s2d:
         # space-to-depth folds 2x2 pixel blocks into channels; under an
         # H-sharded mesh that reshape would reshard every image — keep the

@@ -82,11 +82,11 @@ def make_parallel_train_step(cfg: Config, params, mesh: Mesh, donate: bool | Non
     rep = _replicated(mesh)
     bsh = _batch_sharding(mesh)
 
-    if cfg.use_pallas:
+    if cfg.use_pallas or cfg.use_pallas_boundary:
         # Mosaic kernels are not auto-partitionable by the SPMD partitioner;
         # sharded paths force the jnp norm (which measured faster anyway —
         # see config.use_pallas).
-        cfg = cfg.replace(use_pallas=False)
+        cfg = cfg.replace(use_pallas=False, use_pallas_boundary=False)
     fn = partial(train_step, cfg=cfg, part_masks=part_masks)
     donate = cfg.donate_state if donate is None else donate
     adj_sh = bsh if cfg.train_adj else rep  # placeholder adj output is tiny

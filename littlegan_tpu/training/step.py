@@ -338,8 +338,8 @@ def make_accum_train_step(cfg: Config, params, donate: bool | None = None, mesh=
     accumulation step is asserted in tests/test_parallel.py."""
     part_masks = build_partition_masks(params)
     donate = cfg.donate_state if donate is None else donate
-    if mesh is not None and cfg.use_pallas:
-        cfg = cfg.replace(use_pallas=False)  # Mosaic is not auto-partitionable
+    if mesh is not None and (cfg.use_pallas or cfg.use_pallas_boundary):
+        cfg = cfg.replace(use_pallas=False, use_pallas_boundary=False)  # Mosaic is not auto-partitionable
     fn = partial(accum_train_step, cfg=cfg, part_masks=part_masks)
     if mesh is None:
         return jax.jit(fn, donate_argnums=(0,) if donate else (), compiler_options=tpu_compiler_options(cfg))
@@ -405,8 +405,8 @@ def make_scan_train_step(
     """
     part_masks = build_partition_masks(params)
     donate = cfg.donate_state if donate is None else donate
-    if mesh is not None and cfg.use_pallas:
-        cfg = cfg.replace(use_pallas=False)  # Mosaic is not auto-partitionable
+    if mesh is not None and (cfg.use_pallas or cfg.use_pallas_boundary):
+        cfg = cfg.replace(use_pallas=False, use_pallas_boundary=False)  # Mosaic is not auto-partitionable
     if mesh is not None and cfg.use_s2d and "model" in mesh.axis_names:
         cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
     base = partial(train_step, cfg=cfg, part_masks=part_masks, inputs_s2d=store_s2d)
@@ -474,8 +474,8 @@ def make_gather_train_step(
     """
     part_masks = build_partition_masks(params)
     donate = cfg.donate_state if donate is None else donate
-    if mesh is not None and cfg.use_pallas:
-        cfg = cfg.replace(use_pallas=False)  # Mosaic is not auto-partitionable
+    if mesh is not None and (cfg.use_pallas or cfg.use_pallas_boundary):
+        cfg = cfg.replace(use_pallas=False, use_pallas_boundary=False)  # Mosaic is not auto-partitionable
     if mesh is not None and cfg.use_s2d and "model" in mesh.axis_names:
         cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
     base = partial(train_step, cfg=cfg, part_masks=part_masks, inputs_s2d=store_s2d)

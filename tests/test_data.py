@@ -269,3 +269,20 @@ def test_cross_mode_batch_order_identical(tiny_cfg, celeba_tree):
         assert len(host) == len(order)
         for k, b in enumerate(order):
             np.testing.assert_array_equal(host[k], store[int(b)])
+
+
+def test_set_rows_per_batch_covers_shard(tiny_cfg, celeba_tree):
+    """Multi-host decode slicing primitive (round-2 verdict #5b): with
+    rows_per_batch set, batches shrink to the per-host row count, the batch
+    count is recomputed from the GLOBAL item count, and one epoch decodes
+    each local row exactly once."""
+    img_dir, attr_file, _ = celeba_tree
+    ds = CelebA(_cfg(tiny_cfg, img_dir, attr_file))  # 24 items, batch 4
+    assert ds.rows_per_batch == 4 and ds.batches == 6
+    ds.set_rows_per_batch(2)
+    assert ds.batches == 12  # (24 global / 1 shard) / 2 rows
+    before = ds.decoded_rows
+    batches = list(ds.epoch_iterator(0, shuffle=False))
+    assert len(batches) == 12
+    assert all(img.shape[0] == 2 for img, _ in batches)
+    assert ds.decoded_rows - before == 24  # full shard, no waste

@@ -423,3 +423,35 @@ def test_real_weights_runbook(tmp_path, tiny_cfg):
     else:
         np.savez_compressed(golden, features=feats)
         print(f"wrote golden fixture {golden} — commit it")
+
+
+@pytest.mark.slow
+def test_eval_cli_two_modes(tmp_path, monkeypatch):
+    """The standalone eval CLI (reference evaluate.py parity): pre-calculate
+    writes the stats npz; any other mode is calc (the reference quirk,
+    evaluate.py:27,43) and appends to the log. Config comes from cwd files."""
+    import json as _json
+
+    from PIL import Image
+
+    from littlegan_tpu.eval.evaluate import main as eval_main
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(d / f"{i}.jpg")
+    (tmp_path / "sample.config.json").write_text(
+        _json.dumps({
+            "batch_size": 4, "image_dim": 16, "init_dim": 1, "noise_dim": 13,
+            "attr": [0, 1, 2, 3, 4, 5, 6], "conv_filter": [24, 16, 12, 8, 4],
+            "allow_random_fid": True, "debug": True,
+        })
+    )
+    monkeypatch.chdir(tmp_path)
+    stats, log = tmp_path / "s.npz", tmp_path / "fid.log"
+    assert eval_main(["pre-calculate", str(d), str(stats)]) == 0
+    assert stats.exists()
+    # "anything-else-is-calc" quirk: mode string "calculate" runs calc
+    assert eval_main(["calculate", str(d), str(stats), "", str(log)]) == 0
+    assert "RANDOM-INIT" in log.read_text()

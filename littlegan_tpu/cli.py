@@ -65,7 +65,13 @@ def _make_dataset(cfg: Config):
 
         n = max(4 * cfg.batch_size, 64)
         print(f"Using SyntheticDataset ({n} items)")
-        return SyntheticDataset(cfg, num_items=n)
+        try:
+            import jax
+
+            shard = jax.process_index()  # decorrelated per-host substreams
+        except RuntimeError:
+            shard = 0
+        return SyntheticDataset(cfg, num_items=n, shard_index=shard)
     if not os.path.isdir(cfg.image_path):
         raise FileNotFoundError(
             f"image_path {cfg.image_path!r} is not a directory; pass "

@@ -37,24 +37,40 @@ def random_device_batch(cfg: Config, key) -> Tuple:
 
 
 class SyntheticDataset:
-    def __init__(self, cfg: Config, num_items: int = 256):
+    def __init__(self, cfg: Config, num_items: int = 256, shard_index: int = 0):
         self.cfg = cfg
         self.num_items = num_items
         self.batches = num_items // cfg.batch_size
         self.label = [f"attr{i}" for i in cfg.attr]
+        self.rows_per_batch = cfg.batch_size
+        self._shard_index = shard_index
+
+    def set_rows_per_batch(self, rows: int) -> None:
+        """Multi-host host-fed DP: generate only this host's rows of each
+        global batch (same contract as CelebA.set_rows_per_batch — without
+        it the trainer's shard_local_batch would assemble an n_proc-times
+        inflated global batch of per-host duplicated rows). ``shard_index``
+        decorrelates the per-host substreams; ``batches`` stays the same on
+        every host, so dispatch counts agree."""
+        assert self.cfg.batch_size % rows == 0, (rows, self.cfg.batch_size)
+        self.rows_per_batch = rows
 
     def epoch_iterator(
         self, epoch: int = 0, shuffle: bool = True
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         # ``shuffle`` is accepted for pipeline-mode API parity with CelebA
         # and ignored: batches are IID draws, so every order IS canonical.
-        rng = np.random.default_rng(self.cfg.seed * 100003 + epoch)
+        base = self.cfg.seed * 100003 + epoch
+        # shard 0 keeps the historical scalar seed (golden trajectories,
+        # campaign reproducibility); other shards get decorrelated substreams
+        rng = np.random.default_rng(base if self._shard_index == 0 else (base, self._shard_index))
         c = self.cfg
+        rows = self.rows_per_batch
         for _ in range(self.batches):
-            img = rng.uniform(-1.0, 1.0, (c.batch_size, c.image_dim, c.image_dim, c.image_channel)).astype(
+            img = rng.uniform(-1.0, 1.0, (rows, c.image_dim, c.image_dim, c.image_channel)).astype(
                 np.float32
             )
-            cond = soft(np.where(rng.random((c.batch_size, c.cond_dim)) < 0.5, -1.0, 1.0)).astype(
+            cond = soft(np.where(rng.random((rows, c.cond_dim)) < 0.5, -1.0, 1.0)).astype(
                 np.float32
             )
             yield img, cond

@@ -105,10 +105,13 @@ def _conv3x3_kernel(x_ref, w_ref, b_ref, y_ref, s1_ref, s2_ref, *scratch, with_s
         patches.reshape(h * w, 9 * _CPAD), w_ref[...], preferred_element_type=jnp.float32
     )
     y = y + b_ref[...].astype(jnp.float32)  # (1, Cout) broadcast
+    i = pl.program_id(0)
     if with_stats:
-        i = pl.program_id(0)
         s1_ref[i, 0] = jnp.sum(y)
         s2_ref[i, 0] = jnp.sum(y * y)
+    else:  # never hand back uninitialized SMEM as if it were stats
+        s1_ref[i, 0] = 0.0
+        s2_ref[i, 0] = 0.0
     y_ref[0] = y.reshape(h, w, cout).astype(y_ref.dtype)
 
 

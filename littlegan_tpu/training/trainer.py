@@ -50,6 +50,18 @@ from littlegan_tpu.utils.provenance import init_result_dirs, snapshot_run
 from littlegan_tpu.utils.tensorboard import SummaryWriter
 
 
+def _fetch_artifact(x) -> np.ndarray:
+    """Host copy of a step artifact image. Artifacts leave the step sharded
+    P('data'[, 'model']); in a multi-host run ``np.asarray`` on the global
+    array raises ("spans non-addressable devices"), so gather it first —
+    cadence-rare (freq_gen), so the cross-host all-gather is cheap."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _pairwise(it):
     """Group a batch stream into the step's 2-batch pulls
     (eager_trainer.py:117-118); a trailing odd batch is dropped."""
@@ -444,9 +456,22 @@ class Trainer:
         AsyncCheckpointer is not reentrant — saving from inside the signal
         handler could interrupt an in-flight epoch save mid-write and hang
         or corrupt the interrupt checkpoint). Same deferred design as the
-        atomic status.json write."""
+        atomic status.json write.
+
+        A SECOND Ctrl-C escalates to an immediate KeyboardInterrupt (no
+        checkpoint) — a run blocked in a collective or a long decode would
+        otherwise be unkillable short of SIGKILL. Handler-side output uses
+        os.write (print() can re-enter a held stdout buffer lock and crash
+        the run from inside the handler)."""
+        if self._interrupt_requested:  # second Ctrl-C: abort immediately
+            signal.signal(signal.SIGINT, signal.default_int_handler)
+            raise KeyboardInterrupt
         self._interrupt_requested = True
-        print("\nSIGINT received; checkpointing at the next step boundary...")
+        os.write(
+            2,
+            b"\nSIGINT: checkpointing at the next step boundary "
+            b"(Ctrl-C again to abort without a checkpoint)\n",
+        )
 
     def _save_interrupt(self, signum=None, frame=None):
         """SIGINT semantics (eager_trainer.py:171-178): checkpoint + exit(1).
@@ -595,12 +620,12 @@ class Trainer:
                         # the epoch tail still fires)
                         if batch_no // cfg.freq_gen > prev_batch // cfg.freq_gen:
                             save_image(
-                                np.asarray(out.fake_image),
+                                _fetch_artifact(out.fake_image),
                                 os.path.join(cfg.result_dir, "train", "gen", f"{epoch}-{batch_no}.jpg"),
                             )
                             if cfg.train_adj:
                                 save_image(
-                                    np.asarray(out.adj_image),
+                                    _fetch_artifact(out.adj_image),
                                     os.path.join(cfg.result_dir, "train", "adj", f"{epoch}-{batch_no}.jpg"),
                                 )
                         if batch_no // cfg.freq_test > prev_batch // cfg.freq_test:
@@ -668,12 +693,12 @@ class Trainer:
 
                     if batch_no % cfg.freq_gen == 0:  # eager_trainer.py:216-220
                         save_image(
-                            np.asarray(out.fake_image),
+                            _fetch_artifact(out.fake_image),
                             os.path.join(cfg.result_dir, "train", "gen", f"{epoch}-{batch_no}.jpg"),
                         )
                         if cfg.train_adj:
                             save_image(
-                                np.asarray(out.adj_image),
+                                _fetch_artifact(out.adj_image),
                                 os.path.join(cfg.result_dir, "train", "adj", f"{epoch}-{batch_no}.jpg"),
                             )
                     if batch_no % cfg.freq_test == 0:  # eager_trainer.py:221-226

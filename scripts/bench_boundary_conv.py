@@ -57,9 +57,7 @@ def main():
                 return y.astype(jnp.bfloat16), y.sum(axis=(1, 2, 3)), (y * y).sum(axis=(1, 2, 3))
             return (y.astype(jnp.bfloat16),)
 
-        import jax.numpy as _jnp
-
-        bias = _jnp.zeros((cout,), _jnp.bfloat16)
+        bias = jnp.zeros((cout,), jnp.bfloat16)
         xla_t = timeit(jax.jit(xla_fused), x, wt)
         if cin > 16:
             print(f"{label:48s} XLA {xla_t*1e6:8.1f}us | Pallas n/a (cin > CPAD)")

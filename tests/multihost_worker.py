@@ -133,7 +133,10 @@ if phase in ("hostfed",):
         image_path=os.path.join(data_root, "img"),
         attr_path=os.path.join(data_root, "attrs.txt"),
         image_dim=16, attr=[0, 1, 2, 3, 4, 5, 6],
-        epoch=1, freq_gen=1000, freq_test=1000, restore=False, reuse=False,
+        # freq_gen=2 fires the artifact cadence under REAL multi-host:
+        # the P('data') fake/adj images span non-addressable devices and
+        # must be gathered before np.asarray (trainer._fetch_artifact)
+        epoch=1, freq_gen=2, freq_test=1000, restore=False, reuse=False,
         all_result_dir=os.path.join(out_root, f"proc{proc_id}"),
         test_data_dir=os.path.join(out_root, f"proc{proc_id}", "td"),
         exp_name="mh", debug=True, use_native_loader=False, train_adj=True,
@@ -143,7 +146,10 @@ if phase in ("hostfed",):
     assert tr.mesh is not None, "expected the DP mesh"
     assert ds.rows_per_batch == hcfg.batch_size // 2, ds.rows_per_batch
     tr.train()
+    grids = os.listdir(os.path.join(hcfg.result_dir, "train", "gen"))
+    assert grids, "freq_gen artifact must have been saved under multi-host"
     print(
         f"MULTIHOST_HOSTFED_OK proc={proc_id} decoded={ds.decoded_rows} "
-        f"batches={ds.batches} rows={ds.rows_per_batch} steps={tr.global_step}"
+        f"batches={ds.batches} rows={ds.rows_per_batch} steps={tr.global_step} "
+        f"grids={len(grids)}"
     )

@@ -286,3 +286,21 @@ def test_set_rows_per_batch_covers_shard(tiny_cfg, celeba_tree):
     assert len(batches) == 12
     assert all(img.shape[0] == 2 for img, _ in batches)
     assert ds.decoded_rows - before == 24  # full shard, no waste
+
+
+def test_synthetic_rows_per_batch_and_shards(tiny_cfg):
+    """SyntheticDataset honors the multi-host local-rows contract: rows per
+    batch shrink, per-shard substreams decorrelate, and shard 0 keeps the
+    historical stream (golden trajectories depend on it)."""
+    ds0 = SyntheticDataset(tiny_cfg, num_items=16)
+    legacy = [img for img, _ in ds0.epoch_iterator(0)]
+    ds0b = SyntheticDataset(tiny_cfg, num_items=16, shard_index=0)
+    for a, (b, _) in zip(legacy, ds0b.epoch_iterator(0)):
+        np.testing.assert_array_equal(a, b)
+    ds1 = SyntheticDataset(tiny_cfg, num_items=16, shard_index=1)
+    b1 = next(ds1.epoch_iterator(0))[0]
+    assert not np.array_equal(legacy[0], b1)  # decorrelated substream
+    ds1.set_rows_per_batch(2)
+    img, cond = next(ds1.epoch_iterator(0))
+    assert img.shape[0] == 2 and cond.shape[0] == 2
+    assert ds1.batches == ds0.batches  # dispatch counts agree across hosts

@@ -559,3 +559,15 @@ def test_deferred_sigint_saves_and_exits(run_cfg):
     assert os.path.isfile(
         os.path.join(cfg.result_dir, "checkpoint", "ckpt-interrupt.npz")
     )
+
+
+def test_second_sigint_escalates(run_cfg):
+    """First Ctrl-C defers (flag only); a SECOND Ctrl-C raises
+    KeyboardInterrupt immediately — a run wedged in a collective must stay
+    killable without SIGKILL (round-3 review finding)."""
+    ds = SyntheticDataset(run_cfg, num_items=8 * run_cfg.batch_size)
+    tr = Trainer(run_cfg, ds)
+    tr._request_interrupt()
+    assert tr._interrupt_requested
+    with pytest.raises(KeyboardInterrupt):
+        tr._request_interrupt()

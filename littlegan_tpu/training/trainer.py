@@ -121,6 +121,7 @@ class Trainer:
         self._flushing = False  # guards the flush against SIGINT reentrancy
         self._interrupt_requested = False  # set by the SIGINT handler; acted
         # on at train-loop safe points (_request_interrupt)
+        self._nonfinite_warned = False  # one divergence warning per run
         self._store_s2d = False  # store layout, set at upload
 
         n_dev = len(jax.devices())
@@ -772,6 +773,20 @@ class Trainer:
                     float(vals["loss/adj"][k]),
                 )
                 last_step = step
+                if not (
+                    np.isfinite(last_g) and np.isfinite(last_d) and np.isfinite(last_a)
+                ) and not self._nonfinite_warned:
+                    # GAN divergence observability (beyond reference): a NaN
+                    # loss propagates into every weight within a step and the
+                    # metric flush is the first host-side sighting — warn
+                    # LOUDLY once, with the step to restore from.
+                    self._nonfinite_warned = True
+                    print(
+                        f"WARNING: non-finite loss at step {step} "
+                        f"(G={last_g} D={last_d} A={last_a}) — training has "
+                        "likely diverged; resume from an earlier epoch "
+                        "checkpoint (restore=true picks the latest)."
+                    )
         print(f"  step {last_step}: LossG {last_g:.4f} LossD {last_d:.4f} LossA {last_a:.4f}")
 
     # ----------------------------------------------------------- predict ----

@@ -571,3 +571,20 @@ def test_second_sigint_escalates(run_cfg):
     assert tr._interrupt_requested
     with pytest.raises(KeyboardInterrupt):
         tr._request_interrupt()
+
+
+def test_nonfinite_loss_warns_once(run_cfg, capsys):
+    """Divergence observability: a NaN loss in the flushed metrics prints
+    one loud warning naming the step (and only one per run)."""
+    ds = SyntheticDataset(run_cfg, num_items=4 * run_cfg.batch_size)
+    tr = Trainer(run_cfg, ds)
+    bad = {
+        "loss/gen": np.float32("nan"),
+        "loss/disc": np.float32(1.0),
+        "loss/adj": np.float32(1.0),
+    }
+    tr._flush_metrics([(7, 7, bad)])
+    tr._flush_metrics([(8, 8, bad)])
+    out = capsys.readouterr().out
+    assert out.count("non-finite loss") == 1
+    assert "step 7" in out

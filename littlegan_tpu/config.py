@@ -121,6 +121,13 @@ class Config:
     # Full measurement record in the kernel docstring. Kept as an opt-in
     # pattern; disabled automatically under meshes (not partitionable).
     use_pallas_boundary: bool = False
+    # OPT-IN: stop training (RuntimeError) when a flushed loss is NaN/inf.
+    # Default keeps the reference's keep-running behavior, but once a loss
+    # is non-finite the weights are unrecoverable — unattended runs burn
+    # the remaining epochs for nothing. Either way the first sighting
+    # prints a loud warning and checkpoint pruning stops so the
+    # pre-divergence epochs stay restorable (training/trainer.py).
+    halt_on_nonfinite: bool = False
     # OPT-IN, beyond the reference: gradient accumulation — mean grads over
     # M micro-batch pairs, one optimizer apply (effective batch M*batch_size
     # with one micro-batch's activation memory; for 512²+ where the target

@@ -441,7 +441,8 @@ class Trainer:
     def _flush_buffered(self) -> None:
         """Flush + clear the shared metrics buffer, reentrancy-safe: a SIGINT
         landing INSIDE a flush must not re-flush the same entries from the
-        interrupt handler (duplicate TB points)."""
+        interrupt handler (duplicate TB points). With cfg.halt_on_nonfinite,
+        a diverged run stops here (after the flush, so TB has the evidence)."""
         if self._flushing or not self._metrics_buffer:
             return
         self._flushing = True
@@ -450,6 +451,12 @@ class Trainer:
             self._metrics_buffer.clear()
         finally:
             self._flushing = False
+        if self.cfg.halt_on_nonfinite and self._nonfinite_warned:
+            self.writer.flush()
+            raise RuntimeError(
+                "halting: non-finite loss (halt_on_nonfinite=true); restore "
+                "a pre-divergence epoch checkpoint to recover"
+            )
 
     def _request_interrupt(self, signum=None, frame=None):
         """SIGINT handler: set a flag ONLY. The train loop performs the
@@ -738,7 +745,14 @@ class Trainer:
 
     def _prune_checkpoints(self, keep: int) -> None:
         """Drop all but the newest ``keep`` epoch checkpoints (on-disk naming
-        lives with each backend: Checkpointer.epoch_tags/delete)."""
+        lives with each backend: Checkpointer.epoch_tags/delete).
+
+        Once a non-finite loss has been seen, pruning stops entirely:
+        retention would otherwise rotate the pre-divergence checkpoints —
+        the only recovery path — out of existence while NaN-weight epochs
+        keep saving."""
+        if self._nonfinite_warned:
+            return
         for tag in self.checkpointer.epoch_tags()[:-keep]:
             self.checkpointer.delete(tag)
 
@@ -773,19 +787,23 @@ class Trainer:
                     float(vals["loss/adj"][k]),
                 )
                 last_step = step
-                if not (
+                if not self._nonfinite_warned and not (
                     np.isfinite(last_g) and np.isfinite(last_d) and np.isfinite(last_a)
-                ) and not self._nonfinite_warned:
+                ):
                     # GAN divergence observability (beyond reference): a NaN
                     # loss propagates into every weight within a step and the
                     # metric flush is the first host-side sighting — warn
-                    # LOUDLY once, with the step to restore from.
+                    # LOUDLY once. From here on checkpoint PRUNING stops, so
+                    # the pre-divergence epoch checkpoints (the recovery
+                    # path) survive even though post-divergence epochs keep
+                    # saving on top.
                     self._nonfinite_warned = True
                     print(
                         f"WARNING: non-finite loss at step {step} "
                         f"(G={last_g} D={last_d} A={last_a}) — training has "
-                        "likely diverged; resume from an earlier epoch "
-                        "checkpoint (restore=true picks the latest)."
+                        "diverged; recover by restoring a checkpoint from "
+                        f"BEFORE step {step} (checkpoint pruning is now "
+                        "disabled so those epochs stay on disk)."
                     )
         print(f"  step {last_step}: LossG {last_g:.4f} LossD {last_d:.4f} LossA {last_a:.4f}")
 

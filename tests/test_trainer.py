@@ -588,3 +588,30 @@ def test_nonfinite_loss_warns_once(run_cfg, capsys):
     out = capsys.readouterr().out
     assert out.count("non-finite loss") == 1
     assert "step 7" in out
+
+
+def test_divergence_freezes_pruning_and_opt_in_halt(run_cfg, capsys):
+    """After a non-finite loss: checkpoint pruning stops (the pre-divergence
+    epochs are the recovery path), and halt_on_nonfinite raises at the next
+    flush."""
+    ds = SyntheticDataset(run_cfg, num_items=4 * run_cfg.batch_size)
+    tr = Trainer(run_cfg, ds)
+    bad = {
+        "loss/gen": np.float32("inf"),
+        "loss/disc": np.float32(1.0),
+        "loss/adj": np.float32(1.0),
+    }
+    # seed three epoch checkpoints, then diverge
+    for tag in ("1", "2", "3"):
+        tr.checkpointer.save(tag, tr.state, {"epoch": int(tag)})
+    tr.checkpointer.wait()
+    tr._flush_metrics([(5, 5, bad)])
+    assert tr._nonfinite_warned
+    tr._prune_checkpoints(keep=1)  # must be a no-op now
+    assert len(tr.checkpointer.epoch_tags()) == 3
+    capsys.readouterr()
+
+    halt = Trainer(run_cfg.replace(halt_on_nonfinite=True, exp_name="halt"), ds)
+    halt._metrics_buffer.append((5, 5, bad))
+    with pytest.raises(RuntimeError, match="halt_on_nonfinite"):
+        halt._flush_buffered()

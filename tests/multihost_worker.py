@@ -153,3 +153,34 @@ if phase in ("hostfed",):
         f"batches={ds.batches} rows={ds.rows_per_batch} steps={tr.global_step} "
         f"grids={len(grids)}"
     )
+
+# ---- phase 5: grad_accum x multi-host host-fed DP ----
+# The accumulation groups are stacked host-side from each host's LOCAL rows
+# and assembled global via shard_local_batch(P(None,'data')); one
+# all-reduced optimizer apply per group. Losses must agree across processes.
+if phase in ("hostfed_accum",):
+    import numpy as np
+
+    data_root, out_root = sys.argv[4], sys.argv[5]
+    from littlegan_tpu.data.celeba import CelebA
+    from littlegan_tpu.training.trainer import Trainer
+
+    acfg = cfg.replace(
+        image_path=os.path.join(data_root, "img"),
+        attr_path=os.path.join(data_root, "attrs.txt"),
+        image_dim=16, attr=[0, 1, 2, 3, 4, 5, 6], grad_accum=2,
+        epoch=1, freq_gen=1000, freq_test=1000, restore=False, reuse=False,
+        all_result_dir=os.path.join(out_root, f"accum_proc{proc_id}"),
+        test_data_dir=os.path.join(out_root, f"accum_proc{proc_id}", "td"),
+        exp_name="mha", debug=True, use_native_loader=False, train_adj=True,
+    )
+    ds = CelebA(acfg, shard_index=proc_id, shard_count=2)
+    tr = Trainer(acfg, ds)
+    assert tr.mesh is not None, "expected the DP mesh"
+    assert ds.rows_per_batch == acfg.batch_size // 2, ds.rows_per_batch
+    tr.train()
+    # 32 items/2 hosts/4 rows = 4 batches -> 2 pairs -> 1 accum group
+    print(
+        f"MULTIHOST_ACCUM_OK proc={proc_id} steps={tr.global_step} "
+        f"decoded={ds.decoded_rows}"
+    )

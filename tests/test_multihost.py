@@ -181,3 +181,38 @@ def test_two_process_hostfed_decodes_only_local_rows(tmp_path):
         [l for l in o.splitlines() if "LossG" in l][-1] for o in outs
     ]
     assert loss_lines[0] == loss_lines[1], loss_lines
+
+
+@pytest.mark.slow
+def test_two_process_hostfed_grad_accum(tmp_path):
+    """grad_accum x multi-host host-fed DP: accumulation groups stack each
+    host's LOCAL rows and assemble global via shard_local_batch; both
+    processes train the same single accumulated update with identical
+    losses."""
+    import numpy as np
+    from PIL import Image
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(32):
+        name = f"{i:06d}.jpg"
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+            img_dir / name, quality=95
+        )
+        names.append(name)
+    attrs = rng.choice([-1, 1], size=(32, 40))
+    lines = ["32", " ".join(f"A{i}" for i in range(40))]
+    for name, row in zip(names, attrs):
+        lines.append(name + " " + " ".join(str(v) for v in row))
+    (tmp_path / "attrs.txt").write_text("\n".join(lines))
+
+    outs = _run_workers("hostfed_accum", str(tmp_path), str(tmp_path / "out"))
+    ok = [l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_ACCUM_OK")]
+    assert len(ok) == 2, outs
+    for line in ok:
+        kv = dict(p.split("=") for p in line.split()[1:])
+        assert int(kv["steps"]) == 1  # 4 local batches -> 2 pairs -> 1 group
+    loss_lines = [[l for l in o.splitlines() if "LossG" in l][-1] for o in outs]
+    assert loss_lines[0] == loss_lines[1], loss_lines

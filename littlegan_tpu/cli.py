@@ -211,7 +211,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         rng = np.random.default_rng(cfg.seed)
         for i in range(1, 1 + cfg.condition_sample_batch):
             noise = np.repeat(rng.normal(size=(1, cfg.noise_dim)), 8, 0).astype(np.float32)
-            img = trainer._gen_jit(trainer.state.params, noise, cond)
+            from littlegan_tpu.training.state import eval_params
+
+            img = trainer._gen_jit(eval_params(trainer.state), noise, cond)
             save_image(np.asarray(img), os.path.join(cfg.result_dir, "sample", f"condition-gen-{i}.jpg"), (1, 8))
 
     elif cfg.mode == "export-model":  # main.py:126-130

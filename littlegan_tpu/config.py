@@ -128,6 +128,15 @@ class Config:
     # prints a loud warning and checkpoint pruning stops so the
     # pre-divergence epochs stay restorable (training/trainer.py).
     halt_on_nonfinite: bool = False
+    # OPT-IN, beyond the reference: G-only EMA (StyleGAN-style). 0 = off
+    # (reference parity — the TrainState pytree is then byte-identical to
+    # historical checkpoints). >0 keeps an exponential moving average of
+    # the generator subtrees (g_head/decoder/out_conv) updated inside the
+    # jitted step; predict/export-model/condition-sample then use the EMA
+    # weights (training/state.py::eval_params). Typical: 0.999. Enabling
+    # it on an EXISTING experiment needs a fresh run (the checkpoint
+    # structure gains the ema subtree).
+    ema_decay: float = 0.0
     # OPT-IN, beyond the reference: gradient accumulation — mean grads over
     # M micro-batch pairs, one optimizer apply (effective batch M*batch_size
     # with one micro-batch's activation memory; for 512²+ where the target

@@ -42,6 +42,12 @@ class TrainState(NamedTuple):
     opt_g: AdamState
     opt_d: AdamState
     opt_a: AdamState
+    # EMA copy of the generator subtrees (g_head/decoder/out_conv), present
+    # only when Config.ema_decay > 0 (OPT-IN, beyond the reference — the
+    # standard GAN practice of evaluating/exporting an exponential moving
+    # average of G's weights). None keeps the historical pytree structure,
+    # so parity configs and their checkpoints are byte-identical.
+    ema: Any = None
 
 
 def subtree(params, keys):
@@ -55,4 +61,17 @@ def create_train_state(cfg: Config, rng: jax.Array) -> TrainState:
         opt_g=adam_init(subtree(params, G_KEYS)),
         opt_d=adam_init(subtree(params, D_KEYS)),
         opt_a=adam_init(subtree(params, A_KEYS)),
+        # EMA starts as a copy of the init weights (no bias correction —
+        # the standard copy-at-init form)
+        ema=subtree(params, G_KEYS) if cfg.ema_decay > 0 else None,
     )
+
+
+def eval_params(state: TrainState):
+    """Params for inference/export: the EMA generator subtrees when EMA is
+    enabled, live params otherwise. The adjuster automatically shares the
+    EMA decoder/out_conv (they are G's subtrees); encoder/d_head/adj_head
+    stay live (EMA-ing D serves no purpose — StyleGAN-style G-only EMA)."""
+    if state.ema is None:
+        return state.params
+    return {**state.params, **state.ema}

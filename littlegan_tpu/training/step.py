@@ -237,9 +237,20 @@ def apply_updates(
     )
 
     new_params = {**new_g, **new_d, **new_a}
+    ema = state.ema
+    if cfg.ema_decay > 0 and ema is not None:
+        # G-only EMA (Config.ema_decay): track the post-update generator
+        # subtrees; masked-off partition groups decay toward themselves
+        # (p unchanged), which is the correct schedule-agnostic behavior
+        d = jnp.float32(cfg.ema_decay)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: (d * e.astype(jnp.float32) + (1.0 - d) * p.astype(jnp.float32)).astype(e.dtype),
+            ema,
+            new_g,
+        )
     metrics = {k: aux[k] for k in ("loss/gen", "loss/disc", "loss/adj")}
     return StepOutput(
-        state=TrainState(params=new_params, opt_g=opt_g, opt_d=opt_d, opt_a=opt_a),
+        state=TrainState(params=new_params, opt_g=opt_g, opt_d=opt_d, opt_a=opt_a, ema=ema),
         metrics=metrics,
         fake_image=aux["fake"],
         adj_image=aux["adj"],

@@ -820,7 +820,9 @@ class Trainer:
     ) -> Tuple[np.ndarray, Dict, Optional[np.ndarray], Optional[np.ndarray]]:
         """Inference + D-score stats + artifacts (eager_trainer.py:265-298)."""
         cfg = self.cfg
-        params = self.state.params
+        from littlegan_tpu.training.state import eval_params
+
+        params = eval_params(self.state)  # EMA generator weights when enabled
         start = time.time()
         gen_image = self._gen_jit(params, jnp.asarray(noise), jnp.asarray(cond))
         gen_image.block_until_ready()
@@ -920,5 +922,7 @@ class Trainer:
 
     def export_model_checkpoint(self) -> str:
         """Weights-only export (eager_trainer.py:300-303)."""
+        from littlegan_tpu.training.state import eval_params
+
         ck = Checkpointer(os.path.join(self.cfg.result_dir, "model"))
-        return ck.save("model", self.state.params)
+        return ck.save("model", eval_params(self.state))

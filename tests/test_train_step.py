@@ -398,3 +398,83 @@ def test_accum_grads_mean_micro_grads(tiny_cfg, rng):
     # aux is the last micro-step's
     for k in ("loss/gen", "loss/disc", "loss/adj"):
         np.testing.assert_allclose(float(aux[k]), float(aux_i[k]), rtol=1e-5)
+
+
+def test_ema_tracks_generator_closed_form(tiny_cfg, rng):
+    """Config.ema_decay: state.ema follows e' = d*e + (1-d)*p_new over the G
+    subtrees after every applied update; decay=0 keeps the historical pytree
+    (ema is None)."""
+    import jax
+
+    from littlegan_tpu.training import create_train_state, make_train_step
+    from littlegan_tpu.training.state import G_KEYS, subtree
+
+    cfg = tiny_cfg.replace(use_partition=False, train_adj=True, ema_decay=0.5, donate_state=False)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    assert state.ema is not None
+    # off: structure unchanged
+    off = create_train_state(cfg.replace(ema_decay=0.0), jax.random.PRNGKey(0))
+    assert off.ema is None
+
+    step = make_train_step(cfg, state.params, donate=False)
+    mk = lambda k: (
+        jax.random.uniform(k, (cfg.batch_size, cfg.image_dim, cfg.image_dim, 3), minval=-1, maxval=1),
+        jnp.where(jax.random.bernoulli(k, 0.5, (cfg.batch_size, cfg.cond_dim)), 0.98, -0.94),
+    )
+    ks = jax.random.split(rng, 4)
+    expect = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float64), subtree(state.params, G_KEYS))
+    for i in range(2):
+        out = step(state, mk(ks[2 * i]), mk(ks[2 * i + 1]), ks[i], jnp.int32(20 + i))
+        state = out.state
+        expect = jax.tree_util.tree_map(
+            lambda e, p: 0.5 * e + 0.5 * np.asarray(p, np.float64),
+            expect,
+            subtree(state.params, G_KEYS),
+        )
+    for (path, e), (_, got) in zip(
+        jax.tree_util.tree_leaves_with_path(expect),
+        jax.tree_util.tree_leaves_with_path(state.ema),
+    ):
+        key = "/".join(str(getattr(q, "key", q)) for q in path)
+        np.testing.assert_allclose(np.asarray(got), e, rtol=1e-5, atol=1e-6, err_msg=key)
+    # non-G subtrees are not tracked
+    assert set(state.ema) == set(G_KEYS)
+
+
+def test_ema_scan_matches_sequential(tiny_cfg):
+    """EMA rides the scan carry: K=2 scanned steps produce the same ema as 2
+    sequential store-slicing steps."""
+    import jax
+
+    from littlegan_tpu.training import create_train_state
+    from littlegan_tpu.training.step import make_gather_train_step, make_scan_train_step
+
+    cfg = tiny_cfg.replace(use_partition=True, train_adj=True, ema_decay=0.9, donate_state=False)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    imgs = jnp.stack([
+        jax.random.uniform(k1, (cfg.batch_size, cfg.image_dim, cfg.image_dim, 3), minval=-1, maxval=1)
+        for _ in range(4)
+    ])
+    conds = jnp.stack([
+        jnp.where(jax.random.bernoulli(jax.random.fold_in(k2, i), 0.5, (cfg.batch_size, cfg.cond_dim)), 0.98, -0.94)
+        for i in range(4)
+    ])
+    base_rng = jax.random.PRNGKey(11)
+
+    gather = make_gather_train_step(cfg, state.params, donate=False)
+    seq = state
+    for i in range(2):
+        rng_i = jax.random.fold_in(base_rng, i)
+        seq = gather(seq, imgs, conds, jnp.int32(i), jnp.int32(i + 2), rng_i, jnp.int32(11 + i)).state
+
+    scan = make_scan_train_step(cfg, state.params, 2, donate=False)
+    b1s = jnp.arange(2, dtype=jnp.int32)
+    out = scan(state, imgs, conds, b1s, b1s + 2, base_rng, jnp.int32(0), jnp.int32(11))
+
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(seq.ema),
+        jax.tree_util.tree_leaves_with_path(out.state.ema),
+    ):
+        key = "/".join(str(getattr(q, "key", q)) for q in path)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6, err_msg=key)

@@ -615,3 +615,61 @@ def test_divergence_freezes_pruning_and_opt_in_halt(run_cfg, capsys):
     halt._metrics_buffer.append((5, 5, bad))
     with pytest.raises(RuntimeError, match="halt_on_nonfinite"):
         halt._flush_buffered()
+
+
+def test_ema_predict_export_and_resume(run_cfg, tmp_path):
+    """ema_decay end to end: training carries the EMA subtrees, predict and
+    export-model use them (training/state.py::eval_params), and resume
+    restores them."""
+    from littlegan_tpu.training.state import G_KEYS, eval_params
+
+    cfg = run_cfg.replace(ema_decay=0.9, epoch=1, freq_gen=100, freq_test=100)
+    ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    tr.train()
+    assert tr.state.ema is not None and set(tr.state.ema) == set(G_KEYS)
+    # trained params moved away from the (slow-moving) EMA copy
+    diff = float(
+        np.abs(
+            np.asarray(tr.state.ema["g_head"]["dense"]["kernel"])
+            - np.asarray(tr.state.params["g_head"]["dense"]["kernel"])
+        ).max()
+    )
+    assert diff > 0
+
+    ep = eval_params(tr.state)
+    np.testing.assert_array_equal(
+        np.asarray(ep["g_head"]["dense"]["kernel"]),
+        np.asarray(tr.state.ema["g_head"]["dense"]["kernel"]),
+    )
+    # predict runs on the EMA weights: patch the gen jit to capture params
+    seen = {}
+    real = tr._gen_jit
+    tr._gen_jit = lambda p, n, c: (seen.setdefault("p", p), real(p, n, c))[1]
+    tr.predict(tr.test_noise, tr.test_cond, tr.test_image)
+    np.testing.assert_array_equal(
+        np.asarray(seen["p"]["g_head"]["dense"]["kernel"]),
+        np.asarray(tr.state.ema["g_head"]["dense"]["kernel"]),
+    )
+    tr._gen_jit = real
+
+    # export writes EMA weights
+    path = tr.export_model_checkpoint()
+    assert os.path.isfile(path)
+    from littlegan_tpu.models import init_params
+    import jax
+
+    template = init_params(cfg, jax.random.PRNGKey(0))
+    restored = Checkpointer(os.path.join(cfg.result_dir, "model")).restore("model", template)
+    np.testing.assert_array_equal(
+        np.asarray(restored["g_head"]["dense"]["kernel"]),
+        np.asarray(tr.state.ema["g_head"]["dense"]["kernel"]),
+    )
+
+    # resume restores the ema subtree
+    tr2 = Trainer(cfg, ds)
+    assert tr2.state.ema is not None
+    np.testing.assert_array_equal(
+        np.asarray(tr2.state.ema["g_head"]["dense"]["kernel"]),
+        np.asarray(tr.state.ema["g_head"]["dense"]["kernel"]),
+    )

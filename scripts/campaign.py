@@ -57,6 +57,7 @@ def main() -> int:
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--eval-every", type=int, default=10)
     p.add_argument("--cond-bias", action="store_true")
+    p.add_argument("--ema", type=float, default=0.0, help="generator EMA decay (0 = off)")
     p.add_argument("--data", default="/tmp/structured_celeba")
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--n", type=int, default=6400)
@@ -101,6 +102,7 @@ def main() -> int:
         debug=True,
         donate_state=False,
         cond_bias=args.cond_bias,
+        ema_decay=args.ema,
         allow_random_fid=True,
     )
 
@@ -164,7 +166,10 @@ def main() -> int:
         train_secs = time.time() - t0
         done = upto
 
-        params = tr.state.params
+        # EMA weights when enabled (the campaign measures what users sample)
+        from littlegan_tpu.training.state import eval_params
+
+        params = eval_params(tr.state)
 
         # generator effect sizes
         gen_fx = []
@@ -211,6 +216,7 @@ def main() -> int:
             "d_cond_acc": round(acc, 4),
             "fid_trend_random_init": round(fid_trend, 3),
             "cond_bias": args.cond_bias,
+            "ema_decay": args.ema,
         }
         records.append(rec)
         with open(traj_path, "w") as f:

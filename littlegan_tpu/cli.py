@@ -208,11 +208,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if cfg.cond_dim != 7:  # generalize the hardcoded sweep to any cond_dim
             rng = np.random.default_rng(cfg.seed)
             cond = (rng.random((8, cfg.cond_dim)) < 0.5).astype(np.float32)
+        from littlegan_tpu.training.state import eval_params
+
         rng = np.random.default_rng(cfg.seed)
         for i in range(1, 1 + cfg.condition_sample_batch):
             noise = np.repeat(rng.normal(size=(1, cfg.noise_dim)), 8, 0).astype(np.float32)
-            from littlegan_tpu.training.state import eval_params
-
             img = trainer._gen_jit(eval_params(trainer.state), noise, cond)
             save_image(np.asarray(img), os.path.join(cfg.result_dir, "sample", f"condition-gen-{i}.jpg"), (1, 8))
 

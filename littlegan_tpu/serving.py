@@ -84,11 +84,13 @@ class InferenceEngine:
                 try:
                     return ck.restore(tag, template)
                 except (KeyError, ValueError):
-                    # train checkpoints store the full TrainState; pull params
-                    from littlegan_tpu.training.state import create_train_state
+                    # train checkpoints store the full TrainState; serve the
+                    # SAME weights predict/export would use (EMA generator
+                    # subtrees when cfg.ema_decay > 0 — eval_params)
+                    from littlegan_tpu.training.state import create_train_state, eval_params
 
                     state = ck.restore(tag, create_train_state(cfg, jax.random.PRNGKey(0)))
-                    return state.params
+                    return eval_params(state)
         print(
             f"WARNING: no checkpoint under {cfg.result_dir}/{{model,checkpoint}} — "
             "serving UNTRAINED (fresh-init) weights"

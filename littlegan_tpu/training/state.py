@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, NamedTuple
 
 import jax
+import jax.numpy as jnp
 
 from littlegan_tpu.config import Config
 from littlegan_tpu.models import (
@@ -55,15 +56,27 @@ def subtree(params, keys):
 
 
 def create_train_state(cfg: Config, rng: jax.Array) -> TrainState:
+    if not 0.0 <= cfg.ema_decay < 1.0:
+        raise ValueError(
+            f"ema_decay must be in [0, 1), got {cfg.ema_decay}: 1.0 freezes "
+            "the EMA at the random init (every eval/export would silently "
+            "emit untrained weights) and >1 diverges"
+        )
     params = init_params(cfg, rng)
     return TrainState(
         params=params,
         opt_g=adam_init(subtree(params, G_KEYS)),
         opt_d=adam_init(subtree(params, D_KEYS)),
         opt_a=adam_init(subtree(params, A_KEYS)),
-        # EMA starts as a copy of the init weights (no bias correction —
-        # the standard copy-at-init form)
-        ema=subtree(params, G_KEYS) if cfg.ema_decay > 0 else None,
+        # EMA starts as a COPY of the init weights (no bias correction —
+        # the standard copy-at-init form). jnp.copy, not aliasing: aliased
+        # Arrays appear twice in a donated TrainState and XLA rejects
+        # donating the same buffer twice (verified on this jax version).
+        ema=(
+            jax.tree_util.tree_map(jnp.copy, subtree(params, G_KEYS))
+            if cfg.ema_decay > 0
+            else None
+        ),
     )
 
 

@@ -43,7 +43,7 @@ from littlegan_tpu.config import Config
 from littlegan_tpu.models import adjuster_apply, discriminator_apply, generator_apply
 from littlegan_tpu.ops.losses import mean_squared_error
 from littlegan_tpu.training.checkpoint import Checkpointer, make_checkpointer
-from littlegan_tpu.training.state import TrainState, create_train_state
+from littlegan_tpu.training.state import TrainState, create_train_state, eval_params
 from littlegan_tpu.training.step import make_train_step
 from littlegan_tpu.utils.image import ensure_pm1, save_image, soft
 from littlegan_tpu.utils.provenance import init_result_dirs, snapshot_run
@@ -820,8 +820,6 @@ class Trainer:
     ) -> Tuple[np.ndarray, Dict, Optional[np.ndarray], Optional[np.ndarray]]:
         """Inference + D-score stats + artifacts (eager_trainer.py:265-298)."""
         cfg = self.cfg
-        from littlegan_tpu.training.state import eval_params
-
         params = eval_params(self.state)  # EMA generator weights when enabled
         start = time.time()
         gen_image = self._gen_jit(params, jnp.asarray(noise), jnp.asarray(cond))
@@ -922,7 +920,5 @@ class Trainer:
 
     def export_model_checkpoint(self) -> str:
         """Weights-only export (eager_trainer.py:300-303)."""
-        from littlegan_tpu.training.state import eval_params
-
         ck = Checkpointer(os.path.join(self.cfg.result_dir, "model"))
         return ck.save("model", eval_params(self.state))

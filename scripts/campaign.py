@@ -74,6 +74,7 @@ def main() -> int:
     from littlegan_tpu.eval.evaluate import compute_features
     from littlegan_tpu.eval.fid import activation_statistics, frechet_distance
     from littlegan_tpu.eval.inception import inception_features, init_inception_params
+    from littlegan_tpu.training.state import eval_params
     from littlegan_tpu.training.trainer import Trainer
     from littlegan_tpu.utils.image import ensure_pm1, soft
     from littlegan_tpu.utils.jax_cache import enable_compilation_cache
@@ -167,8 +168,6 @@ def main() -> int:
         done = upto
 
         # EMA weights when enabled (the campaign measures what users sample)
-        from littlegan_tpu.training.state import eval_params
-
         params = eval_params(tr.state)
 
         # generator effect sizes

@@ -478,3 +478,26 @@ def test_ema_scan_matches_sequential(tiny_cfg):
     ):
         key = "/".join(str(getattr(q, "key", q)) for q in path)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6, err_msg=key)
+
+
+def test_ema_composes_with_donated_state(tiny_cfg, rng):
+    """ema must be a COPY of the init params, not an alias: aliased Arrays
+    appear twice in a donated TrainState and XLA rejects donating the same
+    buffer twice (review finding, repro'd). Also: ema_decay >= 1 is refused."""
+    import jax
+
+    from littlegan_tpu.training import create_train_state, make_train_step
+
+    cfg = tiny_cfg.replace(use_partition=False, train_adj=True, ema_decay=0.9, donate_state=True)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, state.params, donate=True)
+    mk = lambda k: (
+        jax.random.uniform(k, (cfg.batch_size, cfg.image_dim, cfg.image_dim, 3), minval=-1, maxval=1),
+        jnp.where(jax.random.bernoulli(k, 0.5, (cfg.batch_size, cfg.cond_dim)), 0.98, -0.94),
+    )
+    k1, k2 = jax.random.split(rng)
+    out = step(state, mk(k1), mk(k2), rng, jnp.int32(20))  # must not raise
+    assert out.state.ema is not None
+
+    with pytest.raises(ValueError, match="ema_decay"):
+        create_train_state(tiny_cfg.replace(ema_decay=1.0), jax.random.PRNGKey(0))

@@ -193,7 +193,8 @@ def test_graft_entry_dryrun_driver_context():
         timeout=600,
     )
     assert proc.returncode == 0, f"driver-context dryrun failed:\n{proc.stdout}\n{proc.stderr}"
-    assert "dryrun_multichip(8) OK" in proc.stdout, proc.stdout
+    for tag in ("dp", "accum_x_dp", "spatial"):
+        assert f"dryrun_multichip(8) [{tag}] OK" in proc.stdout, proc.stdout
 
 
 def test_graft_entry_compiles():

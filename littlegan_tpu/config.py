@@ -140,9 +140,11 @@ class Config:
     # OPT-IN, beyond the reference: gradient accumulation — mean grads over
     # M micro-batch pairs, one optimizer apply (effective batch M*batch_size
     # with one micro-batch's activation memory; for 512²+ where the target
-    # batch no longer fits, see README resolution table). 1 = off. Applies
-    # to the single-device host-fed path; incompatible with device_data and
-    # multi-device meshes (those scale batch by sharding instead).
+    # batch no longer fits, see README resolution table). 1 = off. Composes
+    # with every pipeline and mesh: host-fed or device_data, single device,
+    # DP 'data' mesh, and the spatial ('data','model') mesh (README
+    # composition table; training/step.py make_accum_train_step /
+    # make_scan_accum_train_step).
     grad_accum: int = 1
     # XLA scoped-VMEM budget for the train-step compiles on TPU backends
     # (passed as a per-jit compiler option; XLA's default on v5e is 16 MiB).

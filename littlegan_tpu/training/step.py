@@ -296,7 +296,9 @@ def accum_train_step(
     return apply_updates(state, grads, aux, batch_no, cfg, part_masks)
 
 
-def accum_grads(state: TrainState, batch1s, batch2s, rng: jax.Array, cfg: Config):
+def accum_grads(
+    state: TrainState, batch1s, batch2s, rng: jax.Array, cfg: Config, inputs_s2d: bool = False
+):
     """(mean grads over the M stacked micro-pairs, last micro-step's aux).
 
     aux (which includes (B,H,W,C) image buffers) rides the scan CARRY — a
@@ -309,7 +311,7 @@ def accum_grads(state: TrainState, batch1s, batch2s, rng: jax.Array, cfg: Config
         acc, _ = carry
         b1 = jax.tree_util.tree_map(lambda x: x[i], batch1s)
         b2 = jax.tree_util.tree_map(lambda x: x[i], batch2s)
-        grads, aux = _micro_grads(state, b1, b2, jax.random.fold_in(rng, i), cfg, False)
+        grads, aux = _micro_grads(state, b1, b2, jax.random.fold_in(rng, i), cfg, inputs_s2d)
         acc = jax.tree_util.tree_map(lambda a, g: a + g.astype(jnp.float32), acc, grads)
         return (acc, aux), None
 
@@ -319,7 +321,7 @@ def accum_grads(state: TrainState, batch1s, batch2s, rng: jax.Array, cfg: Config
     b1_0 = jax.tree_util.tree_map(lambda x: x[0], batch1s)
     b2_0 = jax.tree_util.tree_map(lambda x: x[0], batch2s)
     aux0_sd = jax.eval_shape(
-        lambda st: _micro_grads(st, b1_0, b2_0, rng, cfg, False)[1], state
+        lambda st: _micro_grads(st, b1_0, b2_0, rng, cfg, inputs_s2d)[1], state
     )
     aux0 = jax.tree_util.tree_map(lambda sd: jnp.zeros(sd.shape, sd.dtype), aux0_sd)
     (acc, aux), _ = jax.lax.scan(body, (zeros, aux0), jnp.arange(m, dtype=jnp.int32))
@@ -356,13 +358,23 @@ def make_accum_train_step(cfg: Config, params, donate: bool | None = None, mesh=
         return jax.jit(fn, donate_argnums=(0,) if donate else (), compiler_options=tpu_compiler_options(cfg))
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    # spatial ('data','model') mesh: micro-batch images additionally sharded
+    # on H over 'model' (same layout as make_spatial_train_step, with the
+    # leading (M,) accumulation axis unsharded)
+    spatial = "model" in mesh.axis_names
+    if spatial and cfg.use_s2d:
+        cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
+        fn = partial(accum_train_step, cfg=cfg, part_masks=part_masks)
+    img_axes = ("data", "model") if spatial else ("data",)
     rep = NamedSharding(mesh, P())
-    micro = NamedSharding(mesh, P(None, "data"))  # (M, B, ...) -> B sharded
-    bsh = NamedSharding(mesh, P("data"))
+    micro_img = NamedSharding(mesh, P(None, *img_axes))  # (M, B, H, ...)
+    micro_cond = NamedSharding(mesh, P(None, "data"))
+    micro = (micro_img, micro_cond)
+    bsh = NamedSharding(mesh, P(*img_axes))
     adj_sh = bsh if cfg.train_adj else rep  # placeholder adj output is tiny
     return jax.jit(
         fn,
-        in_shardings=(rep, (micro, micro), (micro, micro), rep, rep),
+        in_shardings=(rep, micro, micro, rep, rep),
         out_shardings=StepOutput(state=rep, metrics=rep, fake_image=bsh, adj_image=adj_sh),
         donate_argnums=(0,) if donate else (),
         compiler_options=tpu_compiler_options(cfg),
@@ -456,6 +468,71 @@ def make_scan_train_step(
             fake_image=fake,
             adj_image=adj,
         )
+
+    if mesh is None:
+        return jax.jit(fn, donate_argnums=(0,) if donate else (), compiler_options=tpu_compiler_options(cfg))
+    rep, store_img, store_cond, out = _device_data_shardings(cfg, mesh)
+    return jax.jit(
+        fn,
+        in_shardings=(rep, store_img, store_cond, rep, rep, rep, rep, rep),
+        out_shardings=out,
+        donate_argnums=(0,) if donate else (),
+        compiler_options=tpu_compiler_options(cfg),
+    )
+
+
+def make_scan_accum_train_step(
+    cfg: Config, params, n_steps: int, donate: bool | None = None, mesh=None, store_s2d: bool = False
+):
+    """grad_accum x device_data: K APPLIED updates per dispatch, each
+    accumulating ``cfg.grad_accum`` micro-pairs gathered from the HBM store.
+
+    Signature: step(state, images, conds, b1s (K, M), b2s (K, M), base_rng,
+    global_step0, batch_no0) — b1s/b2s are int32 batch ids into the
+    (n_batches, B, ...) store; update ``i`` consumes micro-pairs
+    ``(b1s[i, j], b2s[i, j])`` for j < M with the accumulation step's exact
+    PRNG stream (``fold_in(fold_in(base_rng, global_step0 + i), j)``) and
+    ONE masked-Adam apply at ``batch_no0 + i`` — bit-identical updates to
+    the host-fed accumulation path on the same batch sequence (the id
+    gather is a (M, B, ...) uint8 copy: micro-batch data is small next to
+    the activation memory the accumulation exists to avoid). Under a mesh
+    the store is sharded P(None, 'data'[, 'model']); ids are replicated, so
+    the gather is device-local and micro-batches come out step-sharded.
+    """
+    part_masks = build_partition_masks(params)
+    donate = cfg.donate_state if donate is None else donate
+    if mesh is not None and (cfg.use_pallas or cfg.use_pallas_boundary):
+        cfg = cfg.replace(use_pallas=False, use_pallas_boundary=False)  # Mosaic is not auto-partitionable
+    if mesh is not None and cfg.use_s2d and "model" in mesh.axis_names:
+        cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
+
+    def fn(state, images, conds, b1s, b2s, base_rng, global_step0, batch_no0):
+        def gather(ids):
+            return (jnp.take(images, ids, axis=0), jnp.take(conds, ids, axis=0))
+
+        def body(carry, xs):
+            st, _, _ = carry
+            i, b1m, b2m = xs  # (M,) ids each
+            rng = jax.random.fold_in(base_rng, global_step0 + i)
+            grads, aux = accum_grads(st, gather(b1m), gather(b2m), rng, cfg, inputs_s2d=store_s2d)
+            out = apply_updates(st, grads, aux, batch_no0 + i, cfg, part_masks)
+            return (out.state, out.fake_image, out.adj_image), out.metrics
+
+        steps = jnp.arange(n_steps, dtype=jnp.int32)
+        out0 = jax.eval_shape(
+            lambda st: apply_updates(
+                st,
+                *accum_grads(st, gather(b1s[0]), gather(b2s[0]), base_rng, cfg, inputs_s2d=store_s2d),
+                batch_no0,
+                cfg,
+                part_masks,
+            ),
+            state,
+        )
+        zero = lambda sd: jnp.zeros(sd.shape, sd.dtype)
+        init = (state, zero(out0.fake_image), zero(out0.adj_image))
+        (final_state, fake, adj), metrics = jax.lax.scan(body, init, (steps, b1s, b2s))
+        return StepOutput(state=final_state, metrics=metrics, fake_image=fake, adj_image=adj)
 
     if mesh is None:
         return jax.jit(fn, donate_argnums=(0,) if donate else (), compiler_options=tpu_compiler_options(cfg))

@@ -158,22 +158,26 @@ class Trainer:
         # dispatch and state reassignment; donated input buffers would then
         # be dead when the interrupt checkpoint reads them (bench donates).
         self._spatial = False
-        if cfg.grad_accum > 1 and (
-            cfg.device_data or (axes == ("data", "model") and n_dev > 1)
-        ):
-            raise ValueError(
-                "grad_accum > 1 composes with the host-fed path only (single "
-                "device or the pure-DP 'data' mesh); device_data and spatial "
-                "('data','model') meshes are not supported with accumulation "
-                "— lower grad_accum to 1 there"
-            )
         if axes == ("data", "model") and n_dev > 1:
             from littlegan_tpu.parallel import make_mesh
             from littlegan_tpu.parallel.spatial import make_spatial_train_step
 
             self.mesh = make_mesh(n_dev, axis_names=axes, shape=cfg.mesh_shape)
             self.state = jax.device_put(self.state)
-            self._train_step = make_spatial_train_step(cfg, self.state.params, self.mesh, donate=False)
+            if cfg.grad_accum > 1 and not cfg.device_data:
+                from littlegan_tpu.training.step import make_accum_train_step
+
+                self._train_step = make_accum_train_step(
+                    cfg, self.state.params, donate=False, mesh=self.mesh
+                )
+                print(
+                    f"Spatially-sharded training with {cfg.grad_accum}-pair "
+                    f"gradient accumulation (effective batch {cfg.grad_accum * cfg.batch_size})"
+                )
+            else:
+                # device_data + grad_accum: train() dispatches the scan-accum
+                # step (make_scan_accum_train_step) over the HBM store
+                self._train_step = make_spatial_train_step(cfg, self.state.params, self.mesh, donate=False)
             self._spatial = True
             print(f"Spatially-sharded training over a {dict(zip(axes, self.mesh.devices.shape))} mesh")
         elif n_dev > 1 and cfg.batch_size % n_dev == 0:
@@ -415,13 +419,26 @@ class Trainer:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            # (M, B, ...) micro stacks: images additionally H-sharded on
+            # 'model' under the spatial mesh; conds always P(None, 'data')
+            img_spec = P(None, "data", "model") if self._spatial else P(None, "data")
             if jax.process_count() > 1:  # per-host rows -> global group
                 from littlegan_tpu.parallel import shard_local_batch
 
-                put = lambda g: shard_local_batch(g, self.mesh, P(None, "data"))
+                put = lambda g: tuple(
+                    (
+                        shard_local_batch(img, self.mesh, img_spec),
+                        shard_local_batch(cond, self.mesh, P(None, "data")),
+                    )
+                    for img, cond in g
+                )
             else:
-                sh = NamedSharding(self.mesh, P(None, "data"))
-                put = lambda g: jax.device_put(g, sh)
+                img_sh = NamedSharding(self.mesh, img_spec)
+                cond_sh = NamedSharding(self.mesh, P(None, "data"))
+                put = lambda g: tuple(
+                    (jax.device_put(img, img_sh), jax.device_put(cond, cond_sh))
+                    for img, cond in g
+                )
         else:
             put = jax.device_put
         groups = _accum_groups(_pairwise(it), self.cfg.grad_accum)
@@ -515,7 +532,11 @@ class Trainer:
         first_epoch = self.global_epoch
         step_fn = self._train_step
         gather_mode = cfg.device_data
+        accum_m = cfg.grad_accum if gather_mode else 1  # micro-pairs/update
         scan_k = cfg.steps_per_dispatch if gather_mode else 1
+        # accumulation over the device store always rides the scan path
+        # (make_scan_accum_train_step), even at one update per dispatch
+        use_scan = gather_mode and (scan_k > 1 or accum_m > 1)
         if cfg.steps_per_dispatch > 1 and not gather_mode:
             print(
                 "WARNING: steps_per_dispatch > 1 requires device_data=True "
@@ -527,14 +548,27 @@ class Trainer:
             # runtime). steps_per_dispatch > 1 scans K steps per dispatch.
             # Composes with DP/spatial meshes: the store is mesh-sharded and
             # the slice is local on every device (training/step.py).
-            from littlegan_tpu.training.step import make_gather_train_step, make_scan_train_step
+            from littlegan_tpu.training.step import (
+                make_gather_train_step,
+                make_scan_accum_train_step,
+                make_scan_train_step,
+            )
 
             imgs_dev, conds_dev = self._ensure_device_store()
-            if scan_k > 1:
-                scan_step = make_scan_train_step(
+            make_scan = (
+                make_scan_accum_train_step if accum_m > 1 else make_scan_train_step
+            )
+            if use_scan:
+                scan_step = make_scan(
                     cfg, self.state.params, scan_k, donate=False, mesh=self.mesh,
                     store_s2d=self._store_s2d,
                 )
+                if accum_m > 1:
+                    print(
+                        f"device_data x grad_accum: {accum_m} micro-pairs per "
+                        f"update (effective batch {accum_m * cfg.batch_size}), "
+                        f"{scan_k} updates per dispatch"
+                    )
             else:
                 gather_step = make_gather_train_step(
                     cfg, self.state.params, donate=False, mesh=self.mesh,
@@ -549,35 +583,39 @@ class Trainer:
                 self.global_epoch = epoch
                 print(f"Experiment: {cfg.exp_name} Epoch: {epoch} starting...")
                 start = time.time()
-                if scan_k > 1:
-                    # K-steps-per-dispatch fast path: group 2K batch ids
+                if use_scan:
+                    # K-updates-per-dispatch fast path: group 2*K*M batch ids
+                    # (M = grad_accum micro-pairs per applied update)
+                    ids_per_update = 2 * accum_m
                     idx_stream = self._device_epoch(epoch)
                     batch_no = 0
                     images_done = 0
                     dropped = 0
                     while True:
                         group = []
-                        for _ in range(2 * scan_k):
+                        for _ in range(ids_per_update * scan_k):
                             nxt = next(idx_stream, None)
                             if nxt is None:
                                 break
                             group.append(nxt)
                         k_r, step, last = scan_k, scan_step, False
-                        if len(group) < 2 * scan_k:
+                        if len(group) < ids_per_update * scan_k:
                             # trailing partial group: run it with a remainder-
                             # sized scan (n_batches is constant, so this is
                             # ONE extra compile, first epoch only) — full
-                            # dataset coverage per epoch; only the reference-
-                            # parity single odd batch can be dropped
-                            rem = len(group) // 2
-                            dropped = len(group) - 2 * rem
+                            # dataset coverage per epoch; only a partial
+                            # update's batches can be dropped (a single odd
+                            # batch at parity; up to 2M-1 with accumulation,
+                            # matching the host-fed accumulation path)
+                            rem = len(group) // ids_per_update
+                            dropped = len(group) - ids_per_update * rem
                             if rem == 0:
                                 break
                             k_r, last = rem, True
-                            group = group[: 2 * rem]
+                            group = group[: ids_per_update * rem]
                             step = rem_steps.get(rem)
                             if step is None:
-                                step = make_scan_train_step(
+                                step = make_scan(
                                     cfg, self.state.params, rem, donate=False,
                                     mesh=self.mesh, store_s2d=self._store_s2d,
                                 )
@@ -599,12 +637,20 @@ class Trainer:
                                 jax.profiler.stop_trace()
                                 profiling = False
                                 print("profiler trace written to", profile_dir)
+                        # within a group, pair p = (ids[2p], ids[2p+1]); update
+                        # u consumes pairs [u*M, (u+1)*M) — so the even/odd
+                        # de-interleave reshapes to (K, M) id matrices
+                        b1_ids = np.asarray(group[0::2], np.int32)
+                        b2_ids = np.asarray(group[1::2], np.int32)
+                        if accum_m > 1:
+                            b1_ids = b1_ids.reshape(k_r, accum_m)
+                            b2_ids = b2_ids.reshape(k_r, accum_m)
                         out = step(
                             self.state,
                             imgs_dev,
                             conds_dev,
-                            np.asarray(group[0::2], np.int32),
-                            np.asarray(group[1::2], np.int32),
+                            b1_ids,
+                            b2_ids,
                             self._base_rng,
                             jnp.int32(self.global_step + 1),
                             jnp.int32(batch_no + 1),
@@ -619,7 +665,7 @@ class Trainer:
                         prev_batch = batch_no
                         batch_no += k_r
                         self.global_step += k_r
-                        images_done += 2 * cfg.batch_size * k_r
+                        images_done += 2 * cfg.batch_size * k_r * accum_m
                         if len(metrics_buffer) >= flush_every:
                             self._flush_buffered()
                         # cadences snap to dispatch-group boundaries: fire once
@@ -657,8 +703,9 @@ class Trainer:
                     self._flush_buffered()
                     elapsed = time.time() - start
                     rate = images_done / elapsed if elapsed > 0 else 0.0
-                    drop_note = (  # only a single odd batch can remain (parity)
-                        f"  [{dropped} trailing odd batch dropped]" if dropped else ""
+                    drop_note = (  # a single odd batch at parity; up to
+                        # 2M-1 batches of a partial accumulation group
+                        f"  [{dropped} trailing batch(es) dropped]" if dropped else ""
                     )
                     print(f"Time usage: {elapsed:.1f}s  ({rate:.1f} images/s){drop_note}")
                     self.checkpointer.save(
@@ -670,7 +717,7 @@ class Trainer:
                         self._save_interrupt()
                     continue
 
-                if cfg.grad_accum > 1:  # host-fed only (device_data refused)
+                if cfg.grad_accum > 1:  # host-fed (device_data rides use_scan)
                     pairs = self._accum_prefetch(self.dataset.epoch_iterator(epoch))
                 elif cfg.device_data:
                     pairs = _pairwise(self._device_epoch(epoch))

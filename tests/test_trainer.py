@@ -489,8 +489,111 @@ def test_grad_accum_epoch(run_cfg):
     assert os.path.isfile(
         os.path.join(cfg.result_dir, "train", "gen", "1-2.jpg")
     )
-    with pytest.raises(ValueError, match="grad_accum"):
-        Trainer(run_cfg.replace(grad_accum=2, device_data=True), ds)
+
+
+def test_grad_accum_device_data_matches_host_fed(tiny_cfg, tmp_path):
+    """grad_accum x device_data (scan-accum step) must produce the same
+    updates as the host-fed accumulation path: unified epoch-order stream,
+    same per-update PRNG (fold_in(base, global_step)) and batch_no schedule.
+
+    Needs a FILE-backed dataset (content fixed across epochs — the store is
+    canonical-order content that every epoch permutes; SyntheticDataset
+    draws fresh IID data per epoch, so the two pipelines would see different
+    bytes). 12 batches = 6 pairs = 3 updates; the device path runs them as
+    one full 2-update dispatch + a 1-update remainder scan (both paths hit)."""
+    from PIL import Image
+
+    from littlegan_tpu.data import CelebA
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(7)
+    lines = ["48", " ".join(f"A{i}" for i in range(40))]
+    for i in range(48):
+        name = f"{i:06d}.jpg"
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+            img_dir / name, quality=95
+        )
+        lines.append(name + " " + " ".join(str(v) for v in rng.choice([-1, 1], size=40)))
+    (tmp_path / "attrs.txt").write_text("\n".join(lines))
+
+    common = dict(
+        image_path=str(img_dir), attr_path=str(tmp_path / "attrs.txt"),
+        batch_size=4, grad_accum=2, epoch=1, freq_gen=1000, freq_test=1000,
+        use_partition=True, all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"), donate_state=False, restore=True,
+    )
+    cfg_h = tiny_cfg.replace(exp_name="ah", **common)
+    cfg_d = tiny_cfg.replace(exp_name="ad", device_data=True, steps_per_dispatch=2, **common)
+    tr_h = Trainer(cfg_h, CelebA(cfg_h))
+    tr_h.train()
+    tr_d = Trainer(cfg_d, CelebA(cfg_d), init_rng=jax.random.PRNGKey(cfg_d.seed))
+    tr_d.train()
+    assert tr_h.global_step == tr_d.global_step == 3
+    # scan vs unrolled reduction orders: compare at the Adam-update scale
+    # (same rationale as test_steps_per_dispatch_matches_sequential)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(tr_h.state.params),
+        jax.tree_util.tree_leaves_with_path(tr_d.state.params),
+    ):
+        diff = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert diff <= 2.5 * cfg_h.lr, (
+            "/".join(str(getattr(p, "key", p)) for p in path),
+            diff,
+        )
+
+
+def test_grad_accum_device_data_dp_mesh(run_cfg):
+    """grad_accum x device_data x DP: the mesh-sharded store feeds the
+    scan-accum step; micro-batches come out P('data')-sharded with one
+    all-reduced apply per update."""
+    cfg = run_cfg.replace(
+        batch_size=8, grad_accum=2, device_data=True, steps_per_dispatch=2,
+        epoch=1, freq_gen=1000, freq_test=1000,
+    )
+    ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    assert tr.mesh is not None, "8 virtual devices + batch 8 must pick the DP mesh"
+    tr.train()
+    assert tr.global_step == 2  # 8 batches = 4 pairs = 2 accumulated updates
+    assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))
+
+
+def test_grad_accum_spatial_mesh_host_fed(tiny_cfg, tmp_path):
+    """grad_accum x spatial ('data','model') mesh, host-fed: (M, B, H, ...)
+    micro stacks sharded P(None,'data','model')."""
+    cfg = tiny_cfg.replace(
+        batch_size=4, grad_accum=2, epoch=1, freq_gen=100, freq_test=100,
+        mesh_axes=["data", "model"], mesh_shape=[4, 2],
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="spa", donate_state=False,
+    )
+    ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    assert tr._spatial and tr.mesh.devices.shape == (4, 2)
+    tr.train()
+    assert tr.global_step == 2
+    assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))
+
+
+def test_grad_accum_device_data_spatial_mesh(tiny_cfg, tmp_path):
+    """grad_accum x device_data x spatial: the H-sharded store feeds the
+    scan-accum step (P(None,'data','model') gathers)."""
+    cfg = tiny_cfg.replace(
+        batch_size=4, grad_accum=2, device_data=True, epoch=1,
+        freq_gen=100, freq_test=100,
+        mesh_axes=["data", "model"], mesh_shape=[4, 2],
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="spd", donate_state=False,
+    )
+    ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    assert tr._spatial
+    tr.train()
+    assert tr.global_step == 2
+    assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))
 
 
 def test_scan_path_remainder_dispatch_full_coverage(run_cfg):

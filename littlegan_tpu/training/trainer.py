@@ -158,6 +158,20 @@ class Trainer:
         # dispatch and state reassignment; donated input buffers would then
         # be dead when the interrupt checkpoint reads them (bench donates).
         self._spatial = False
+        if (
+            cfg.grad_accum > 1
+            and self.dataset is not None
+            and getattr(self.dataset, "batches", None) is not None
+            and self.dataset.batches < 2 * cfg.grad_accum
+        ):
+            # both accumulation paths drop a trailing partial group — an
+            # epoch smaller than ONE group would train zero steps silently
+            print(
+                f"WARNING: dataset has {self.dataset.batches} batches but one "
+                f"accumulation group consumes {2 * cfg.grad_accum}; every "
+                "epoch would apply ZERO updates. Lower grad_accum or grow "
+                "the dataset."
+            )
         if axes == ("data", "model") and n_dev > 1:
             from littlegan_tpu.parallel import make_mesh
             from littlegan_tpu.parallel.spatial import make_spatial_train_step

@@ -111,7 +111,10 @@ def main() -> int:
     cfg0 = Config(**base)
     ds = CelebA(cfg0)
     incep = init_inception_params("", seed=0)
-    feat_fn = jax.jit(lambda imgs: inception_features(incep, imgs))
+    # uint8 ships to the device and upcasts THERE: at 512² a 128-image f32
+    # chunk is 400 MB of host->device transfer vs 100 MB as uint8 — over
+    # this container's tunnel that difference dominates the eval wall time
+    feat_fn = jax.jit(lambda imgs: inception_features(incep, imgs.astype(jnp.float32)))
 
     def features_of(images_u8: np.ndarray) -> np.ndarray:
         feats = []
@@ -121,7 +124,7 @@ def main() -> int:
             pad = bs - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
-            f = np.asarray(feat_fn(jnp.asarray(chunk, jnp.float32)))
+            f = np.asarray(feat_fn(jnp.asarray(chunk)))
             feats.append(f[: bs - pad] if pad else f)
         return np.concatenate(feats)
 
@@ -140,6 +143,40 @@ def main() -> int:
         os.makedirs(args.result_dir, exist_ok=True)
         np.savez_compressed(stats_path, mu=mu_r, sigma=sigma_r)
         print(f"dataset stats over {len(real_u8)} images -> {stats_path}")
+
+    from littlegan_tpu.models import adjuster_apply, generator_apply
+
+    @jax.jit
+    def gen_feat(params, noise, cond):
+        img = generator_apply(params, noise, cond, cfg0).astype(jnp.float32)
+        u8 = ((img + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
+        return inception_features(incep, u8.astype(jnp.float32))
+
+    def region_means(x):
+        """Device-side twin of stat(): all 7 region/channel means at once —
+        only 7 floats cross device->host instead of the image batch (a 64 x
+        512² f32 batch is 200 MB, paid ~30x per eval point via stat())."""
+        x = (x.astype(jnp.float32) + 1.0) / 2.0
+        d = x.shape[1]
+        return jnp.stack(
+            [
+                jnp.mean(x[:, :, :, 0]),
+                jnp.mean(x[:, d // 4 : d // 2, :, 1]),
+                jnp.mean(x[:, d // 2 :, :, 2]),
+                jnp.mean(x[:, d // 3 : 2 * d // 3, d // 3 : 2 * d // 3, :]),
+                jnp.mean(x[:, d // 8 : d // 4, :, :]),
+                jnp.mean(x[:, : d // 4, : d // 4, :]),
+                jnp.mean(x),
+            ]
+        )
+
+    @jax.jit
+    def gen_stats(params, noise, cond):
+        return region_means(generator_apply(params, noise, cond, cfg0))
+
+    @jax.jit
+    def adj_stats(params, img, cond):
+        return region_means(adjuster_apply(params, img, cond, cfg0))
 
     rng = np.random.default_rng(0)
     eval_noise = rng.normal(size=(64, cfg0.noise_dim)).astype(np.float32)
@@ -172,23 +209,25 @@ def main() -> int:
 
         # generator effect sizes
         gen_fx = []
-        g_base = np.asarray(tr._gen_jit(params, eval_noise, base_cond))
+        g_base = np.asarray(gen_stats(params, eval_noise, base_cond))
         for j in range(cfg.cond_dim):
             c = base_cond.copy()
             c[:, j] = soft(1.0)
-            g = np.asarray(tr._gen_jit(params, eval_noise, c))
-            gen_fx.append(round(stat(g, j) - stat(g_base, j), 4))
+            g = np.asarray(gen_stats(params, eval_noise, c))
+            gen_fx.append(round(float(g[j] - g_base[j]), 4))
 
-        # adjuster effect sizes on real images
+        # adjuster effect sizes on real images (device-resident batch:
+        # uploaded once per eval, stats come back as 7 floats per call)
         adj_fx = []
-        n64 = real_pm1[:64]
+        n64 = jax.device_put(real_pm1[:64])
+        rows = int(n64.shape[0])
         for j in range(cfg.cond_dim):
-            on = np.full((len(n64), cfg.cond_dim), (soft(-1.0) + 1) / 2, np.float32)
+            on = np.full((rows, cfg.cond_dim), (soft(-1.0) + 1) / 2, np.float32)
             off = on.copy()
             on[:, j] = (soft(1.0) + 1) / 2
-            a_on = np.asarray(tr._adj_jit(params, n64, on))
-            a_off = np.asarray(tr._adj_jit(params, n64, off))
-            adj_fx.append(round(stat(a_on, j) - stat(a_off, j), 4))
+            s_on = np.asarray(adj_stats(params, n64, on))
+            s_off = np.asarray(adj_stats(params, n64, off))
+            adj_fx.append(round(float(s_on[j] - s_off[j]), 4))
 
         # D cond-head accuracy
         _, d_cond = tr._disc_jit(params, n64)
@@ -197,11 +236,16 @@ def main() -> int:
         )
 
         # FID trend (random-init Inception — NOT comparable to published FID)
-        gen_imgs = []
+        # generate -> uint8 quantize -> inception features in ONE device
+        # dispatch per chunk: only (128, 2048) features come back to the
+        # host (a 512² f32 image chunk alone is 400 MB of device->host
+        # transfer; same math as the previous host round-trip — the uint8
+        # cast is the identical truncating quantization)
+        feats = []
         for i in range(0, len(fid_noise), 128):
-            g = np.asarray(tr._gen_jit(params, fid_noise[i : i + 128], fid_cond[i : i + 128]))
-            gen_imgs.append(((g + 1) * 127.5).clip(0, 255).astype(np.uint8))
-        mu_g, sigma_g = activation_statistics(features_of(np.concatenate(gen_imgs)))
+            f = np.asarray(gen_feat(params, fid_noise[i : i + 128], fid_cond[i : i + 128]))
+            feats.append(f)
+        mu_g, sigma_g = activation_statistics(np.concatenate(feats))
         fid_trend = float(frechet_distance(mu_r, sigma_r, mu_g, sigma_g))
 
         rec = {

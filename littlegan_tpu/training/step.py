@@ -362,6 +362,20 @@ def make_accum_train_step(cfg: Config, params, donate: bool | None = None, mesh=
     # on H over 'model' (same layout as make_spatial_train_step, with the
     # leading (M,) accumulation axis unsharded)
     spatial = "model" in mesh.axis_names
+    if spatial:
+        # same validation as make_spatial_train_step — a divisibility
+        # mismatch should be a clear ValueError at build time, not an
+        # opaque GSPMD error at first dispatch
+        assert set(mesh.axis_names) == {"data", "model"}, "need a ('data','model') mesh"
+        shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+        if cfg.batch_size % shape["data"] != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must be divisible by the data-axis size ({shape['data']})"
+            )
+        if cfg.image_dim % shape["model"] != 0:
+            raise ValueError(
+                f"image_dim {cfg.image_dim} must be divisible by the model-axis size ({shape['model']})"
+            )
     if spatial and cfg.use_s2d:
         cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
         fn = partial(accum_train_step, cfg=cfg, part_masks=part_masks)
@@ -407,24 +421,19 @@ def _device_data_shardings(cfg: Config, mesh):
     return rep, store_img, store_cond, out
 
 
-def make_scan_train_step(
-    cfg: Config, params, n_steps: int, donate: bool | None = None, mesh=None, store_s2d: bool = False
-):
-    """K train steps per dispatch: ``lax.scan`` over the store-slicing step.
+def _make_scan_dispatch(cfg: Config, params, n_steps: int, donate, mesh, update_fn):
+    """Shared K-updates-per-dispatch scaffold for the device-store steps.
 
-    For the HBM-resident dataset mode on hosts where per-dispatch latency
-    dominates (remote runtimes; ~30 ms RTT in this container), one dispatch
-    per K steps amortizes it K-fold. Math is IDENTICAL to K sequential steps:
-    the per-step PRNG is ``fold_in(base_rng, global_step0 + i)`` (the
-    trainer's exact stream) and the partition schedule sees the true
-    ``batch_no0 + i``.
-
-    Signature: step(state, images, conds, b1s (K,), b2s (K,), base_rng,
-    global_step0, batch_no0) -> (state, metrics (K,), fake, adj) where
-    images/conds are the (n_batches, B, ...) device store, b1s/b2s are int32
-    batch ids, and fake/adj are the LAST step's images (cadence artifacts
-    snap to dispatch-group granularity). With ``mesh`` the store is sharded
-    P(None, 'data'[, 'model']) and each scanned step runs data-parallel.
+    ``lax.scan`` over per-dispatch id rows with the artifact CARRY: only the
+    LAST update's images leave the dispatch (cadence artifacts snap to group
+    granularity) — carrying them instead of scan-stacking (K,B,H,W,C)
+    buffers saves K-1 image-batch HBM writes per dispatch (~0.3 ms/step at
+    b32). ``update_fn(state, images, conds, b1, b2, rng, batch_no, cfg,
+    part_masks) -> StepOutput`` performs ONE applied update from its id row
+    — a scalar pair for the plain scan step, (M,) id vectors for the
+    accumulation step. Per-update PRNG is ``fold_in(base_rng, global_step0
+    + i)`` (the trainer's exact stream); the partition schedule sees the
+    true ``batch_no0 + i``.
     """
     part_masks = build_partition_masks(params)
     donate = cfg.donate_state if donate is None else donate
@@ -432,30 +441,19 @@ def make_scan_train_step(
         cfg = cfg.replace(use_pallas=False, use_pallas_boundary=False)  # Mosaic is not auto-partitionable
     if mesh is not None and cfg.use_s2d and "model" in mesh.axis_names:
         cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
-    base = partial(train_step, cfg=cfg, part_masks=part_masks, inputs_s2d=store_s2d)
 
     def fn(state, images, conds, b1s, b2s, base_rng, global_step0, batch_no0):
-        # Only the LAST step's images leave the dispatch (cadence artifacts
-        # snap to group granularity) — carry them instead of scan-stacking
-        # (K,B,H,W,C) buffers that are immediately discarded: saves
-        # K-1 image-batch HBM writes per dispatch (~0.3 ms/step at b32).
         def body(carry, xs):
             st, _, _ = carry
             i, b1, b2 = xs
             rng = jax.random.fold_in(base_rng, global_step0 + i)
-            batch1 = (_take_batch(images, b1), _take_batch(conds, b1))
-            batch2 = (_take_batch(images, b2), _take_batch(conds, b2))
-            out = base(st, batch1, batch2, rng, batch_no0 + i)
+            out = update_fn(st, images, conds, b1, b2, rng, batch_no0 + i, cfg, part_masks)
             return (out.state, out.fake_image, out.adj_image), out.metrics
 
         steps = jnp.arange(n_steps, dtype=jnp.int32)
         out0 = jax.eval_shape(
-            lambda st: base(
-                st,
-                (_take_batch(images, b1s[0]), _take_batch(conds, b1s[0])),
-                (_take_batch(images, b2s[0]), _take_batch(conds, b2s[0])),
-                base_rng,
-                batch_no0,
+            lambda st: update_fn(
+                st, images, conds, b1s[0], b2s[0], base_rng, batch_no0, cfg, part_masks
             ),
             state,
         )
@@ -481,6 +479,33 @@ def make_scan_train_step(
     )
 
 
+def make_scan_train_step(
+    cfg: Config, params, n_steps: int, donate: bool | None = None, mesh=None, store_s2d: bool = False
+):
+    """K train steps per dispatch: ``lax.scan`` over the store-slicing step.
+
+    For the HBM-resident dataset mode on hosts where per-dispatch latency
+    dominates (remote runtimes; ~30 ms RTT in this container), one dispatch
+    per K steps amortizes it K-fold. Math is IDENTICAL to K sequential steps:
+    the per-step PRNG is ``fold_in(base_rng, global_step0 + i)`` (the
+    trainer's exact stream) and the partition schedule sees the true
+    ``batch_no0 + i``.
+
+    Signature: step(state, images, conds, b1s (K,), b2s (K,), base_rng,
+    global_step0, batch_no0) -> (state, metrics (K,), fake, adj) where
+    images/conds are the (n_batches, B, ...) device store, b1s/b2s are int32
+    batch ids, and fake/adj are the LAST step's images (cadence artifacts
+    snap to dispatch-group granularity). With ``mesh`` the store is sharded
+    P(None, 'data'[, 'model']) and each scanned step runs data-parallel.
+    """
+    def update(st, images, conds, b1, b2, rng, batch_no, cfg, part_masks):
+        batch1 = (_take_batch(images, b1), _take_batch(conds, b1))
+        batch2 = (_take_batch(images, b2), _take_batch(conds, b2))
+        return train_step(st, batch1, batch2, rng, batch_no, cfg, part_masks, inputs_s2d=store_s2d)
+
+    return _make_scan_dispatch(cfg, params, n_steps, donate, mesh, update)
+
+
 def make_scan_accum_train_step(
     cfg: Config, params, n_steps: int, donate: bool | None = None, mesh=None, store_s2d: bool = False
 ):
@@ -499,51 +524,12 @@ def make_scan_accum_train_step(
     the store is sharded P(None, 'data'[, 'model']); ids are replicated, so
     the gather is device-local and micro-batches come out step-sharded.
     """
-    part_masks = build_partition_masks(params)
-    donate = cfg.donate_state if donate is None else donate
-    if mesh is not None and (cfg.use_pallas or cfg.use_pallas_boundary):
-        cfg = cfg.replace(use_pallas=False, use_pallas_boundary=False)  # Mosaic is not auto-partitionable
-    if mesh is not None and cfg.use_s2d and "model" in mesh.axis_names:
-        cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
+    def update(st, images, conds, b1m, b2m, rng, batch_no, cfg, part_masks):
+        gather = lambda ids: (jnp.take(images, ids, axis=0), jnp.take(conds, ids, axis=0))
+        grads, aux = accum_grads(st, gather(b1m), gather(b2m), rng, cfg, inputs_s2d=store_s2d)
+        return apply_updates(st, grads, aux, batch_no, cfg, part_masks)
 
-    def fn(state, images, conds, b1s, b2s, base_rng, global_step0, batch_no0):
-        def gather(ids):
-            return (jnp.take(images, ids, axis=0), jnp.take(conds, ids, axis=0))
-
-        def body(carry, xs):
-            st, _, _ = carry
-            i, b1m, b2m = xs  # (M,) ids each
-            rng = jax.random.fold_in(base_rng, global_step0 + i)
-            grads, aux = accum_grads(st, gather(b1m), gather(b2m), rng, cfg, inputs_s2d=store_s2d)
-            out = apply_updates(st, grads, aux, batch_no0 + i, cfg, part_masks)
-            return (out.state, out.fake_image, out.adj_image), out.metrics
-
-        steps = jnp.arange(n_steps, dtype=jnp.int32)
-        out0 = jax.eval_shape(
-            lambda st: apply_updates(
-                st,
-                *accum_grads(st, gather(b1s[0]), gather(b2s[0]), base_rng, cfg, inputs_s2d=store_s2d),
-                batch_no0,
-                cfg,
-                part_masks,
-            ),
-            state,
-        )
-        zero = lambda sd: jnp.zeros(sd.shape, sd.dtype)
-        init = (state, zero(out0.fake_image), zero(out0.adj_image))
-        (final_state, fake, adj), metrics = jax.lax.scan(body, init, (steps, b1s, b2s))
-        return StepOutput(state=final_state, metrics=metrics, fake_image=fake, adj_image=adj)
-
-    if mesh is None:
-        return jax.jit(fn, donate_argnums=(0,) if donate else (), compiler_options=tpu_compiler_options(cfg))
-    rep, store_img, store_cond, out = _device_data_shardings(cfg, mesh)
-    return jax.jit(
-        fn,
-        in_shardings=(rep, store_img, store_cond, rep, rep, rep, rep, rep),
-        out_shardings=out,
-        donate_argnums=(0,) if donate else (),
-        compiler_options=tpu_compiler_options(cfg),
-    )
+    return _make_scan_dispatch(cfg, params, n_steps, donate, mesh, update)
 
 
 def make_gather_train_step(

@@ -181,6 +181,17 @@ class Trainer:
             if cfg.grad_accum > 1 and not cfg.device_data:
                 from littlegan_tpu.training.step import make_accum_train_step
 
+                if n_proc > 1:
+                    # host-fed row slicing (set_rows_per_batch) only exists
+                    # for the pure-DP axes; each host would feed FULL-B rows
+                    # into shard_local_batch and inflate the global batch
+                    # n_proc-fold, failing deep in XLA at first dispatch
+                    raise ValueError(
+                        "grad_accum x spatial multi-host requires "
+                        "device_data=true (the HBM store shards rows per "
+                        "host); host-fed spatial accumulation is single-"
+                        "process only"
+                    )
                 self._train_step = make_accum_train_step(
                     cfg, self.state.params, donate=False, mesh=self.mesh
                 )

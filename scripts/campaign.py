@@ -34,23 +34,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def stat(images: np.ndarray, j: int) -> float:
-    """Mean intensity of the region/channel attribute j controls
-    (must match scripts/make_structured_data.py)."""
-    x = (images + 1.0) / 2.0
-    d = x.shape[1]
-    regions = [
-        x[:, :, :, 0],
-        x[:, d // 4 : d // 2, :, 1],
-        x[:, d // 2 :, :, 2],
-        x[:, d // 3 : 2 * d // 3, d // 3 : 2 * d // 3, :],
-        x[:, d // 8 : d // 4, :, :],
-        x[:, : d // 4, : d // 4, :],
-        x,
-    ]
-    return float(np.mean(regions[j]))
-
-
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("exp")
@@ -153,9 +136,10 @@ def main() -> int:
         return inception_features(incep, u8.astype(jnp.float32))
 
     def region_means(x):
-        """Device-side twin of stat(): all 7 region/channel means at once —
-        only 7 floats cross device->host instead of the image batch (a 64 x
-        512² f32 batch is 200 MB, paid ~30x per eval point via stat())."""
+        """Mean intensity of each attribute's region/channel, on device
+        (indices MUST match scripts/make_structured_data.py::make_image).
+        All 7 means in one dispatch — only 7 floats cross device->host
+        instead of the image batch (a 64 x 512² f32 batch is 200 MB)."""
         x = (x.astype(jnp.float32) + 1.0) / 2.0
         d = x.shape[1]
         return jnp.stack(

@@ -105,13 +105,23 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    k1, k2 = max(8, args.calls // 8), args.calls
+    k1 = max(8, args.calls // 8)
+    k2 = max(2 * k1, args.calls)  # guarantee k2 > k1 for any --calls
     t1, t2 = timed(k1), timed(k2)
-    dt = max(t2 - t1, 1e-9)
-    emit(
-        "serve_generate_sustained", (k2 - k1) * args.batch / dt, "images/sec",
-        batch=args.batch, per_call_ms=round(1e3 * dt / (k2 - k1), 3),
-    )
+    dt = t2 - t1
+    if dt <= 0:
+        # best-of-3 does not guarantee monotonicity on a noisy tunnel; an
+        # inverted differential is an INVALID measurement, not a huge number
+        print(
+            f"# INVALID differential: t({k1})={t1:.4f}s >= t({k2})={t2:.4f}s "
+            "— tunnel noise swamped the device work; re-run with more --calls",
+            file=sys.stderr,
+        )
+    else:
+        emit(
+            "serve_generate_sustained", (k2 - k1) * args.batch / dt, "images/sec",
+            batch=args.batch, per_call_ms=round(1e3 * dt / (k2 - k1), 3),
+        )
 
     # ---- blocking single-call latency (tunnel-RTT inclusive) ----
     for name, fn in (

@@ -577,6 +577,25 @@ def test_grad_accum_spatial_mesh_host_fed(tiny_cfg, tmp_path):
     assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))
 
 
+def test_grad_accum_spatial_multihost_hostfed_refused(tiny_cfg, tmp_path, monkeypatch):
+    """Host-fed spatial grad_accum across processes must refuse at build
+    time: per-host row slicing only exists for pure-DP axes, so the path
+    would assemble an n_proc-inflated global batch and fail deep in XLA."""
+    import jax as _jax
+
+    cfg = tiny_cfg.replace(
+        batch_size=4, grad_accum=2, epoch=1,
+        mesh_axes=["data", "model"], mesh_shape=[4, 2],
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="spmh", donate_state=False,
+    )
+    ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    monkeypatch.setattr(_jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="grad_accum x spatial multi-host"):
+        Trainer(cfg, ds)
+
+
 def test_grad_accum_device_data_spatial_mesh(tiny_cfg, tmp_path):
     """grad_accum x device_data x spatial: the H-sharded store feeds the
     scan-accum step (P(None,'data','model') gathers)."""

@@ -85,6 +85,8 @@ def main() -> int:
         reuse=True,
         debug=True,
         donate_state=False,
+        keep_checkpoints=3,  # a 512² full-state ckpt is ~0.8 GB (the dense
+        # heads scale with init_dim²); 100 unpruned epochs filled the disk
         cond_bias=args.cond_bias,
         ema_decay=args.ema,
         allow_random_fid=True,

@@ -14,9 +14,13 @@ Parity notes:
   which is what we implement.
 - noise: ``x + 0.1 * N(0, 0.2)`` i.e. additive sigma = 0.02
   (eager_trainer.py:131).
-- images are in [-1,1] when hue-adjusted; the reference feeds that range into
-  TF's HSV kernels unperturbed, so we reproduce the same max/min-based HSV
-  math on the raw range.
+- images are in [-1,1] when hue-adjusted; the reference feeds that range
+  straight into TF's adjust_hue kernel, which is CHROMA-based (hue from
+  ``(v - m)``, reconstruction as ``chroma * ramp + m``) and therefore well
+  defined on any value range — an HSV round trip via saturation ``s = c/v``
+  is NOT (it breaks where ``max(r,g,b) <= 0``). ``adjust_hue`` mirrors the
+  chroma kernel and is asserted equal to ``tf.image.adjust_hue`` on [-1,1],
+  [0,1], and wider ranges in tests/test_tf_oracle.py.
 """
 
 from __future__ import annotations
@@ -25,46 +29,40 @@ import jax
 import jax.numpy as jnp
 
 
-def _rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
-    """TF-kernel-equivalent RGB->HSV on NHWC (any value range, like TF)."""
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+def adjust_hue(x: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Rotate hue by ``delta`` (in [0,1] turns) — exact tf.image.adjust_hue
+    kernel math (chroma-based; defined for any value range, which matters
+    because the reference feeds rescaled [-1,1] images, eager_trainer.py:130).
+
+    Per pixel: v = max(r,g,b), m = min(r,g,b), c = v - m; hue from the
+    standard piecewise formula on c; rotate modulo 1; reconstruct as
+    ``c * ramp(h') + m`` (never divides by v, unlike an HSV round trip)."""
+    xf = x.astype(jnp.float32)
+    r, g, b = xf[..., 0], xf[..., 1], xf[..., 2]
     v = jnp.maximum(jnp.maximum(r, g), b)
     m = jnp.minimum(jnp.minimum(r, g), b)
-    rng = v - m
-    safe_v = jnp.where(v != 0, v, 1.0)
-    s = jnp.where(v > 0, rng / safe_v, 0.0)
-    safe_rng = jnp.where(rng != 0, rng, 1.0)
-    norm = 1.0 / (6.0 * safe_rng)
+    c = v - m
+    safe_c = jnp.where(c != 0, c, 1.0)
+    norm = 1.0 / (6.0 * safe_c)
     h = jnp.where(
         v == r,
         norm * (g - b),
         jnp.where(v == g, norm * (b - r) + 2.0 / 6.0, norm * (r - g) + 4.0 / 6.0),
     )
-    h = jnp.where(rng == 0, 0.0, h)
+    h = jnp.where(c == 0, 0.0, h)
     h = jnp.where(h < 0, h + 1.0, h)
-    return jnp.stack([h, s, v], axis=-1)
-
-
-def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
-    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    h = jnp.mod(h + delta, 1.0)
     dh = h * 6.0
-    i = jnp.floor(dh)
-    f = dh - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(jnp.int32) % 6
-    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [v, q, p, p, t], v)
-    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [t, v, v, q, p], p)
-    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [p, p, t, v, v], q)
-    return jnp.stack([r, g, b], axis=-1)
-
-
-def adjust_hue(x: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
-    """Rotate hue by ``delta`` (in [0,1] turns), like tf.image.adjust_hue."""
-    hsv = _rgb_to_hsv(x.astype(jnp.float32))
-    h = jnp.mod(hsv[..., 0] + delta, 1.0)
-    return _hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1)).astype(x.dtype)
+    x1 = c * (1.0 - jnp.abs(jnp.mod(dh, 2.0) - 1.0))
+    i = jnp.floor(dh).astype(jnp.int32) % 6
+    zero = jnp.zeros_like(c)
+    sel = lambda choices, default: jnp.select(
+        [i == 0, i == 1, i == 2, i == 3, i == 4], choices, default
+    )
+    rr = sel([c, x1, zero, zero, x1], c)
+    gg = sel([x1, c, c, x1, zero], zero)
+    bb = sel([zero, zero, x1, c, c], x1)
+    return jnp.stack([rr + m, gg + m, bb + m], axis=-1).astype(x.dtype)
 
 
 def adjust_brightness(x: jnp.ndarray, delta) -> jnp.ndarray:

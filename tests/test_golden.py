@@ -14,10 +14,14 @@ from littlegan_tpu.training import create_train_state
 from littlegan_tpu.training.step import make_train_step
 
 GOLDEN = [
-    {"loss/gen": 1.173108696937561, "loss/disc": 4.132820129394531, "loss/adj": 1.1956162452697754},
-    {"loss/gen": 1.3731648921966553, "loss/disc": 4.200441837310791, "loss/adj": 1.5887441635131836},
-    {"loss/gen": 1.5864636898040771, "loss/disc": 4.149783611297607, "loss/adj": 1.4939815998077393},
+    {"loss/gen": 1.1731090545654297, "loss/disc": 4.106043815612793, "loss/adj": 1.1956162452697754},
+    {"loss/gen": 1.373648762702942, "loss/disc": 4.241005897521973, "loss/adj": 1.588620662689209},
+    {"loss/gen": 1.5862135887145996, "loss/disc": 4.260970115661621, "loss/adj": 1.4939842224121094},
 ]
+# Regenerated (round 3) when adjust_hue switched from an HSV round trip to
+# TF's exact chroma kernel (ops/augment.py) after tests/test_tf_oracle.py
+# showed the round-trip form diverges from tf.image.adjust_hue on [-1,1]
+# images — only the D loss (which consumes the augmented image) moved.
 
 
 def test_three_step_loss_trajectory_golden():

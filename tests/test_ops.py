@@ -195,21 +195,6 @@ def test_augment_statistical_properties(np_rng):
     assert np.max(np.abs(deltas)) < 0.1
 
 
-def test_hsv_roundtrip_matches_colorsys(np_rng):
-    """Golden check of the HSV kernels against python's stdlib colorsys."""
-    import colorsys
-
-    from littlegan_tpu.ops.augment import _hsv_to_rgb, _rgb_to_hsv
-
-    rgb = np_rng.uniform(0, 1, (50, 3)).astype(np.float32)
-    hsv = np.asarray(_rgb_to_hsv(jnp.asarray(rgb.reshape(1, 50, 1, 3))))[0, :, 0]
-    want = np.asarray([colorsys.rgb_to_hsv(*p) for p in rgb], np.float32)
-    np.testing.assert_allclose(hsv, want, atol=1e-5)
-
-    back = np.asarray(_hsv_to_rgb(jnp.asarray(hsv.reshape(1, 50, 1, 3))))[0, :, 0]
-    np.testing.assert_allclose(back, rgb, atol=1e-5)
-
-
 def test_adjust_hue_rotation_matches_colorsys():
     """Golden check of the FULL adjust_hue (rotation + wraparound) against
     stdlib colorsys on a fixed image in [0,1] (round-1 verdict #7)."""
@@ -229,8 +214,11 @@ def test_adjust_hue_rotation_matches_colorsys():
 
 def test_adjust_hue_pm1_matches_scalar_reference():
     """[-1,1]-range hue math (what the reference feeds TF's kernel,
-    eager_trainer.py:130) vs an independent scalar port of the TF algorithm:
-    pins channel order, the v>0 saturation guard, and wraparound."""
+    eager_trainer.py:130) vs an independent scalar port of TF's CHROMA-based
+    adjust_hue kernel: pins channel order, the c-based (not s=c/v) hue math
+    that keeps negative pixels well-defined, and wraparound. The same
+    behavior is asserted against tf.image.adjust_hue itself in
+    tests/test_tf_oracle.py; this scalar twin runs without tensorflow."""
     rng = np.random.default_rng(23)
     img = rng.uniform(-1, 1, (4, 4, 3)).astype(np.float32)
 
@@ -238,7 +226,6 @@ def test_adjust_hue_pm1_matches_scalar_reference():
         r, g, b = float(p[0]), float(p[1]), float(p[2])
         v, m = max(r, g, b), min(r, g, b)
         c = v - m
-        s = (c / v) if v > 0 else 0.0
         if c == 0.0:
             h = 0.0
         elif v == r:
@@ -250,12 +237,11 @@ def test_adjust_hue_pm1_matches_scalar_reference():
         h = (h + delta) % 1.0
         dh = h * 6.0
         i = int(np.floor(dh)) % 6
-        f = dh - np.floor(dh)
-        p_, q_, t_ = v * (1 - s), v * (1 - s * f), v * (1 - s * (1 - f))
+        x1 = c * (1.0 - abs(dh % 2.0 - 1.0))
         return [
-            (v, q_, p_, p_, t_, v)[i],
-            (t_, v, v, q_, p_, p_)[i],
-            (p_, p_, t_, v, v, q_)[i],
+            (c, x1, 0.0, 0.0, x1, c)[i] + m,
+            (x1, c, c, x1, 0.0, 0.0)[i] + m,
+            (0.0, 0.0, x1, c, c, x1)[i] + m,
         ]
 
     for delta in (0.03, -0.03):

@@ -496,3 +496,121 @@ def test_train_step_matches_tf_tapes(np_rng):
             np.testing.assert_array_less(
                 np.abs(pm - pr), 2.0 * cfg.lr + 1e-9, err_msg=f"{name} param leaf {i} (noise bound)"
             )
+
+
+def test_partitioned_trajectory_matches_tf(np_rng):
+    """EIGHT consecutive training steps (batch_no 8..15) against the
+    reference recipe with its subtlest semantics all ON:
+
+    - the partition schedule (eager_trainer.py:104-113) with interval=1, so
+      even batches train one rotating weight-index group ([0:4)/[4:8)/[8:22)
+      for G, [0:12)/[12:16)/[16:20) for D) and odd batches train everything;
+    - Config.adam_tf_parity: v1 Adam's SHARED beta-power pair ticks on every
+      apply even for weights outside the var_list (three persistent
+      tf.compat.v1 optimizers on the TF side);
+    - the adjuster warm-up gate crossing batch_no > 10 mid-run
+      (eager_trainer.py:152): no adj tape, no adj optimizer tick before it;
+    - D-gradient clipping on the selected vars (eager_trainer.py:146-148).
+
+    Asserts per-step gradient parity (schedule divergence would compound
+    into the step-k gradients) and final-parameter parity under the
+    noise-regime bound of the single-step test, scaled by step count."""
+    n_steps, b0 = 8, 8
+    cfg = _ocfg(use_clip=True, use_partition=True, partition_interval=1, adam_tf_parity=True)
+    state = create_train_state(cfg, jax.random.PRNGKey(5))
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    o = TFOracle(cfg, state.params)
+    part_masks = build_partition_masks(state.params)
+    n = cfg.batch_size
+    l1 = cfg.l1_lambda
+    mbce = lambda t, p: tf.reduce_mean(_tf1_keras_bce(t, p))
+
+    gen_opt = tf.compat.v1.train.AdamOptimizer(cfg.lr, cfg.beta_1, cfg.beta_2)
+    disc_opt = tf.compat.v1.train.AdamOptimizer(cfg.lr, cfg.beta_1, cfg.beta_2)
+    adj_opt = tf.compat.v1.train.AdamOptimizer(cfg.lr)
+
+    g_groups = [(0, 4), (4, 8), (8, 22)]  # eager_trainer.py:48-52
+    d_groups = [(0, 12), (12, 16), (16, 20)]
+
+    def select(vars_, grads_, groups, batch_no):
+        period = cfg.partition_interval + 1
+        if batch_no % period == 0:
+            lo, hi = groups[(batch_no // period) % len(groups)]
+            return vars_[lo:hi], grads_[lo:hi]
+        return vars_, grads_
+
+    for s in range(n_steps):
+        b = b0 + s
+        img1 = (np_rng.random((n, cfg.image_dim, cfg.image_dim, 3)) * 2 - 1).astype(np.float32)
+        img2 = (np_rng.random((n, cfg.image_dim, cfg.image_dim, 3)) * 2 - 1).astype(np.float32)
+        cond1 = soft(np_rng.choice([-1.0, 1.0], (n, cfg.cond_dim))).astype(np.float32)
+        cond2 = soft(np_rng.choice([-1.0, 1.0], (n, cfg.cond_dim))).astype(np.float32)
+        noise = np_rng.standard_normal((n, cfg.noise_dim)).astype(np.float32)
+        new_image = (img1 + 0.05 * np_rng.standard_normal(img1.shape)).astype(np.float32)
+
+        grads, aux = jax.grad(total_loss_fn, has_aux=True)(
+            state.params, (jnp.asarray(img1), jnp.asarray(cond1)), (jnp.asarray(img2), jnp.asarray(cond2)),
+            jnp.asarray(noise), jnp.asarray(new_image), jax.random.PRNGKey(90 + s), cfg,
+        )
+        state = apply_updates(state, grads, aux, jnp.int32(b), cfg, part_masks).state
+
+        with tf.GradientTape() as gen_tape, tf.GradientTape() as disc_tape:
+            fake = o.generator(tf.constant(noise), tf.constant(cond2))
+            real_pr, real_c = o.discriminator(tf.constant(new_image))
+            fake_pr, fake_c = o.discriminator(fake)
+            d_loss = (
+                2.0 * mbce(cond1, real_c)
+                + mbce(soft(tf.ones_like(real_pr)), real_pr)
+                + mbce(soft(tf.zeros_like(fake_pr)), fake_pr)
+            )
+            g_loss = mbce(soft(tf.ones_like(fake_pr)), fake_pr) + mbce(cond2, fake_c) + l1 * tf.reduce_mean(tf.abs(img2 - fake))
+        d_grads = disc_tape.gradient(d_loss, o.d_vars())
+        g_grads = gen_tape.gradient(g_loss, o.g_vars())
+
+        np.testing.assert_allclose(float(aux["loss/disc"]), float(d_loss), rtol=2e-4, err_msg=f"step {b} d_loss")
+        np.testing.assert_allclose(float(aux["loss/gen"]), float(g_loss), rtol=2e-4, err_msg=f"step {b} g_loss")
+        for i, (gm, gr) in enumerate(zip(_d_leaves(grads) + _g_leaves(grads), d_grads + g_grads)):
+            np.testing.assert_allclose(
+                np.asarray(gm), gr.numpy(), rtol=2e-3, atol=2e-5, err_msg=f"step {b} grad leaf {i}"
+            )
+
+        if b > 10:  # adjuster tape + apply only past the warm-up gate
+            fake_const = tf.stop_gradient(fake)
+            adj_in_cond = (tf.concat([cond2, cond1], 0) + 1.0) * 0.5
+            adj_tgt_cond = tf.concat([cond2, cond1], 0)
+            adj_in_img = tf.concat([img1, fake_const], 0)
+            adj_tgt_img = tf.concat([img2, img1], 0)
+            with tf.GradientTape() as adj_tape:
+                adj_img = o.adjuster(adj_in_img, adj_in_cond)
+                adj_pr, adj_c = o.discriminator(adj_img)
+                a_loss = (
+                    mbce(soft(tf.ones_like(adj_pr)), adj_pr)
+                    + mbce(adj_tgt_cond, adj_c)
+                    + l1 * tf.reduce_mean(tf.abs(adj_tgt_img - adj_img))
+                )
+            a_grads = adj_tape.gradient(a_loss, o.a_vars())
+            np.testing.assert_allclose(float(aux["loss/adj"]), float(a_loss), rtol=2e-4, err_msg=f"step {b} a_loss")
+            adj_opt.apply_gradients(zip(a_grads, o.a_vars()))
+
+        dv, dg = select(o.d_vars(), d_grads, d_groups, b)
+        if cfg.use_clip:
+            dg = [tf.clip_by_value(g, -cfg.clip_range, cfg.clip_range) for g in dg]
+        disc_opt.apply_gradients(zip(dg, dv))
+        gv, gg = select(o.g_vars(), g_grads, g_groups, b)
+        gen_opt.apply_gradients(zip(gg, gv))
+
+    # final params: strict on meaningfully-moved elements, noise bound scaled
+    # by the number of applied steps elsewhere
+    new = jax.tree_util.tree_map(np.asarray, state.params)
+    for name, mine, ref, init in [
+        ("D", _d_leaves(new), o.d_vars(), _d_leaves(p0)),
+        ("G", _g_leaves(new), o.g_vars(), _g_leaves(p0)),
+        ("A", _a_leaves(new), o.a_vars(), _a_leaves(p0)),
+    ]:
+        for i, (pm, pr, pi) in enumerate(zip(mine, ref, init)):
+            pr = pr.numpy()
+            upd = np.abs(pr - pi)
+            allowed = np.maximum(0.05 * upd, 2.0 * cfg.lr * n_steps)
+            np.testing.assert_array_less(
+                np.abs(pm - pr), allowed + 1e-9, err_msg=f"{name} final param leaf {i}"
+            )

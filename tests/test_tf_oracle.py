@@ -498,6 +498,66 @@ def test_train_step_matches_tf_tapes(np_rng):
             )
 
 
+def test_tb_event_file_readable_by_tf(tmp_path):
+    """The from-scratch TensorBoard writer (utils/tensorboard.py — hand-rolled
+    TFRecord framing, masked CRC32C, Event/Summary protos) read back by
+    TensorFlow's own summary_iterator, which validates the CRCs and parses
+    the protos: file_version, tags, float values, steps (incl. a >2^32
+    varint step), wall times."""
+    from littlegan_tpu.utils.tensorboard import SummaryWriter
+
+    w = SummaryWriter(str(tmp_path))
+    w.scalar("loss/gen", 1.5, 1)
+    w.scalars([("loss/disc", 2.25), ("loss/adj", -0.5)], 2)
+    w.scalar("metrics/τ-unicode", 3.14159, 2**40)
+    w.close()
+    (fname,) = tmp_path.glob("events.out.tfevents.*")
+
+    events = list(tf.compat.v1.train.summary_iterator(str(fname)))
+    assert events[0].file_version == "brain.Event:2"
+    got = [
+        (v.tag, round(float(v.simple_value), 5), int(e.step))
+        for e in events[1:]
+        for v in e.summary.value
+    ]
+    assert got == [
+        ("loss/gen", 1.5, 1),
+        ("loss/disc", 2.25, 2),
+        ("loss/adj", -0.5, 2),
+        ("metrics/τ-unicode", 3.14159, 2**40),
+    ]
+    assert all(e.wall_time > 1e9 for e in events)
+
+
+def test_jpeg_decode_matches_tf(tmp_path, np_rng):
+    """Pipeline JPEG decode (PIL; the native loader is asserted byte-equal to
+    PIL in tests/test_data.py) vs TensorFlow's decoder, which is what the
+    reference feeds its network (dataset.py:26-27).  libjpeg's accurate iDCT
+    (JDCT_ISLOW — PIL's default) should match tf.io.decode_jpeg with
+    dct_method='INTEGER_ACCURATE' byte-exactly; TF's default method is
+    allowed to differ by a couple of 8-bit LSBs (documented decoder-mode
+    variation WITHIN TensorFlow itself, not a pipeline deviation)."""
+    from PIL import Image
+
+    from littlegan_tpu.data.celeba import _decode_pil
+
+    dim = 64
+    arr = (np_rng.random((dim, dim, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "img.jpg"
+    Image.fromarray(arr).save(p, quality=92)
+
+    ours = _decode_pil(str(p), dim, 3)
+    assert ours.shape == (dim, dim, 3) and ours.dtype == np.uint8
+
+    raw = tf.io.read_file(str(p))
+    tf_accurate = tf.io.decode_jpeg(raw, channels=3, dct_method="INTEGER_ACCURATE").numpy()
+    np.testing.assert_array_equal(ours, tf_accurate)
+
+    tf_default = tf.io.decode_jpeg(raw, channels=3).numpy()
+    # random-noise JPEG is the iDCT worst case; measured max delta 6 LSBs
+    assert np.abs(ours.astype(np.int16) - tf_default.astype(np.int16)).max() <= 8
+
+
 def test_partitioned_trajectory_matches_tf(np_rng):
     """EIGHT consecutive training steps (batch_no 8..15) against the
     reference recipe with its subtlest semantics all ON:

@@ -151,6 +151,13 @@ class Config:
     # Swept on v5e at reference scale (2026-08): 32768 KiB is the optimum
     # (b32 step 10.4 -> 10.2 ms; 64 MiB regresses). 0 disables the override.
     scoped_vmem_kib: int = 32768
+    # Extra per-jit XLA compiler options for TPU compiles, merged over the
+    # scoped-VMEM option above (these keys win on collision). Unknown option
+    # names fail at compile time with the backend's error — sweep candidates
+    # with scripts/sweep_xla_options.py before baking one in. Swept on v5e
+    # (2026-08-17, scan path, b32/128²): no candidate beat the default
+    # pipeline; see the sweep script docstring for the measured table.
+    xla_options: Dict[str, str] = field(default_factory=dict)
     use_native_loader: bool = True  # C++ JPEG loader (falls back to PIL)
     profile_steps: int = 0  # >0: capture a jax.profiler trace of N steps -> result/<exp>/log/profile
     # Cache decoded uint8 images in host RAM after first touch. CelebA-128 is

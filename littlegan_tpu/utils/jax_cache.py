@@ -40,6 +40,11 @@ def tpu_compiler_options(cfg=None) -> dict | None:
     except Exception:
         return None
     kib = getattr(cfg, "scoped_vmem_kib", 32768) if cfg is not None else 32768
-    if not kib:
-        return None
-    return {"xla_tpu_scoped_vmem_limit_kib": str(int(kib))}
+    opts: dict = {}
+    if kib:
+        opts["xla_tpu_scoped_vmem_limit_kib"] = str(int(kib))
+    # free-form per-jit options (Config.xla_options); user keys win
+    extra = getattr(cfg, "xla_options", None) if cfg is not None else None
+    if extra:
+        opts.update({str(k): str(v) for k, v in extra.items()})
+    return opts or None

@@ -21,7 +21,10 @@ GOLDEN = [
 # Regenerated (round 3) when adjust_hue switched from an HSV round trip to
 # TF's exact chroma kernel (ops/augment.py) after tests/test_tf_oracle.py
 # showed the round-trip form diverges from tf.image.adjust_hue on [-1,1]
-# images — only the D loss (which consumes the augmented image) moved.
+# images. Only the D loss consumes the augmented image DIRECTLY, but every
+# value moved: step 1's gen/adj by float-noise (different fusion of the
+# shared forward), steps 2-3 everywhere because the changed D update
+# propagates through the shared weights.
 
 
 def test_three_step_loss_trajectory_golden():

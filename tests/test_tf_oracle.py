@@ -388,6 +388,54 @@ def test_model_forwards_match_tf(oracle_setup, np_rng):
 # ----------------------------------------------------------- step parity ----
 
 
+def _tf_reference_step(o, cfg, img1, img2, cond1, cond2, noise, new_image, with_adj=True):
+    """The reference's exact three-tape recipe (eager_trainer.py:115-169) run
+    on the TF oracle — shared by the single-step and trajectory parity tests
+    so the recipe can only be fixed in one place. Returns losses, per-list
+    gradients, and the forward artifacts. ``with_adj=False`` skips the
+    adjuster tape (the batch_no warm-up gate, eager_trainer.py:152)."""
+    l1 = cfg.l1_lambda
+    mbce = lambda t, p: tf.reduce_mean(_tf1_keras_bce(t, p))
+    with tf.GradientTape() as gen_tape, tf.GradientTape() as disc_tape:
+        fake = o.generator(tf.constant(noise), tf.constant(cond2))
+        real_pr, real_c = o.discriminator(tf.constant(new_image))
+        fake_pr, fake_c = o.discriminator(fake)
+        d_loss = (
+            2.0 * mbce(cond1, real_c)
+            + mbce(soft(tf.ones_like(real_pr)), real_pr)
+            + mbce(soft(tf.zeros_like(fake_pr)), fake_pr)
+        )
+        g_loss = mbce(soft(tf.ones_like(fake_pr)), fake_pr) + mbce(cond2, fake_c) + l1 * tf.reduce_mean(tf.abs(img2 - fake))
+    out = {
+        "fake": fake,
+        "d_loss": d_loss,
+        "g_loss": g_loss,
+        "d_grads": disc_tape.gradient(d_loss, o.d_vars()),
+        "g_grads": gen_tape.gradient(g_loss, o.g_vars()),
+        "a_loss": None,
+        "a_grads": None,
+        "adj": None,
+    }
+    if with_adj:
+        fake_const = tf.stop_gradient(fake)  # adj consumes fake as data (eager_trainer.py:157)
+        adj_in_cond = (tf.concat([cond2, cond1], 0) + 1.0) * 0.5
+        adj_tgt_cond = tf.concat([cond2, cond1], 0)
+        adj_in_img = tf.concat([img1, fake_const], 0)
+        adj_tgt_img = tf.concat([img2, img1], 0)
+        with tf.GradientTape() as adj_tape:
+            adj_img = o.adjuster(adj_in_img, adj_in_cond)
+            adj_pr, adj_c = o.discriminator(adj_img)
+            a_loss = (
+                mbce(soft(tf.ones_like(adj_pr)), adj_pr)
+                + mbce(adj_tgt_cond, adj_c)
+                + l1 * tf.reduce_mean(tf.abs(adj_tgt_img - adj_img))
+            )
+        out["adj"] = adj_img
+        out["a_loss"] = a_loss
+        out["a_grads"] = adj_tape.gradient(a_loss, o.a_vars())
+    return out
+
+
 def test_train_step_matches_tf_tapes(np_rng):
     """ONE full training step vs the reference's exact recipe
     (eager_trainer.py:115-169) run under real tf.GradientTapes and three real
@@ -417,42 +465,16 @@ def test_train_step_matches_tf_tapes(np_rng):
     out = apply_updates(state, grads, aux, jnp.int32(12), cfg, part_masks)  # 12 > warm-up gate
 
     # ---- reference: three tapes (eager_trainer.py:133-168) ----
-    l1 = cfg.l1_lambda
-    mbce = lambda t, p: tf.reduce_mean(_tf1_keras_bce(t, p))
-    with tf.GradientTape() as gen_tape, tf.GradientTape() as disc_tape:
-        fake = o.generator(tf.constant(noise), tf.constant(cond2))
-        real_pr, real_c = o.discriminator(tf.constant(new_image))
-        fake_pr, fake_c = o.discriminator(fake)
-        d_loss = (
-            2.0 * mbce(cond1, real_c)
-            + mbce(soft(tf.ones_like(real_pr)), real_pr)
-            + mbce(soft(tf.zeros_like(fake_pr)), fake_pr)
-        )
-        g_loss = mbce(soft(tf.ones_like(fake_pr)), fake_pr) + mbce(cond2, fake_c) + l1 * tf.reduce_mean(tf.abs(img2 - fake))
-    d_grads = disc_tape.gradient(d_loss, o.d_vars())
-    g_grads = gen_tape.gradient(g_loss, o.g_vars())
-
-    fake_const = tf.stop_gradient(fake)  # adj consumes fake as data (eager_trainer.py:157)
-    adj_in_cond = (tf.concat([cond2, cond1], 0) + 1.0) * 0.5
-    adj_tgt_cond = tf.concat([cond2, cond1], 0)
-    adj_in_img = tf.concat([img1, fake_const], 0)
-    adj_tgt_img = tf.concat([img2, img1], 0)
-    with tf.GradientTape() as adj_tape:
-        adj_img = o.adjuster(adj_in_img, adj_in_cond)
-        adj_pr, adj_c = o.discriminator(adj_img)
-        a_loss = (
-            mbce(soft(tf.ones_like(adj_pr)), adj_pr)
-            + mbce(adj_tgt_cond, adj_c)
-            + l1 * tf.reduce_mean(tf.abs(adj_tgt_img - adj_img))
-        )
-    a_grads = adj_tape.gradient(a_loss, o.a_vars())
+    ref = _tf_reference_step(o, cfg, img1, img2, cond1, cond2, noise, new_image)
+    d_loss, g_loss, a_loss = ref["d_loss"], ref["g_loss"], ref["a_loss"]
+    d_grads, g_grads, a_grads = ref["d_grads"], ref["g_grads"], ref["a_grads"]
 
     # losses + step artifacts
     np.testing.assert_allclose(float(aux["loss/disc"]), float(d_loss), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(aux["loss/gen"]), float(g_loss), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(aux["loss/adj"]), float(a_loss), rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(aux["fake"]), fake.numpy(), atol=5e-5)
-    np.testing.assert_allclose(np.asarray(aux["adj"]), adj_img.numpy(), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(aux["fake"]), ref["fake"].numpy(), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(aux["adj"]), ref["adj"].numpy(), atol=5e-5)
 
     # per-variable gradients: the fused backward == three tapes
     for name, mine, ref in [
@@ -582,8 +604,6 @@ def test_partitioned_trajectory_matches_tf(np_rng):
     o = TFOracle(cfg, state.params)
     part_masks = build_partition_masks(state.params)
     n = cfg.batch_size
-    l1 = cfg.l1_lambda
-    mbce = lambda t, p: tf.reduce_mean(_tf1_keras_bce(t, p))
 
     gen_opt = tf.compat.v1.train.AdamOptimizer(cfg.lr, cfg.beta_1, cfg.beta_2)
     disc_opt = tf.compat.v1.train.AdamOptimizer(cfg.lr, cfg.beta_1, cfg.beta_2)
@@ -614,43 +634,21 @@ def test_partitioned_trajectory_matches_tf(np_rng):
         )
         state = apply_updates(state, grads, aux, jnp.int32(b), cfg, part_masks).state
 
-        with tf.GradientTape() as gen_tape, tf.GradientTape() as disc_tape:
-            fake = o.generator(tf.constant(noise), tf.constant(cond2))
-            real_pr, real_c = o.discriminator(tf.constant(new_image))
-            fake_pr, fake_c = o.discriminator(fake)
-            d_loss = (
-                2.0 * mbce(cond1, real_c)
-                + mbce(soft(tf.ones_like(real_pr)), real_pr)
-                + mbce(soft(tf.zeros_like(fake_pr)), fake_pr)
-            )
-            g_loss = mbce(soft(tf.ones_like(fake_pr)), fake_pr) + mbce(cond2, fake_c) + l1 * tf.reduce_mean(tf.abs(img2 - fake))
-        d_grads = disc_tape.gradient(d_loss, o.d_vars())
-        g_grads = gen_tape.gradient(g_loss, o.g_vars())
+        ref = _tf_reference_step(
+            o, cfg, img1, img2, cond1, cond2, noise, new_image, with_adj=b > 10
+        )
+        d_grads, g_grads = ref["d_grads"], ref["g_grads"]
 
-        np.testing.assert_allclose(float(aux["loss/disc"]), float(d_loss), rtol=2e-4, err_msg=f"step {b} d_loss")
-        np.testing.assert_allclose(float(aux["loss/gen"]), float(g_loss), rtol=2e-4, err_msg=f"step {b} g_loss")
+        np.testing.assert_allclose(float(aux["loss/disc"]), float(ref["d_loss"]), rtol=2e-4, err_msg=f"step {b} d_loss")
+        np.testing.assert_allclose(float(aux["loss/gen"]), float(ref["g_loss"]), rtol=2e-4, err_msg=f"step {b} g_loss")
         for i, (gm, gr) in enumerate(zip(_d_leaves(grads) + _g_leaves(grads), d_grads + g_grads)):
             np.testing.assert_allclose(
                 np.asarray(gm), gr.numpy(), rtol=2e-3, atol=2e-5, err_msg=f"step {b} grad leaf {i}"
             )
 
         if b > 10:  # adjuster tape + apply only past the warm-up gate
-            fake_const = tf.stop_gradient(fake)
-            adj_in_cond = (tf.concat([cond2, cond1], 0) + 1.0) * 0.5
-            adj_tgt_cond = tf.concat([cond2, cond1], 0)
-            adj_in_img = tf.concat([img1, fake_const], 0)
-            adj_tgt_img = tf.concat([img2, img1], 0)
-            with tf.GradientTape() as adj_tape:
-                adj_img = o.adjuster(adj_in_img, adj_in_cond)
-                adj_pr, adj_c = o.discriminator(adj_img)
-                a_loss = (
-                    mbce(soft(tf.ones_like(adj_pr)), adj_pr)
-                    + mbce(adj_tgt_cond, adj_c)
-                    + l1 * tf.reduce_mean(tf.abs(adj_tgt_img - adj_img))
-                )
-            a_grads = adj_tape.gradient(a_loss, o.a_vars())
-            np.testing.assert_allclose(float(aux["loss/adj"]), float(a_loss), rtol=2e-4, err_msg=f"step {b} a_loss")
-            adj_opt.apply_gradients(zip(a_grads, o.a_vars()))
+            np.testing.assert_allclose(float(aux["loss/adj"]), float(ref["a_loss"]), rtol=2e-4, err_msg=f"step {b} a_loss")
+            adj_opt.apply_gradients(zip(ref["a_grads"], o.a_vars()))
 
         dv, dg = select(o.d_vars(), d_grads, d_groups, b)
         if cfg.use_clip:

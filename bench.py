@@ -42,6 +42,7 @@ TFLOP/s, i.e. ``baseline_images_per_sec = 2*B / (flops_per_step /
 assumption); the derivation and both knobs are emitted in the JSON.
 """
 
+import argparse
 import json
 import time
 
@@ -86,8 +87,17 @@ def _peak_flops(device) -> float | None:
 
 
 def main():
+    # No-arg invocation is the driver contract (128², b32, one JSON line).
+    # The optional flags exist to measure OTHER points of the README
+    # resolution table (e.g. --dim 512 --batch 8) with the same harness.
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args()
     cfg = Config(
-        batch_size=32,
+        image_dim=args.dim,
+        init_dim=args.dim // 16,  # 4 stride-2 encoder halvings
+        batch_size=args.batch,
         compute_dtype="bfloat16",
         use_partition=True,
         train_adj=True,
@@ -145,7 +155,7 @@ def main():
     achieved = flops_per_step / step_s if step_s > 0 else 0.0
 
     out = {
-        "metric": "train_images_per_sec_per_chip_128px_b32",
+        "metric": f"train_images_per_sec_per_chip_{args.dim}px_b{args.batch}",
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "step_ms": round(step_s * 1000, 3),

@@ -41,6 +41,12 @@ def main() -> int:
     p.add_argument("--eval-every", type=int, default=10)
     p.add_argument("--cond-bias", action="store_true")
     p.add_argument("--ema", type=float, default=0.0, help="generator EMA decay (0 = off)")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument(
+        "--grad-accum", type=int, default=1,
+        help="micro-pairs per update (scan-accum path when >1; effective "
+        "batch = grad_accum * batch_size)",
+    )
     p.add_argument("--data", default="/tmp/structured_celeba")
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--n", type=int, default=6400)
@@ -73,10 +79,15 @@ def main() -> int:
         attr_path=os.path.join(args.data, "attrs.txt"),
         image_dim=args.dim,
         init_dim=args.dim // 16,  # 4 stride-2 encoder halvings (reference geometry)
-        batch_size=32,
+        batch_size=args.batch_size,
+        grad_accum=args.grad_accum,
         compute_dtype="bfloat16",
         device_data=True,
-        steps_per_dispatch=8 if args.n // 32 >= 16 else 1,  # scan needs 2K batch ids/dispatch
+        # scan path consumes 2*K*grad_accum batch ids per dispatch; snap K so
+        # one dispatch never exceeds the epoch (trainer asserts coverage)
+        steps_per_dispatch=(
+            8 if args.n // args.batch_size >= 16 * args.grad_accum else 1
+        ),
         freq_gen=10_000_000,  # artifact cadences off; campaign does its own evals
         freq_test=10_000_000,
         all_result_dir=args.result_dir,
@@ -246,6 +257,8 @@ def main() -> int:
             "fid_trend_random_init": round(fid_trend, 3),
             "cond_bias": args.cond_bias,
             "ema_decay": args.ema,
+            "batch_size": args.batch_size,
+            "grad_accum": args.grad_accum,
         }
         records.append(rec)
         with open(traj_path, "w") as f:

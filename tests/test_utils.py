@@ -69,3 +69,18 @@ def test_tpu_compiler_options_gating(monkeypatch):
         "xla_tpu_scoped_vmem_limit_kib": "8192"
     }
     assert tpu_compiler_options(Config(scoped_vmem_kib=0, debug=True)) is None
+
+    # free-form passthrough (Config.xla_options): merged over the VMEM
+    # option, user keys win on collision, values stringified
+    assert tpu_compiler_options(
+        Config(xla_options={"xla_tpu_nested_dot_fusion": "true"}, debug=True)
+    ) == {
+        "xla_tpu_scoped_vmem_limit_kib": "32768",
+        "xla_tpu_nested_dot_fusion": "true",
+    }
+    assert tpu_compiler_options(
+        Config(xla_options={"xla_tpu_scoped_vmem_limit_kib": 1024}, debug=True)
+    ) == {"xla_tpu_scoped_vmem_limit_kib": "1024"}
+    assert tpu_compiler_options(
+        Config(scoped_vmem_kib=0, xla_options={"a": "b"}, debug=True)
+    ) == {"a": "b"}

@@ -540,7 +540,16 @@ class Trainer:
         print("\nCheckpoint has been saved (interrupt)")
         sys.exit(1)
 
-    def train(self) -> None:
+    def train(self, epoch_callback=None) -> None:
+        """Run the training loop from the restored epoch to ``cfg.epoch``.
+
+        ``epoch_callback(epoch)``, when given, fires after each epoch's
+        checkpoint is written (post-prune, post-deferred-SIGINT handling) —
+        long-horizon harnesses (scripts/campaign.py) hook their periodic
+        evals here instead of reconstructing a Trainer per eval chunk,
+        which re-uploads the device store (~2.5 GB at 512²) every chunk.
+        The callback runs OUTSIDE the jitted step; exceptions propagate
+        and end the run after the epoch's checkpoint is already durable."""
         cfg = self.cfg
         assert self.dataset is not None, "train mode needs a dataset"
         self._interrupt_requested = False
@@ -740,6 +749,8 @@ class Trainer:
                         self._prune_checkpoints(cfg.keep_checkpoints)
                     if self._interrupt_requested:  # SIGINT during epoch save
                         self._save_interrupt()
+                    if epoch_callback is not None:
+                        epoch_callback(epoch)
                     continue
 
                 if cfg.grad_accum > 1:  # host-fed (device_data rides use_scan)
@@ -808,6 +819,8 @@ class Trainer:
                     self._prune_checkpoints(cfg.keep_checkpoints)
                 if self._interrupt_requested:  # SIGINT during epoch save
                     self._save_interrupt()
+                if epoch_callback is not None:
+                    epoch_callback(epoch)
         finally:
             if profiling:
                 jax.profiler.stop_trace()

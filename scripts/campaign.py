@@ -183,23 +183,23 @@ def main() -> int:
     real_img, real_cond = next(ds.epoch_iterator(1))
     real_pm1 = ensure_pm1(real_img)
 
-    traj_path = None
-    records = []
-    done = 0
-    while done < args.epochs:
-        upto = min(done + args.eval_every, args.epochs)
-        cfg = Config(**{**base, "epoch": upto})
-        tr = Trainer(cfg, ds)
-        traj_path = os.path.join(cfg.result_dir, "campaign_trajectory.json")
-        if os.path.isfile(traj_path) and not records:
-            records = json.load(open(traj_path))
-        if tr.global_epoch > upto:  # resumed past this chunk
-            done = tr.global_epoch - 1
-            continue
-        t0 = time.time()
-        tr.train()
-        train_secs = time.time() - t0
-        done = upto
+    # ONE Trainer for the whole horizon; periodic evals run from the
+    # epoch_callback hook (trainer.py::train) so the device store / compiled
+    # step survive across eval points (the previous per-chunk Trainer
+    # reconstruction re-uploaded the store — ~2.5 GB at 512² — every chunk).
+    # Still resumable: the trainer restores its epoch, and recorded epochs
+    # are skipped by the callback.
+    cfg = Config(**{**base, "epoch": args.epochs})
+    tr = Trainer(cfg, ds)
+    traj_path = os.path.join(cfg.result_dir, "campaign_trajectory.json")
+    records = json.load(open(traj_path)) if os.path.isfile(traj_path) else []
+    evaluated = {r["epoch"] for r in records}
+    chunk_t0 = [time.time()]
+
+    def eval_point(epoch: int) -> None:
+        if (epoch % args.eval_every != 0 and epoch != args.epochs) or epoch in evaluated:
+            return
+        train_secs = time.time() - chunk_t0[0]
 
         # EMA weights when enabled (the campaign measures what users sample)
         params = eval_params(tr.state)
@@ -246,7 +246,7 @@ def main() -> int:
         fid_trend = float(frechet_distance(mu_r, sigma_r, mu_g, sigma_g))
 
         rec = {
-            "epoch": done,
+            "epoch": epoch,
             "global_step": tr.global_step,
             "train_secs": round(train_secs, 1),
             "gen_effects": gen_fx,
@@ -261,10 +261,13 @@ def main() -> int:
             "grad_accum": args.grad_accum,
         }
         records.append(rec)
+        evaluated.add(epoch)
         with open(traj_path, "w") as f:
             json.dump(records, f, indent=1)
         print("EVAL", json.dumps(rec))
+        chunk_t0[0] = time.time()
 
+    tr.train(epoch_callback=eval_point)
     print(f"trajectory -> {traj_path}")
     return 0
 

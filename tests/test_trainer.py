@@ -49,6 +49,33 @@ def test_train_one_epoch_produces_artifacts(run_cfg):
     )
 
 
+def test_epoch_callback_fires_after_each_checkpoint(run_cfg):
+    """train(epoch_callback=...) fires once per finished epoch, after that
+    epoch's checkpoint is durable — the campaign harness hooks its evals
+    here (scripts/campaign.py) instead of rebuilding a Trainer per chunk.
+    Covers the host-fed path here and the scan path via the device_data
+    variant below."""
+    cfg = run_cfg.replace(epoch=2)
+    ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    seen = []
+
+    def cb(epoch):
+        seen.append(epoch)
+        assert os.path.isfile(
+            os.path.join(cfg.result_dir, "checkpoint", f"ckpt-{epoch}.npz")
+        )
+
+    tr.train(epoch_callback=cb)
+    assert seen == [1, 2]
+
+    # scan-dispatch path (device_data + steps_per_dispatch): same contract
+    cfg2 = cfg.replace(exp_name="t_cb_scan", device_data=True, steps_per_dispatch=2)
+    seen2 = []
+    Trainer(cfg2, ds).train(epoch_callback=seen2.append)
+    assert seen2 == [1, 2]
+
+
 def test_resume_restores_state_and_epoch(run_cfg):
     ds = SyntheticDataset(run_cfg, num_items=8 * run_cfg.batch_size)
     Trainer(run_cfg, ds).train()

@@ -1,4 +1,4 @@
-from littlegan_tpu.parallel.mesh import make_mesh  # noqa: F401
+from littlegan_tpu.parallel.mesh import make_mesh, model_groups_within_process  # noqa: F401
 from littlegan_tpu.parallel.train import (  # noqa: F401
     make_parallel_train_step,
     shard_batch,

@@ -44,6 +44,25 @@ def make_mesh(
     return Mesh(arr, tuple(axis_names))
 
 
+def model_groups_within_process(mesh: Mesh) -> bool:
+    """True iff every trailing-axis ('model') group of the mesh lies inside
+    one process.
+
+    This is the layout condition for multi-host feeding of a spatial
+    ('data','model') mesh — host-fed (shard_local_batch) and device stores
+    alike: each host then contributes whole-H blocks of its local batch rows,
+    so ``make_array_from_process_local_data`` can assemble the global array
+    from per-process (rows, FULL_H, ...) data. With the default
+    process-contiguous device order this holds whenever the model-axis size
+    divides the per-host device count (trainer error text suggests
+    ``mesh_shape = (n_hosts * k, devices_per_host / k)``)."""
+    last = mesh.devices.shape[-1]
+    return all(
+        len({d.process_index for d in grp}) == 1
+        for grp in mesh.devices.reshape(-1, last)
+    )
+
+
 def initialize_distributed(coordinator: Optional[str] = None, num_processes: int = 1, process_id: int = 0):
     """Multi-host entry: wraps jax.distributed.initialize (no-op single host)."""
     if num_processes <= 1:

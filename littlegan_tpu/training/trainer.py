@@ -127,21 +127,44 @@ class Trainer:
         n_dev = len(jax.devices())
         axes = tuple(cfg.mesh_axes)
         n_proc = jax.process_count()
-        # Multi-host host-fed DP (round-2 verdict #5b): each host decodes
-        # ONLY the batch_size/n_proc rows its own devices train; the global
-        # batch is assembled from every host's rows (shard_local_batch).
+        # The spatial mesh is built BEFORE the decode-slicing gate below:
+        # whether a host may feed local rows under ('data','model') depends
+        # on the mesh's process layout (model axis within one process).
+        self._spatial = False
+        if axes == ("data", "model") and n_dev > 1:
+            from littlegan_tpu.parallel import make_mesh
+
+            self.mesh = make_mesh(n_dev, axis_names=axes, shape=cfg.mesh_shape)
+            self._spatial = True
+        # Multi-host host-fed feeding (round-2 verdict #5b, extended to the
+        # spatial mesh in round 3): each host decodes ONLY the
+        # batch_size/n_proc rows its own devices train; the global batch is
+        # assembled from every host's rows (shard_local_batch). Under
+        # ('data','model') this additionally needs the model (H) axis within
+        # one process, so each host ships (rows, FULL_H, ...) blocks.
         # Must run BEFORE the fixture pull so even that decodes local rows.
+        self._hostfed_rows_sliced = False
+        hostfed_axes_ok = axes == ("data",) and cfg.batch_size % n_dev == 0
+        if self._spatial:
+            from littlegan_tpu.parallel import model_groups_within_process
+
+            data_size = self.mesh.devices.shape[0]
+            hostfed_axes_ok = (
+                cfg.batch_size % data_size == 0
+                and cfg.batch_size % n_proc == 0
+                and model_groups_within_process(self.mesh)
+            )
         if (
             n_proc > 1
             and self.dataset is not None
             and not cfg.device_data
-            and axes == ("data",)
+            and hostfed_axes_ok
             and n_dev > 1
-            and cfg.batch_size % n_dev == 0
             and hasattr(self.dataset, "set_rows_per_batch")
         ):
             rows = cfg.batch_size // n_proc
             self.dataset.set_rows_per_batch(rows)
+            self._hostfed_rows_sliced = True
             print(
                 f"multi-host host-fed: each host decodes {rows}/{cfg.batch_size} "
                 "rows per batch (its own devices' slice)"
@@ -157,7 +180,6 @@ class Trainer:
         # donate=False throughout: the SIGINT handler may fire between step
         # dispatch and state reassignment; donated input buffers would then
         # be dead when the interrupt checkpoint reads them (bench donates).
-        self._spatial = False
         if (
             cfg.grad_accum > 1
             and self.dataset is not None
@@ -172,26 +194,25 @@ class Trainer:
                 "epoch would apply ZERO updates. Lower grad_accum or grow "
                 "the dataset."
             )
-        if axes == ("data", "model") and n_dev > 1:
-            from littlegan_tpu.parallel import make_mesh
+        if self._spatial:
             from littlegan_tpu.parallel.spatial import make_spatial_train_step
 
-            self.mesh = make_mesh(n_dev, axis_names=axes, shape=cfg.mesh_shape)
             self.state = jax.device_put(self.state)
+            if n_proc > 1 and not cfg.device_data and not self._hostfed_rows_sliced:
+                # without per-host row slicing each host would feed FULL-B
+                # rows into shard_local_batch and inflate the global batch
+                # n_proc-fold, failing deep in XLA at first dispatch
+                raise ValueError(
+                    "host-fed spatial multi-host needs per-host row slicing: "
+                    "a dataset with set_rows_per_batch, batch_size divisible "
+                    "by the data-axis size AND the process count, and the "
+                    "'model' axis within one process (mesh_shape = "
+                    "(n_hosts * k, devices_per_host / k)) — or use "
+                    "device_data=true (the HBM store shards rows per host)"
+                )
             if cfg.grad_accum > 1 and not cfg.device_data:
                 from littlegan_tpu.training.step import make_accum_train_step
 
-                if n_proc > 1:
-                    # host-fed row slicing (set_rows_per_batch) only exists
-                    # for the pure-DP axes; each host would feed FULL-B rows
-                    # into shard_local_batch and inflate the global batch
-                    # n_proc-fold, failing deep in XLA at first dispatch
-                    raise ValueError(
-                        "grad_accum x spatial multi-host requires "
-                        "device_data=true (the HBM store shards rows per "
-                        "host); host-fed spatial accumulation is single-"
-                        "process only"
-                    )
                 self._train_step = make_accum_train_step(
                     cfg, self.state.params, donate=False, mesh=self.mesh
                 )
@@ -203,7 +224,6 @@ class Trainer:
                 # device_data + grad_accum: train() dispatches the scan-accum
                 # step (make_scan_accum_train_step) over the HBM store
                 self._train_step = make_spatial_train_step(cfg, self.state.params, self.mesh, donate=False)
-            self._spatial = True
             print(f"Spatially-sharded training over a {dict(zip(axes, self.mesh.devices.shape))} mesh")
         elif n_dev > 1 and cfg.batch_size % n_dev == 0:
             from littlegan_tpu.parallel import make_mesh, make_parallel_train_step, replicate_state
@@ -285,6 +305,19 @@ class Trainer:
         Multi-host: each process passes only its local rows and the global
         batch is assembled across hosts (shard_local_batch)."""
         if self._spatial:
+            if jax.process_count() > 1:
+                # per-host (rows, FULL_H, ...) blocks -> global H-sharded
+                # batch; requires the row slicing + within-process model
+                # axis established at build time (else __init__ refused)
+                from jax.sharding import PartitionSpec as P
+
+                from littlegan_tpu.parallel import shard_local_batch
+
+                img, cond = batch
+                return (
+                    shard_local_batch(img, self.mesh, P("data", "model")),
+                    shard_local_batch(cond, self.mesh, P("data")),
+                )
             from littlegan_tpu.parallel.spatial import shard_spatial_batch
 
             return shard_spatial_batch(batch, self.mesh)
@@ -314,14 +347,15 @@ class Trainer:
             # P(None,'data','model') store assembles across hosts exactly
             # like pure DP (2-process test: test_multihost spatial_store)
             if n_proc > 1 and self._spatial:
-                for grp in self.mesh.devices.reshape(-1, self.mesh.devices.shape[-1]):
-                    if len({d.process_index for d in grp}) > 1:
-                        raise ValueError(
-                            "device_data + spatial across hosts needs the "
-                            "'model' axis within one process (hosts ship "
-                            "whole-H store blocks); pick mesh_shape = "
-                            "(n_hosts * k, devices_per_host / k)"
-                        )
+                from littlegan_tpu.parallel import model_groups_within_process
+
+                if not model_groups_within_process(self.mesh):
+                    raise ValueError(
+                        "device_data + spatial across hosts needs the "
+                        "'model' axis within one process (hosts ship "
+                        "whole-H store blocks); pick mesh_shape = "
+                        "(n_hosts * k, devices_per_host / k)"
+                    )
             if n_proc > 1 and self.mesh is None:
                 # without the DP mesh each host would silently train its own
                 # independent model on half-size batches (no all-reduce)

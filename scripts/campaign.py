@@ -264,7 +264,7 @@ def main() -> int:
         evaluated.add(epoch)
         with open(traj_path, "w") as f:
             json.dump(records, f, indent=1)
-        print("EVAL", json.dumps(rec))
+        print("EVAL", json.dumps(rec), flush=True)  # nohup/pipe runs are block-buffered
         chunk_t0[0] = time.time()
 
     tr.train(epoch_callback=eval_point)

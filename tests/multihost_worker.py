@@ -184,3 +184,35 @@ if phase in ("hostfed_accum",):
         f"MULTIHOST_ACCUM_OK proc={proc_id} steps={tr.global_step} "
         f"decoded={ds.decoded_rows}"
     )
+
+# ---- phase 6: host-fed SPATIAL ('data','model') multi-host (round 3) ----
+# mesh (2, 4): one data-row per process, model (H) axis within each. Each
+# host decodes batch_size/2 rows per batch (set_rows_per_batch via the
+# trainer gate) and _put assembles the global H-sharded batch with
+# shard_local_batch(P('data','model')). With grad_accum the (M, B, ...)
+# micro stacks ride the same assembly (P(None,'data','model')).
+if phase in ("hostfed_spatial", "hostfed_spatial_accum"):
+    data_root, out_root = sys.argv[4], sys.argv[5]
+    from littlegan_tpu.data.celeba import CelebA
+    from littlegan_tpu.training.trainer import Trainer
+
+    accum = 2 if phase.endswith("accum") else 1
+    scfg = cfg.replace(
+        image_path=os.path.join(data_root, "img"),
+        attr_path=os.path.join(data_root, "attrs.txt"),
+        image_dim=16, attr=[0, 1, 2, 3, 4, 5, 6],
+        mesh_axes=["data", "model"], mesh_shape=[2, 4], grad_accum=accum,
+        epoch=1, freq_gen=1000, freq_test=1000, restore=False, reuse=False,
+        all_result_dir=os.path.join(out_root, f"{phase}_proc{proc_id}"),
+        test_data_dir=os.path.join(out_root, f"{phase}_proc{proc_id}", "td"),
+        exp_name="mhs", debug=True, use_native_loader=False, train_adj=True,
+    )
+    ds = CelebA(scfg, shard_index=proc_id, shard_count=2)
+    tr = Trainer(scfg, ds)
+    assert tr._spatial and tr.mesh.devices.shape == (2, 4), tr.mesh
+    assert tr._hostfed_rows_sliced and ds.rows_per_batch == scfg.batch_size // 2
+    tr.train()
+    print(
+        f"MULTIHOST_SPATIAL_HOSTFED_OK proc={proc_id} steps={tr.global_step} "
+        f"accum={accum} decoded={ds.decoded_rows}"
+    )

@@ -216,3 +216,59 @@ def test_two_process_hostfed_grad_accum(tmp_path):
         assert int(kv["steps"]) == 1  # 4 local batches -> 2 pairs -> 1 group
     loss_lines = [[l for l in o.splitlines() if "LossG" in l][-1] for o in outs]
     assert loss_lines[0] == loss_lines[1], loss_lines
+
+
+def _jpeg_tree(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(32):
+        name = f"{i:06d}.jpg"
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+            img_dir / name, quality=95
+        )
+        names.append(name)
+    attrs = rng.choice([-1, 1], size=(32, 40))
+    lines = ["32", " ".join(f"A{i}" for i in range(40))]
+    for name, row in zip(names, attrs):
+        lines.append(name + " " + " ".join(str(v) for v in row))
+    (tmp_path / "attrs.txt").write_text("\n".join(lines))
+
+
+@pytest.mark.slow
+def test_two_process_hostfed_spatial(tmp_path):
+    """Host-fed SPATIAL ('data','model') mesh across processes (round 3,
+    the last composition cell): mesh (2,4) — one data-row per host, H
+    sharded within each — per-host decode slicing plus
+    shard_local_batch(P('data','model')) assembly. Both processes train the
+    same 2 steps with identical losses."""
+    _jpeg_tree(tmp_path)
+    outs = _run_workers("hostfed_spatial", str(tmp_path), str(tmp_path / "out"))
+    ok = [l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_SPATIAL_HOSTFED_OK")]
+    assert len(ok) == 2, outs
+    for line in ok:
+        kv = dict(p.split("=") for p in line.split()[1:])
+        assert int(kv["steps"]) == 2  # 4 local batches -> 2 pairs
+    loss_lines = [[l for l in o.splitlines() if "LossG" in l][-1] for o in outs]
+    assert loss_lines[0] == loss_lines[1], loss_lines
+
+
+@pytest.mark.slow
+def test_two_process_hostfed_spatial_grad_accum(tmp_path):
+    """grad_accum x host-fed spatial multi-host: the (M, B, H, ...) micro
+    stacks assemble from per-host local rows (P(None,'data','model')); one
+    accumulated update, identical losses on both processes."""
+    _jpeg_tree(tmp_path)
+    outs = _run_workers("hostfed_spatial_accum", str(tmp_path), str(tmp_path / "out"))
+    ok = [l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_SPATIAL_HOSTFED_OK")]
+    assert len(ok) == 2, outs
+    for line in ok:
+        kv = dict(p.split("=") for p in line.split()[1:])
+        assert int(kv["steps"]) == 1  # 2 pairs -> 1 accum group
+        assert kv["accum"] == "2"
+    loss_lines = [[l for l in o.splitlines() if "LossG" in l][-1] for o in outs]
+    assert loss_lines[0] == loss_lines[1], loss_lines

@@ -604,10 +604,13 @@ def test_grad_accum_spatial_mesh_host_fed(tiny_cfg, tmp_path):
     assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))
 
 
-def test_grad_accum_spatial_multihost_hostfed_refused(tiny_cfg, tmp_path, monkeypatch):
-    """Host-fed spatial grad_accum across processes must refuse at build
-    time: per-host row slicing only exists for pure-DP axes, so the path
-    would assemble an n_proc-inflated global batch and fail deep in XLA."""
+def test_spatial_multihost_hostfed_build(tiny_cfg, tmp_path, monkeypatch):
+    """Host-fed spatial multi-host (round 3): when the dataset supports
+    per-host row slicing and the model axis stays within one process, the
+    Trainer builds WITHOUT refusal and slices batch_size/n_proc rows per
+    host (the real 2-process run lives in tests/test_multihost.py). A
+    dataset lacking set_rows_per_batch still refuses at build time with the
+    remediation text."""
     import jax as _jax
 
     cfg = tiny_cfg.replace(
@@ -619,8 +622,21 @@ def test_grad_accum_spatial_multihost_hostfed_refused(tiny_cfg, tmp_path, monkey
     )
     ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
     monkeypatch.setattr(_jax, "process_count", lambda: 2)
-    with pytest.raises(ValueError, match="grad_accum x spatial multi-host"):
-        Trainer(cfg, ds)
+    tr = Trainer(cfg, ds)
+    assert tr._hostfed_rows_sliced and ds.rows_per_batch == cfg.batch_size // 2
+
+    class _NoSlice:  # same dataset, slicing API hidden
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            if name == "set_rows_per_batch":
+                raise AttributeError(name)
+            return getattr(self._inner, name)
+
+    ds2 = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    with pytest.raises(ValueError, match="host-fed spatial multi-host"):
+        Trainer(cfg.replace(exp_name="spmh2"), _NoSlice(ds2))
 
 
 def test_grad_accum_device_data_spatial_mesh(tiny_cfg, tmp_path):

@@ -86,6 +86,48 @@ def _peak_flops(device) -> float | None:
     return None
 
 
+def build_scan_harness(cfg, k: int = STEPS_PER_DISPATCH, n_store: int = N_STORE_BATCHES):
+    """The production-path measurement harness (HBM store + K-step scan),
+    shared with scripts/sweep_xla_options.py so the two scripts cannot
+    drift apart. Returns ``(state, dispatch)``; the first ``dispatch`` call
+    compiles."""
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_scan_train_step(cfg, state.params, k)
+    keys = jax.random.split(jax.random.PRNGKey(1), n_store)
+    pairs = [make_batch(cfg, key) for key in keys]
+    images = jnp.stack([p[0] for p in pairs])
+    conds = jnp.stack([p[1] for p in pairs])
+    rng = jax.random.PRNGKey(2)
+    b1s = jnp.arange(k, dtype=jnp.int32)
+    b2s = b1s + k
+
+    def dispatch(state, d):
+        return step(
+            state, images, conds, b1s, b2s, rng, jnp.int32(d * k), jnp.int32(11 + d * k)
+        ).state
+
+    return state, dispatch
+
+
+def time_scan_dispatches(
+    state,
+    dispatch,
+    k: int = STEPS_PER_DISPATCH,
+    warmup: int = WARMUP_DISPATCHES,
+    measure: int = MEASURE_DISPATCHES,
+    start: int = 0,
+):
+    """Warm up, then time ``measure`` dispatches; returns (seconds/step, state)."""
+    for d in range(warmup):
+        state = dispatch(state, start + d)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for d in range(measure):
+        state = dispatch(state, start + warmup + d)
+    jax.block_until_ready(state.params)
+    return (time.perf_counter() - t0) / (measure * k), state
+
+
 def main():
     # No-arg invocation is the driver contract (128², b32, one JSON line).
     # The optional flags exist to measure OTHER points of the README
@@ -104,17 +146,7 @@ def main():
         donate_state=True,
         debug=True,
     )
-    state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step = make_scan_train_step(cfg, state.params, STEPS_PER_DISPATCH)
-
-    keys = jax.random.split(jax.random.PRNGKey(1), N_STORE_BATCHES)
-    pairs = [make_batch(cfg, k) for k in keys]
-    images = jnp.stack([p[0] for p in pairs])
-    conds = jnp.stack([p[1] for p in pairs])
-    rng = jax.random.PRNGKey(2)
-    k = STEPS_PER_DISPATCH
-    b1s = jnp.arange(k, dtype=jnp.int32)
-    b2s = b1s + k
+    state, dispatch = build_scan_harness(cfg)
 
     # analytic model FLOPs from XLA's cost model, on a SINGLE-step program:
     # cost_analysis counts a lax.scan body ONCE regardless of trip count
@@ -123,32 +155,17 @@ def main():
     # the scan body runs (equivalence-tested in tests/test_train_step.py).
     from littlegan_tpu.training.step import make_train_step
 
+    probe = make_batch(cfg, jax.random.PRNGKey(1))
     one_step = make_train_step(cfg, state.params, donate=False)
     ca = one_step.lower(
-        state, (images[0], conds[0]), (images[1], conds[1]), rng, jnp.int32(11)
+        state, probe, probe, jax.random.PRNGKey(2), jnp.int32(11)
     ).compile().cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
     flops_per_step = float(ca.get("flops", 0.0))
 
-    def dispatch(state, d):
-        return step(
-            state, images, conds, b1s, b2s, rng, jnp.int32(d * k), jnp.int32(11 + d * k)
-        ).state
-
-    for d in range(WARMUP_DISPATCHES):
-        state = dispatch(state, d)
-    jax.block_until_ready(state.params)
-
-    t0 = time.perf_counter()
-    for d in range(MEASURE_DISPATCHES):
-        state = dispatch(state, WARMUP_DISPATCHES + d)
-    jax.block_until_ready(state.params)
-    elapsed = time.perf_counter() - t0
-
-    n_steps = MEASURE_DISPATCHES * STEPS_PER_DISPATCH
-    images_per_sec = 2 * cfg.batch_size * n_steps / elapsed
-    step_s = elapsed / n_steps
+    step_s, _ = time_scan_dispatches(state, dispatch)
+    images_per_sec = 2 * cfg.batch_size / step_s
 
     dev = jax.devices()[0]
     peak = _peak_flops(dev)

@@ -198,7 +198,13 @@ class Trainer:
             from littlegan_tpu.parallel.spatial import make_spatial_train_step
 
             self.state = jax.device_put(self.state)
-            if n_proc > 1 and not cfg.device_data and not self._hostfed_rows_sliced:
+            if (
+                n_proc > 1
+                and self.dataset is not None  # dataset-less modes (plot,
+                # export-model, predict) never feed a batch — don't refuse
+                and not cfg.device_data
+                and not self._hostfed_rows_sliced
+            ):
                 # without per-host row slicing each host would feed FULL-B
                 # rows into shard_local_batch and inflate the global batch
                 # n_proc-fold, failing deep in XLA at first dispatch
@@ -784,6 +790,9 @@ class Trainer:
                     if self._interrupt_requested:  # SIGINT during epoch save
                         self._save_interrupt()
                     if epoch_callback is not None:
+                        # async (orbax) saves: join so the callback really
+                        # does see a durable epoch checkpoint, as documented
+                        self.checkpointer.wait()
                         epoch_callback(epoch)
                     continue
 
@@ -854,6 +863,9 @@ class Trainer:
                 if self._interrupt_requested:  # SIGINT during epoch save
                     self._save_interrupt()
                 if epoch_callback is not None:
+                    # async (orbax) saves: join so the callback really does
+                    # see a durable epoch checkpoint, as documented
+                    self.checkpointer.wait()
                     epoch_callback(epoch)
         finally:
             if profiling:

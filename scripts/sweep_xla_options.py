@@ -34,19 +34,19 @@ plateau stands from the compiler-flag side too.
 from __future__ import annotations
 
 import json
-import time
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from littlegan_tpu.utils.jax_cache import enable_compilation_cache
 
 enable_compilation_cache()
 
 import jax
-import jax.numpy as jnp
 
+from bench import build_scan_harness, time_scan_dispatches  # shared harness
 from littlegan_tpu.config import Config
-from littlegan_tpu.data.synthetic import random_device_batch as make_batch
-from littlegan_tpu.training import create_train_state
-from littlegan_tpu.training.step import make_scan_train_step
 
 K = 8
 WARMUP = 2
@@ -77,15 +77,6 @@ CANDIDATES: list[tuple[str, dict[str, str]]] = [
 ]
 
 
-def build_inputs(cfg: Config):
-    keys = jax.random.split(jax.random.PRNGKey(1), N_STORE)
-    pairs = [make_batch(cfg, k) for k in keys]
-    images = jnp.stack([p[0] for p in pairs])
-    conds = jnp.stack([p[1] for p in pairs])
-    b1s = jnp.arange(K, dtype=jnp.int32)
-    return images, conds, b1s, b1s + K
-
-
 def time_candidate(name: str, extra: dict[str, str]) -> dict:
     cfg = Config(
         batch_size=32,
@@ -96,32 +87,23 @@ def time_candidate(name: str, extra: dict[str, str]) -> dict:
         debug=True,
         xla_options=dict(extra),
     )
-    state = create_train_state(cfg, jax.random.PRNGKey(0))
-    images, conds, b1s, b2s = build_inputs(cfg)
-    rng = jax.random.PRNGKey(2)
+    # bench.py's exact production harness (shared code, not a copy) with
+    # COMPILE separated from MEASUREMENT: only a compile-time failure means
+    # "the backend rejects this option"; a runtime failure during the timed
+    # dispatches (tunnel hiccup, OOM) is reported as `error`, not rejection.
     try:
-        step = make_scan_train_step(cfg, state.params, K)
-
-        def dispatch(state, d):
-            return step(
-                state, images, conds, b1s, b2s, rng, jnp.int32(d * K), jnp.int32(11 + d * K)
-            ).state
-
-        for d in range(WARMUP):
-            state = dispatch(state, d)
+        state, dispatch = build_scan_harness(cfg, K, N_STORE)
+        state = dispatch(state, 0)  # first dispatch compiles
         jax.block_until_ready(state.params)
-        t0 = time.perf_counter()
-        for d in range(MEASURE):
-            state = dispatch(state, WARMUP + d)
-        jax.block_until_ready(state.params)
-        elapsed = time.perf_counter() - t0
-    except Exception as e:  # unknown option names error at compile time
+    except Exception as e:
         return {"name": name, "options": extra, "rejected": str(e).split("\n")[0][:200]}
-    return {
-        "name": name,
-        "options": extra,
-        "step_ms": round(elapsed / (MEASURE * K) * 1000, 3),
-    }
+    try:
+        step_s, _ = time_scan_dispatches(
+            state, dispatch, k=K, warmup=WARMUP - 1, measure=MEASURE, start=1
+        )
+    except Exception as e:
+        return {"name": name, "options": extra, "error": str(e).split("\n")[0][:200]}
+    return {"name": name, "options": extra, "step_ms": round(step_s * 1000, 3)}
 
 
 def main():

@@ -75,6 +75,19 @@ def test_epoch_callback_fires_after_each_checkpoint(run_cfg):
     Trainer(cfg2, ds).train(epoch_callback=seen2.append)
     assert seen2 == [1, 2]
 
+    # ASYNC (orbax) backend: the durability promise requires a wait() join
+    # before the callback — the epoch dir must be complete when it fires
+    cfg3 = cfg.replace(exp_name="t_cb_orbax", extra={"checkpoint_backend": "orbax"})
+    seen3 = []
+
+    def cb3(epoch):
+        seen3.append(epoch)
+        d = os.path.join(cfg3.result_dir, "checkpoint", f"ocp-{epoch}")
+        assert os.path.isdir(d) and os.listdir(d), f"incomplete async save at {d}"
+
+    Trainer(cfg3, ds).train(epoch_callback=cb3)
+    assert seen3 == [1, 2]
+
 
 def test_resume_restores_state_and_epoch(run_cfg):
     ds = SyntheticDataset(run_cfg, num_items=8 * run_cfg.batch_size)
@@ -637,6 +650,11 @@ def test_spatial_multihost_hostfed_build(tiny_cfg, tmp_path, monkeypatch):
     ds2 = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
     with pytest.raises(ValueError, match="host-fed spatial multi-host"):
         Trainer(cfg.replace(exp_name="spmh2"), _NoSlice(ds2))
+
+    # dataset-less modes (plot / export-model / predict) never feed a train
+    # batch — the refusal must NOT fire for them on a multi-process config
+    tr3 = Trainer(cfg.replace(exp_name="spmh3", mode="plot"), None)
+    assert tr3._spatial and not tr3._hostfed_rows_sliced
 
 
 def test_grad_accum_device_data_spatial_mesh(tiny_cfg, tmp_path):

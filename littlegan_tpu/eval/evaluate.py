@@ -58,24 +58,38 @@ def fid_label(cfg: Config) -> str:
 
 _FEAT_FN_CACHE: dict = {}
 
+# ONE jitted feature fn taking params as an ARGUMENT (not a closure): closing
+# over the tree would bake ~90 MB of Inception weights into the HLO as
+# constants AND force a full retrace for every new tree; as an argument the
+# same compiled executable serves every same-shaped tree. Images ship uint8
+# and upcast on device (4x less host->device transfer; a 100-image 512² f32
+# chunk is 300 MB).
+_FEAT_JIT = None
+
+
+def _feat_jit():
+    global _FEAT_JIT
+    if _FEAT_JIT is None:
+        _FEAT_JIT = jax.jit(lambda p, imgs: inception_features(p, imgs.astype(jnp.float32)))
+    return _FEAT_JIT
+
 
 def _featurizer(cfg: Config, params=None):
-    """(jitted feature fn) with params cached per weights path: the evaluate
-    mode scores gen AND adj dirs in one process — load/trace Inception once."""
+    """(feature fn over uint8 chunks) with WEIGHTS cached per source: the
+    evaluate mode scores gen AND adj dirs in one process — load + device-put
+    Inception once; the single jitted executable is shared by all trees."""
     if params is not None:
-        # single-slot cache keyed on object identity: a per-epoch eval loop
-        # reusing one params tree must not retrace Inception each call, and
-        # a fresh tree per epoch must not accumulate pinned device arrays
+        # single-slot device cache keyed on object identity: a per-epoch
+        # eval loop reusing one tree must not re-upload it each call, and a
+        # fresh tree per epoch must not accumulate pinned device arrays
         # (the old entry is dropped). Callers must NOT mutate leaves of a
         # cached tree in place — pass a new tree instead.
         cached = _FEAT_FN_CACHE.get("<params>")
         if cached is None or cached[0] != id(params):
-            # upcast on DEVICE: chunks ship as uint8 (4x less host->device
-            # transfer; a 100-image 512² f32 chunk is 300 MB)
-            fn = jax.jit(lambda imgs: inception_features(params, imgs.astype(jnp.float32)))
-            _FEAT_FN_CACHE["<params>"] = (id(params), fn)
-            return fn
-        return cached[1]
+            cached = (id(params), jax.device_put(params))
+            _FEAT_FN_CACHE["<params>"] = cached
+        dev_params = cached[1]
+        return lambda imgs: _feat_jit()(dev_params, imgs)
     if not cfg.fid_weights:
         # Round-1 verdict: never print an uncomparable number labeled FID
         # without saying so. Mirror serving.py's untrained-weights policy.
@@ -99,11 +113,9 @@ def _featurizer(cfg: Config, params=None):
         )
     key = cfg.fid_weights or "<random-init>"
     if key not in _FEAT_FN_CACHE:
-        loaded = init_inception_params(cfg.fid_weights, seed=0)
-        _FEAT_FN_CACHE[key] = jax.jit(
-            lambda imgs: inception_features(loaded, imgs.astype(jnp.float32))
-        )
-    return _FEAT_FN_CACHE[key]
+        _FEAT_FN_CACHE[key] = jax.device_put(init_inception_params(cfg.fid_weights, seed=0))
+    loaded = _FEAT_FN_CACHE[key]
+    return lambda imgs: _feat_jit()(loaded, imgs)
 
 
 def _featurize_chunks(chunks, feat_fn, batch_size: int) -> np.ndarray:
@@ -137,14 +149,32 @@ def compute_features_from_files(
     does not survive real dataset sizes; this keeps at most one batch of
     pixels resident.
     """
-    chunks = (
-        _load_images(files[i : i + batch_size], dim) for i in range(0, len(files), batch_size)
-    )
-    return _featurize_chunks(chunks, _featurizer(cfg, params), batch_size)
+    expected = [None]  # image shape pinned by the FIRST chunk: mixed sizes
+    # must fail loudly even when each chunk happens to be internally uniform
+
+    def chunks():
+        for i in range(0, len(files), batch_size):
+            arr = _load_images(files[i : i + batch_size], dim)
+            if expected[0] is None:
+                expected[0] = arr.shape[1:]
+            elif arr.shape[1:] != expected[0]:
+                raise ValueError(
+                    f"mixed image sizes across the directory ({arr.shape[1:]} vs "
+                    f"{expected[0]} around file #{i}); pass dim / --image-dim to "
+                    "resize uniformly"
+                )
+            yield arr
+
+    return _featurize_chunks(chunks(), _featurizer(cfg, params), batch_size)
 
 
 def precalculate(
-    cfg: Config, image_dir: str, out_npz: str, limit: Optional[int] = None, batch_size: int = 100
+    cfg: Config,
+    image_dir: str,
+    out_npz: str,
+    limit: Optional[int] = None,
+    batch_size: int = 100,
+    dim: Optional[int] = None,
 ) -> None:
     """Dataset -> mu/sigma npz (reference evaluate.py:27-42)."""
     files = sorted(glob(os.path.join(image_dir, f"*.{cfg.image_ext}")))
@@ -152,14 +182,19 @@ def precalculate(
         files = files[:limit]
     if not files:
         raise FileNotFoundError(f"no images in {image_dir}")
-    feats = compute_features_from_files(files, cfg, batch_size)
+    feats = compute_features_from_files(files, cfg, batch_size, dim=dim)
     mu, sigma = activation_statistics(feats)
     np.savez_compressed(out_npz, mu=mu, sigma=sigma)
     print(f"pre-calculate: {len(files)} images -> {out_npz}")
 
 
 def evaluate_generated(
-    cfg: Config, gen_dir: str, stats_npz: str, log_path: str, batch_size: int = 100
+    cfg: Config,
+    gen_dir: str,
+    stats_npz: str,
+    log_path: str,
+    batch_size: int = 100,
+    dim: Optional[int] = None,
 ) -> float:
     """Generated dir + stats npz -> FID, appended to log (evaluate.py:43-59)."""
     files = sorted(glob(os.path.join(gen_dir, "*.jpg"))) + sorted(
@@ -171,7 +206,7 @@ def evaluate_generated(
         raise FileNotFoundError(
             f"stats file {stats_npz} not found — run pre-calculate first"
         )
-    feats = compute_features_from_files(files, cfg, batch_size)
+    feats = compute_features_from_files(files, cfg, batch_size, dim=dim)
     mu_g, sigma_g = activation_statistics(feats)
     with np.load(stats_npz) as z:
         mu_r, sigma_r = z["mu"], z["sigma"]
@@ -194,6 +229,11 @@ def main(argv=None) -> int:
     p.add_argument("log", type=str, nargs="?", default="fid.log")
     p.add_argument("--gpu", type=str, default="", help="ignored; JAX-native devices")
     p.add_argument("-e", "--env", type=str, default="sample")
+    p.add_argument(
+        "--image-dim", type=int, default=None,
+        help="center-crop + resize every image to this size before featurizing "
+        "(required when the directory mixes sizes)",
+    )
     args = p.parse_args(argv)
     from littlegan_tpu.config import load_config
     from littlegan_tpu.utils.jax_cache import enable_compilation_cache
@@ -201,9 +241,9 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     cfg = load_config(args.env)  # fid_weights / image_ext come from env files
     if args.mode == "pre-calculate":
-        precalculate(cfg, args.image_dir, args.stats)
+        precalculate(cfg, args.image_dir, args.stats, dim=args.image_dim)
     else:  # reference quirk: any mode != pre-calculate is calc (evaluate.py:27,43)
-        fid = evaluate_generated(cfg, args.image_dir, args.stats, args.log)
+        fid = evaluate_generated(cfg, args.image_dir, args.stats, args.log, dim=args.image_dim)
         print(f"{fid_label(cfg)}:", fid)
     return 0
 

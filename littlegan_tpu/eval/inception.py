@@ -229,7 +229,14 @@ def inception_features(params: Params, images: jnp.ndarray) -> jnp.ndarray:
     """uint8-range [0,255] NHWC -> 2048-d pool features (f32)."""
     x = images.astype(jnp.float32)
     if x.shape[1] != 299 or x.shape[2] != 299:
-        x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear")
+        # torchvision-FID parity: torch F.interpolate(mode='bilinear') does
+        # NOT antialias; jax.image.resize defaults antialias=True, which
+        # diverges on DOWNsampling (inputs >299px — e.g. 512² evals).
+        # antialias only affects scale<1, so upsampling paths are unchanged.
+        # Parity vs torch asserted both ways in tests/test_fid.py.
+        x = jax.image.resize(
+            x, (x.shape[0], 299, 299, x.shape[3]), "bilinear", antialias=False
+        )
     x = x / 127.5 - 1.0  # torchvision-FID preprocessing
 
     x = _conv_bn(x, params, "stem/c1", stride=2, padding="VALID")

@@ -86,10 +86,34 @@ class InferenceEngine:
                 except (KeyError, ValueError):
                     # train checkpoints store the full TrainState; serve the
                     # SAME weights predict/export would use (EMA generator
-                    # subtrees when cfg.ema_decay > 0 — eval_params)
+                    # subtrees when the CHECKPOINT has them — eval_params).
+                    # Probe with an EMA-bearing template first: a serving env
+                    # with ema_decay=0 pointed at an EMA training run must
+                    # not silently fall back to the live weights (restore
+                    # drops unknown extra arrays without error).
                     from littlegan_tpu.training.state import create_train_state, eval_params
 
-                    state = ck.restore(tag, create_train_state(cfg, jax.random.PRNGKey(0)))
+                    try:
+                        state = ck.restore(
+                            tag,
+                            create_train_state(
+                                cfg.replace(ema_decay=cfg.ema_decay or 0.999),
+                                jax.random.PRNGKey(0),
+                            ),
+                        )
+                        print("serving EMA generator weights (checkpoint has ema subtrees)")
+                    except (KeyError, ValueError):
+                        if cfg.ema_decay > 0:
+                            print(
+                                "WARNING: ema_decay set but the checkpoint has no "
+                                "ema subtrees — serving the live weights"
+                            )
+                        state = ck.restore(
+                            tag,
+                            create_train_state(
+                                cfg.replace(ema_decay=0.0), jax.random.PRNGKey(0)
+                            ),
+                        )
                     return eval_params(state)
         print(
             f"WARNING: no checkpoint under {cfg.result_dir}/{{model,checkpoint}} — "
@@ -105,7 +129,12 @@ class InferenceEngine:
             arr = np.concatenate([arr, np.zeros((self.batch - n, *arr.shape[1:]), arr.dtype)])
         return arr
 
-    def generate(self, cond: np.ndarray, noise: Optional[np.ndarray] = None, seed: int = 0) -> np.ndarray:
+    def generate(
+        self, cond: np.ndarray, noise: Optional[np.ndarray] = None, seed: Optional[int] = None
+    ) -> np.ndarray:
+        """``seed=None`` (the default) draws FRESH entropy per call — a
+        generative endpoint must not return the same sample to every client;
+        pass a seed (or noise) explicitly for reproducibility."""
         n = cond.shape[0]
         if noise is None:
             noise = np.random.default_rng(seed).normal(size=(n, self.cfg.noise_dim))
@@ -286,6 +315,10 @@ def _b64_to_img(b64: str, dim: int, channels: int = 3) -> np.ndarray:
     img = Image.open(io.BytesIO(base64.b64decode(b64)))
     img = img.convert("L" if channels == 1 else "RGB")
     if img.size != (dim, dim):
+        w, h = img.size
+        if w != h:  # center-crop to the short side FIRST — the same geometry
+            s = min(w, h)  # as training ingestion (data/celeba.py, loader.cc)
+            img = img.crop(((w - s) // 2, (h - s) // 2, (w - s) // 2 + s, (h - s) // 2 + s))
         img = img.resize((dim, dim), Image.BILINEAR)
     arr = np.asarray(img, np.float32)
     if channels == 1:
@@ -331,7 +364,10 @@ def make_handler(
                         # shapes validated BEFORE joining the shared batch: a
                         # malformed row must 400 alone, not poison the peers
                         if noise is None:
-                            noise = np.random.default_rng(int(req.get("seed", 0))).normal(
+                            # no seed -> fresh entropy (default_rng(None));
+                            # an explicit seed stays reproducible
+                            seed = int(req["seed"]) if "seed" in req else None
+                            noise = np.random.default_rng(seed).normal(
                                 size=(1, engine.cfg.noise_dim)
                             ).astype(np.float32)
                         if np.shape(noise) != (1, engine.cfg.noise_dim):
@@ -340,7 +376,9 @@ def make_handler(
                             )
                         imgs = batcher.submit(noise[0], cond[0])[None]
                     else:
-                        imgs = engine.generate(cond, noise, seed=int(req.get("seed", 0)))
+                        imgs = engine.generate(
+                            cond, noise, seed=int(req["seed"]) if "seed" in req else None
+                        )
                     out = {"images": [_img_to_b64(i) for i in imgs]}
                 elif self.path == "/adjust":
                     img = _b64_to_img(req["image_b64"], engine.cfg.image_dim, engine.cfg.image_channel)

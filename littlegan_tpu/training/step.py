@@ -121,7 +121,10 @@ def total_loss_fn(params, batch1, batch2, noise, new_image, gp_rng, cfg: Config,
     fake_pr_d, _ = discriminator_apply(params, sg(fake), cfg, s2d_in=s2)
     d_loss = discriminator_loss(cond1, real_c, real_pr, fake_pr_d)
     if cfg.use_gp:
-        d_loss = d_loss + cfg.gp_weight * gradient_penalty(params, img1, sg(fake), gp_rng, cfg)
+        # interpolate from the AUGMENTED real (new_image) — the sample D is
+        # actually trained on; penalizing off-manifold raw img1 points would
+        # weaken the Lipschitz constraint where it matters
+        d_loss = d_loss + cfg.gp_weight * gradient_penalty(params, new_image, sg(fake), gp_rng, cfg)
 
     # --- G loss: D queried with frozen params -> grads to G subtrees only ---
     d_frozen = _freeze(params, G_KEYS)
@@ -376,6 +379,14 @@ def make_accum_train_step(cfg: Config, params, donate: bool | None = None, mesh=
             raise ValueError(
                 f"image_dim {cfg.image_dim} must be divisible by the model-axis size ({shape['model']})"
             )
+    else:
+        # pure-DP 'data' mesh: the same mismatch must also be a clear
+        # build-time error, not an opaque GSPMD failure at first dispatch
+        n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+        if cfg.batch_size % n_data != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must be divisible by the data-axis size ({n_data})"
+            )
     if spatial and cfg.use_s2d:
         cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
         fn = partial(accum_train_step, cfg=cfg, part_masks=part_masks)
@@ -421,7 +432,23 @@ def _device_data_shardings(cfg: Config, mesh):
     return rep, store_img, store_cond, out
 
 
-def _make_scan_dispatch(cfg: Config, params, n_steps: int, donate, mesh, update_fn):
+def _check_store_layout(cfg: Config, store_s2d: bool) -> None:
+    """An s2d-layout store requires the s2d step to be ACTIVE for this
+    (possibly mesh-adjusted) config — otherwise the 12-channel block-layout
+    images feed the raw 3-channel model and the user gets an opaque conv
+    shape error at trace time. Fail clearly at build time instead."""
+    if store_s2d and not s2d_active(cfg):
+        raise ValueError(
+            "store_s2d=True but the s2d step is inactive for this config "
+            "(H-sharded 'model' meshes disable use_s2d; s2d also needs "
+            "kernel_size=5 and an even image_dim) — upload a RAW-layout "
+            "store instead"
+        )
+
+
+def _make_scan_dispatch(
+    cfg: Config, params, n_steps: int, donate, mesh, update_fn, store_s2d: bool = False
+):
     """Shared K-updates-per-dispatch scaffold for the device-store steps.
 
     ``lax.scan`` over per-dispatch id rows with the artifact CARRY: only the
@@ -441,6 +468,7 @@ def _make_scan_dispatch(cfg: Config, params, n_steps: int, donate, mesh, update_
         cfg = cfg.replace(use_pallas=False, use_pallas_boundary=False)  # Mosaic is not auto-partitionable
     if mesh is not None and cfg.use_s2d and "model" in mesh.axis_names:
         cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
+    _check_store_layout(cfg, store_s2d)
 
     def fn(state, images, conds, b1s, b2s, base_rng, global_step0, batch_no0):
         def body(carry, xs):
@@ -503,7 +531,7 @@ def make_scan_train_step(
         batch2 = (_take_batch(images, b2), _take_batch(conds, b2))
         return train_step(st, batch1, batch2, rng, batch_no, cfg, part_masks, inputs_s2d=store_s2d)
 
-    return _make_scan_dispatch(cfg, params, n_steps, donate, mesh, update)
+    return _make_scan_dispatch(cfg, params, n_steps, donate, mesh, update, store_s2d=store_s2d)
 
 
 def make_scan_accum_train_step(
@@ -529,7 +557,7 @@ def make_scan_accum_train_step(
         grads, aux = accum_grads(st, gather(b1m), gather(b2m), rng, cfg, inputs_s2d=store_s2d)
         return apply_updates(st, grads, aux, batch_no, cfg, part_masks)
 
-    return _make_scan_dispatch(cfg, params, n_steps, donate, mesh, update)
+    return _make_scan_dispatch(cfg, params, n_steps, donate, mesh, update, store_s2d=store_s2d)
 
 
 def make_gather_train_step(
@@ -552,6 +580,7 @@ def make_gather_train_step(
         cfg = cfg.replace(use_pallas=False, use_pallas_boundary=False)  # Mosaic is not auto-partitionable
     if mesh is not None and cfg.use_s2d and "model" in mesh.axis_names:
         cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
+    _check_store_layout(cfg, store_s2d)
     base = partial(train_step, cfg=cfg, part_masks=part_masks, inputs_s2d=store_s2d)
 
     def fn(state, images, conds, b1, b2, rng, batch_no):

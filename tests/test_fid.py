@@ -281,6 +281,25 @@ def test_full_network_matches_torch_128_preprocessing(inception_pair):
 
 
 @pytest.mark.slow
+def test_full_network_matches_torch_512_downsample(inception_pair):
+    """DOWNsampling parity (512->299): torch F.interpolate(bilinear) does not
+    antialias, so the JAX resize must run antialias=False — jax.image.resize's
+    antialias=True default diverges exactly here (and only here: antialias is
+    a no-op for upsampling). Guards FID comparability for >299px evals (the
+    512² campaigns)."""
+    import jax.numpy as jnp
+
+    from littlegan_tpu.eval.inception import inception_features
+    from tests.torch_inception_ref import torch_inception_features
+
+    sd, params = inception_pair[0], inception_pair[1]
+    img512 = np.random.default_rng(8).integers(0, 256, (1, 512, 512, 3)).astype(np.float32)
+    got = np.asarray(inception_features(params, jnp.asarray(img512)))
+    want = torch_inception_features(sd, img512).numpy()
+    np.testing.assert_allclose(got, want, rtol=_PARITY_RTOL, atol=_PARITY_ATOL)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "mutation",
     ["swap_concat_5b", "avgpool_exclude_pad", "stem_c3_pad0", "maxpool_window2"],

@@ -297,3 +297,46 @@ def test_http_adjust_and_discriminate_through_batcher(engine):
     finally:
         server.shutdown()
         close_batchers(batchers)
+
+
+def test_generate_without_seed_draws_fresh_entropy(engine):
+    """No seed and no noise -> per-request entropy: two bare /generate calls
+    must NOT return the identical sample (a generative endpoint returning
+    one fixed image to every client was the former seed=0 default). Explicit
+    seeds stay reproducible (test_generate_pads_small_requests)."""
+    cond = np.zeros((1, engine.cfg.cond_dim), np.float32)
+    a = engine.generate(cond)
+    b = engine.generate(cond)
+    assert not np.array_equal(a, b)
+
+
+def test_serving_restores_ema_weights_from_train_checkpoint(tiny_cfg, tmp_path):
+    """A serving config WITHOUT ema_decay pointed at an EMA training run must
+    still serve the EMA generator weights (what predict/export use) — the
+    naive template restore silently drops the checkpoint's ema/* arrays."""
+    import os
+
+    import jax
+
+    from littlegan_tpu.serving import InferenceEngine
+    from littlegan_tpu.training.checkpoint import make_checkpointer
+    from littlegan_tpu.training.state import create_train_state, eval_params
+
+    train_cfg = tiny_cfg.replace(
+        ema_decay=0.999, exp_name="ema_srv",
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+    )
+    state = create_train_state(train_cfg, jax.random.PRNGKey(0))
+    # make the EMA subtrees visibly different from the live weights
+    state = state._replace(
+        ema=jax.tree_util.tree_map(lambda x: x + 1.0, state.ema)
+    )
+    ckdir = os.path.join(train_cfg.result_dir, "checkpoint")
+    make_checkpointer(train_cfg, ckdir).save("1", state, {"epoch": 2, "step": 4})
+
+    serve_cfg = train_cfg.replace(ema_decay=0.0, restore=True)  # user forgot ema
+    engine = InferenceEngine(serve_cfg, batch_size=2)
+    want = eval_params(state)
+    got_leaf = np.asarray(engine.params["out_conv"]["kernel"])
+    np.testing.assert_array_equal(got_leaf, np.asarray(want["out_conv"]["kernel"]))

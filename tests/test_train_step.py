@@ -501,3 +501,47 @@ def test_ema_composes_with_donated_state(tiny_cfg, rng):
 
     with pytest.raises(ValueError, match="ema_decay"):
         create_train_state(tiny_cfg.replace(ema_decay=1.0), jax.random.PRNGKey(0))
+
+
+def test_accum_dp_mesh_divisibility_validated(tiny_cfg):
+    """A pure-DP mesh with a non-divisible batch must be a clear build-time
+    ValueError in make_accum_train_step, not an opaque GSPMD dispatch error
+    (the spatial branch already validated; this pins the DP branch)."""
+    from littlegan_tpu.parallel import make_mesh
+    from littlegan_tpu.training.step import make_accum_train_step
+
+    cfg = tiny_cfg.replace(batch_size=6, grad_accum=2)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="divisible by the data-axis"):
+        make_accum_train_step(cfg, state.params, donate=False, mesh=make_mesh(4))
+
+
+def test_store_s2d_requires_active_s2d(tiny_cfg):
+    """store_s2d=True with the s2d step inactive (H-sharded 'model' mesh, or
+    use_s2d off) must fail at build time with the RAW-store remediation —
+    the silent former behavior fed 12-channel block images to the raw model
+    and died in an opaque conv shape error at trace time."""
+    from littlegan_tpu.parallel import make_mesh
+    from littlegan_tpu.training.step import (
+        make_gather_train_step,
+        make_scan_accum_train_step,
+        make_scan_train_step,
+    )
+
+    cfg = tiny_cfg.replace(use_s2d=True, device_data=True)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    smesh = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+    for build in (
+        lambda: make_scan_train_step(cfg, state.params, 2, donate=False, mesh=smesh, store_s2d=True),
+        lambda: make_scan_accum_train_step(
+            cfg.replace(grad_accum=2), state.params, 2, donate=False, mesh=smesh, store_s2d=True
+        ),
+        lambda: make_gather_train_step(cfg, state.params, donate=False, mesh=smesh, store_s2d=True),
+        lambda: make_gather_train_step(
+            cfg.replace(use_s2d=False), state.params, donate=False, store_s2d=True
+        ),
+    ):
+        with pytest.raises(ValueError, match="RAW-layout"):
+            build()
+    # raw store under the same mesh still builds (the supported layout)
+    make_scan_train_step(cfg, state.params, 2, donate=False, mesh=smesh, store_s2d=False)

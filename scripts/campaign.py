@@ -106,11 +106,15 @@ def main() -> int:
     # --- dataset stats for the FID trend (random-init Inception, once) ---
     cfg0 = Config(**base)
     ds = CelebA(cfg0)
-    incep = init_inception_params("", seed=0)
+    # Inception weights ride as jit ARGUMENTS (device-resident), never as
+    # closure constants — closing over the tree bakes ~90 MB into every HLO
+    # and slows the tunnel compile (same fix as eval/evaluate._featurizer)
+    incep = jax.device_put(init_inception_params("", seed=0))
     # uint8 ships to the device and upcasts THERE: at 512² a 128-image f32
     # chunk is 400 MB of host->device transfer vs 100 MB as uint8 — over
     # this container's tunnel that difference dominates the eval wall time
-    feat_fn = jax.jit(lambda imgs: inception_features(incep, imgs.astype(jnp.float32)))
+    _feat = jax.jit(lambda p, imgs: inception_features(p, imgs.astype(jnp.float32)))
+    feat_fn = lambda imgs: _feat(incep, imgs)
 
     def features_of(images_u8: np.ndarray) -> np.ndarray:
         feats = []
@@ -143,10 +147,12 @@ def main() -> int:
     from littlegan_tpu.models import adjuster_apply, generator_apply
 
     @jax.jit
-    def gen_feat(params, noise, cond):
+    def _gen_feat(inc, params, noise, cond):
         img = generator_apply(params, noise, cond, cfg0).astype(jnp.float32)
         u8 = ((img + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
-        return inception_features(incep, u8.astype(jnp.float32))
+        return inception_features(inc, u8.astype(jnp.float32))
+
+    gen_feat = lambda params, noise, cond: _gen_feat(incep, params, noise, cond)
 
     def region_means(x):
         """Mean intensity of each attribute's region/channel, on device

@@ -123,15 +123,30 @@ class Checkpointer:
             pass
 
     def latest_tag(self) -> Optional[str]:
-        """Numerically-latest epoch tag; 'interrupt' wins if most recent file."""
-        tags: Dict[str, float] = {}
+        """Numerically-latest epoch tag; a non-numeric tag ('interrupt',
+        'model') wins only when its FILE is newer than that epoch's.
+
+        Epoch order is decided by the tag NUMBER, not mtime: a result dir
+        copied without mtime preservation (cp/untar) or two saves landing in
+        one mtime tick must not silently resume from a stale epoch."""
+        numeric: Dict[int, float] = {}
+        other: Dict[str, float] = {}
         for fn in os.listdir(self.directory):
             m = re.match(r"ckpt-(.+)\.npz$", fn)
-            if m:
-                tags[m.group(1)] = os.path.getmtime(os.path.join(self.directory, fn))
-        if not tags:
-            return None
-        return max(tags, key=lambda t: tags[t])
+            if not m:
+                continue
+            mt = os.path.getmtime(os.path.join(self.directory, fn))
+            if m.group(1).isdigit():
+                numeric[int(m.group(1))] = mt
+            else:
+                other[m.group(1)] = mt
+        if not numeric:
+            return max(other, key=lambda t: other[t]) if other else None
+        best = max(numeric)
+        newer = [t for t, mt in other.items() if mt > numeric[best]]
+        if newer:
+            return max(newer, key=lambda t: other[t])
+        return str(best)
 
     def restore_latest(self, template) -> Tuple[Optional[Any], Dict[str, Any]]:
         """(state or None, status dict). Reference: eager_trainer.py:37-43."""
@@ -144,6 +159,18 @@ class Checkpointer:
         if os.path.isfile(status_path):
             with open(status_path) as f:
                 status = json.load(f)
+        # crash window: a kill between the checkpoint rename (save, line
+        # above _write_status) and the status write leaves status one epoch
+        # behind the newest checkpoint — resuming would train that epoch
+        # TWICE on its own weights. Reconcile from the tag, exactly like the
+        # orbax backend's deferred-status reconcile below.
+        if tag.isdigit() and int(status.get("epoch", 1)) <= int(tag):
+            print(
+                f"WARNING: status.json lags checkpoint {tag} (crash between "
+                f"checkpoint rename and status write); resuming at epoch "
+                f"{int(tag) + 1} with the stale global_step {status.get('step', 0)}"
+            )
+            status = {**status, "epoch": int(tag) + 1}
         return state, status
 
 

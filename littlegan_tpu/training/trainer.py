@@ -20,8 +20,9 @@ redesigned for TPU throughput:
 - weights-only export (300-303)
 
 TPU-specific redesign (SURVEY §7 hard part (f)): the step never syncs the
-host. Metrics stay on device; the loop keeps at most ``metrics_flush`` steps
-in flight and flushes them to the TensorBoard writer in one device_get.
+host. Metrics stay on device; the loop keeps at most 16 steps (a fixed
+internal threshold) in flight and flushes them to the TensorBoard writer in
+one device_get.
 Input batches transfer via ``jax.device_put`` while the previous step
 executes (JAX dispatch is async).
 """
@@ -42,7 +43,7 @@ import numpy as np
 from littlegan_tpu.config import Config
 from littlegan_tpu.models import adjuster_apply, discriminator_apply, generator_apply
 from littlegan_tpu.ops.losses import mean_squared_error
-from littlegan_tpu.training.checkpoint import Checkpointer, make_checkpointer
+from littlegan_tpu.training.checkpoint import make_checkpointer
 from littlegan_tpu.training.state import TrainState, create_train_state, eval_params
 from littlegan_tpu.training.step import make_train_step
 from littlegan_tpu.utils.image import ensure_pm1, save_image, soft
@@ -127,6 +128,10 @@ class Trainer:
         n_dev = len(jax.devices())
         axes = tuple(cfg.mesh_axes)
         n_proc = jax.process_count()
+        # multi-host: every host computes collectively; only host 0 WRITES
+        # shared artifacts (fixture npz, cadence grids/JSONs) — concurrent
+        # identical-path writes on a shared filesystem tear files
+        self._host0 = jax.process_index() == 0
         # The spatial mesh is built BEFORE the decode-slicing gate below:
         # whether a host may feed local rows under ('data','model') depends
         # on the mesh's process layout (model axis within one process).
@@ -236,6 +241,20 @@ class Trainer:
 
             self.mesh = make_mesh(n_dev)
             self.state = replicate_state(self.state, self.mesh)
+            if (
+                n_proc > 1
+                and self.dataset is not None
+                and not cfg.device_data
+                and not self._hostfed_rows_sliced
+            ):
+                # a dataset without set_rows_per_batch would feed FULL-B rows
+                # from every host into shard_local_batch, silently training at
+                # an n_proc-inflated (and likely row-duplicated) global batch
+                raise ValueError(
+                    "host-fed DP multi-host needs per-host row slicing: a "
+                    "dataset with set_rows_per_batch (CelebA/Synthetic have "
+                    "it) — or use device_data=true"
+                )
             if cfg.grad_accum > 1:
                 from littlegan_tpu.training.step import make_accum_train_step
 
@@ -252,6 +271,18 @@ class Trainer:
                 print(f"Data-parallel training over {n_dev} devices")
         else:
             self.mesh = None
+            if n_proc > 1 and self.dataset is not None:
+                # without a global mesh there is NO cross-host all-reduce:
+                # each process would silently train its own independent model
+                # on its shard, all writing the same result_dir. The
+                # device-store path refuses this exact config; so must this.
+                raise ValueError(
+                    f"multi-host training needs a global mesh: batch_size "
+                    f"{cfg.batch_size} is not divisible by the {n_dev} global "
+                    "devices (or pick spatial mesh_axes) — as configured, "
+                    f"{n_proc} processes would train {n_proc} independent "
+                    "models"
+                )
             if cfg.grad_accum > 1:
                 from littlegan_tpu.training.step import make_accum_train_step
 
@@ -277,32 +308,62 @@ class Trainer:
     # ---------------------------------------------------------- fixture ----
 
     def _init_fixture(self, rng: jax.Array) -> None:
-        """Pinned (noise, cond, image) eval triplet (eager_trainer.py:65-83)."""
+        """Pinned (noise, cond, image) eval triplet (eager_trainer.py:65-83).
+
+        Multi-host: every process takes the SAME branch (the reuse decision
+        is all-gathered — per-host dirs may hold the file on some hosts
+        only), the triplet is broadcast from process 0 so the predict
+        cadence computes one consistent result everywhere, and only process
+        0 writes the npz (atomically — a kill mid-write must not leave a
+        truncated file that crashes every later reuse)."""
         cfg = self.cfg
+        n_proc = jax.process_count()
         npz = os.path.join(cfg.test_data_dir, f"test_data_{cfg.env}.npz")
-        if cfg.reuse and os.path.isfile(npz):
+        reuse = cfg.reuse and os.path.isfile(npz)
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            reuse = bool(
+                multihost_utils.process_allgather(np.asarray(reuse)).all()
+            )
+        if reuse:
             data = np.load(npz)
-            self.test_noise, self.test_cond, self.test_image = (
+            noise, cond, image = (
                 data["n"].astype(np.float32),
                 data["c"].astype(np.float32),
                 data["i"].astype(np.float32),
             )
-            return
-        k_img, k_noise = jax.random.split(rng)
-        if self.dataset is not None:
-            image, cond = next(self.dataset.epoch_iterator(0))
-            image = ensure_pm1(image)  # pipeline may ship uint8
-        else:  # plot/sample modes without a dataset: synthesize a fixture
-            image = np.asarray(
-                jax.random.uniform(k_img, (cfg.batch_size, *cfg.image_shape), minval=-1, maxval=1)
+        else:
+            k_img, k_noise = jax.random.split(rng)
+            if self.dataset is not None:
+                image, cond = next(self.dataset.epoch_iterator(0))
+                image = ensure_pm1(image)  # pipeline may ship uint8
+            else:  # plot/sample modes without a dataset: synthesize a fixture
+                image = np.asarray(
+                    jax.random.uniform(k_img, (cfg.batch_size, *cfg.image_shape), minval=-1, maxval=1)
+                )
+                cond = np.asarray(
+                    soft(np.where(np.random.default_rng(cfg.seed).random((cfg.batch_size, cfg.cond_dim)) < 0.5, -1.0, 1.0))
+                ).astype(np.float32)
+            noise = np.asarray(jax.random.normal(k_noise, (cond.shape[0], cfg.noise_dim)), np.float32)
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            noise, cond, image = (
+                np.asarray(x)
+                for x in multihost_utils.broadcast_one_to_all(
+                    (np.asarray(noise), np.asarray(cond), np.asarray(image, np.float32))
+                )
             )
-            cond = np.asarray(
-                soft(np.where(np.random.default_rng(cfg.seed).random((cfg.batch_size, cfg.cond_dim)) < 0.5, -1.0, 1.0))
-            ).astype(np.float32)
-        noise = np.asarray(jax.random.normal(k_noise, (cond.shape[0], cfg.noise_dim)), np.float32)
         self.test_noise, self.test_cond, self.test_image = noise, cond, image
-        os.makedirs(cfg.test_data_dir, exist_ok=True)
-        np.savez_compressed(npz, n=noise, c=cond, i=image)
+        if not reuse and self._host0:
+            os.makedirs(cfg.test_data_dir, exist_ok=True)
+            tmp = npz + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez_compressed(f, n=noise, c=cond, i=image)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, npz)
 
     # ------------------------------------------------------------- train ----
 
@@ -374,9 +435,19 @@ class Trainer:
             # canonical (unshuffled) order: store row j == canonical batch j,
             # so _device_epoch's permutation reproduces the host pipeline's
             # batch sequence exactly (epoch_batch_order is the shared stream)
-            for img, cond in self.dataset.epoch_iterator(0, shuffle=False):
-                images.append(img)
-                conds.append(cond)
+            # cache_decoded is dead weight here — after this one-shot upload
+            # the hot loop is HBM-resident and the host cache is never read
+            # again (~10 GB RAM for CelebA-128); disable it for the pass
+            saved_cache = getattr(self.dataset, "_cache", None)
+            if saved_cache is not None:
+                self.dataset._cache = None
+            try:
+                for img, cond in self.dataset.epoch_iterator(0, shuffle=False):
+                    images.append(img)
+                    conds.append(cond)
+            finally:
+                if saved_cache is not None:
+                    self.dataset._cache = saved_cache
             imgs = np.concatenate(images)
             cs = np.concatenate(conds)
             # Store layout: RAW, not s2d. Measured on v5e (sustained scan
@@ -747,15 +818,20 @@ class Trainer:
                         # remainder group shares this path — a cadence inside
                         # the epoch tail still fires)
                         if batch_no // cfg.freq_gen > prev_batch // cfg.freq_gen:
-                            save_image(
-                                _fetch_artifact(out.fake_image),
-                                os.path.join(cfg.result_dir, "train", "gen", f"{epoch}-{batch_no}.jpg"),
-                            )
-                            if cfg.train_adj:
+                            # fetch on EVERY host (the cross-host gather is a
+                            # collective); only host 0 writes the file
+                            fake_np = _fetch_artifact(out.fake_image)
+                            adj_np = _fetch_artifact(out.adj_image) if cfg.train_adj else None
+                            if self._host0:
                                 save_image(
-                                    _fetch_artifact(out.adj_image),
-                                    os.path.join(cfg.result_dir, "train", "adj", f"{epoch}-{batch_no}.jpg"),
+                                    fake_np,
+                                    os.path.join(cfg.result_dir, "train", "gen", f"{epoch}-{batch_no}.jpg"),
                                 )
+                                if cfg.train_adj:
+                                    save_image(
+                                        adj_np,
+                                        os.path.join(cfg.result_dir, "train", "adj", f"{epoch}-{batch_no}.jpg"),
+                                    )
                         if batch_no // cfg.freq_test > prev_batch // cfg.freq_test:
                             self.predict(
                                 self.test_noise, self.test_cond, self.test_image,
@@ -809,6 +885,10 @@ class Trainer:
                     self.global_step += 1
                     if cfg.profile_steps > 0 and epoch == first_epoch:
                         if batch_no == 10 and not profiling:
+                            # drain the async in-flight steps first: device
+                            # time from dispatches 1-9 must not bleed into
+                            # the captured window (the scan path blocks too)
+                            jax.block_until_ready(self.state.params)
                             jax.profiler.start_trace(profile_dir)
                             profiling = True
                         elif profiling and batch_no == 10 + cfg.profile_steps:
@@ -826,15 +906,20 @@ class Trainer:
                         self._flush_buffered()
 
                     if batch_no % cfg.freq_gen == 0:  # eager_trainer.py:216-220
-                        save_image(
-                            _fetch_artifact(out.fake_image),
-                            os.path.join(cfg.result_dir, "train", "gen", f"{epoch}-{batch_no}.jpg"),
-                        )
-                        if cfg.train_adj:
+                        # fetch on EVERY host (cross-host gather is a
+                        # collective); only host 0 writes the file
+                        fake_np = _fetch_artifact(out.fake_image)
+                        adj_np = _fetch_artifact(out.adj_image) if cfg.train_adj else None
+                        if self._host0:
                             save_image(
-                                _fetch_artifact(out.adj_image),
-                                os.path.join(cfg.result_dir, "train", "adj", f"{epoch}-{batch_no}.jpg"),
+                                fake_np,
+                                os.path.join(cfg.result_dir, "train", "gen", f"{epoch}-{batch_no}.jpg"),
                             )
+                            if cfg.train_adj:
+                                save_image(
+                                    adj_np,
+                                    os.path.join(cfg.result_dir, "train", "adj", f"{epoch}-{batch_no}.jpg"),
+                                )
                     if batch_no % cfg.freq_test == 0:  # eager_trainer.py:221-226
                         self.predict(
                             self.test_noise,
@@ -949,14 +1034,19 @@ class Trainer:
         json_save_path: Optional[str] = None,
         adj_image_save_path: Optional[str] = None,
     ) -> Tuple[np.ndarray, Dict, Optional[np.ndarray], Optional[np.ndarray]]:
-        """Inference + D-score stats + artifacts (eager_trainer.py:265-298)."""
+        """Inference + D-score stats + artifacts (eager_trainer.py:265-298).
+
+        Multi-host: the fixture is broadcast (identical on every host), so
+        all processes compute the same result together; only host 0 writes
+        the artifact files (identical-path concurrent writes tear)."""
         cfg = self.cfg
+        write = getattr(self, "_host0", True)
         params = eval_params(self.state)  # EMA generator weights when enabled
         start = time.time()
         gen_image = self._gen_jit(params, jnp.asarray(noise), jnp.asarray(cond))
         gen_image.block_until_ready()
         print(f"Generate Time {time.time() - start:.4f}s")
-        if gen_image_save_path:
+        if gen_image_save_path and write:
             save_image(np.asarray(gen_image), gen_image_save_path)
 
         real_pr, real_c = self._disc_jit(params, jnp.asarray(image))
@@ -971,7 +1061,7 @@ class Trainer:
         save["fake_c_mse"] = float(np.mean(np.asarray(mean_squared_error(jnp.asarray(cond), fake_c))))
         for key in ("real_cond", "real_pr", "real_c", "fake_c", "fake_pr"):
             save[key] = np.round(save[key] * 100).astype(int).tolist()
-        if json_save_path:
+        if json_save_path and write:
             with open(json_save_path, "w") as f:
                 json.dump(save, f)
 
@@ -979,7 +1069,7 @@ class Trainer:
         if cfg.train_adj:  # adjust real AND generated (eager_trainer.py:291-297)
             adj_real_image = np.asarray(self._adj_jit(params, jnp.asarray(image), jnp.asarray(cond)))
             adj_fake_image = np.asarray(self._adj_jit(params, gen_image, jnp.asarray(cond)))
-            if adj_image_save_path:
+            if adj_image_save_path and write:
                 save_image(
                     np.concatenate([adj_real_image, adj_fake_image], axis=0), adj_image_save_path
                 )
@@ -1050,6 +1140,9 @@ class Trainer:
     # ------------------------------------------------------------ export ----
 
     def export_model_checkpoint(self) -> str:
-        """Weights-only export (eager_trainer.py:300-303)."""
-        ck = Checkpointer(os.path.join(self.cfg.result_dir, "model"))
-        return ck.save("model", eval_params(self.state))
+        """Weights-only export (eager_trainer.py:300-303) — same backend as
+        the training checkpoints (Config checkpoint_backend)."""
+        ck = make_checkpointer(self.cfg, os.path.join(self.cfg.result_dir, "model"))
+        path = ck.save("model", eval_params(self.state))
+        ck.wait()
+        return path

@@ -147,7 +147,11 @@ if phase in ("hostfed",):
     assert ds.rows_per_batch == hcfg.batch_size // 2, ds.rows_per_batch
     tr.train()
     grids = os.listdir(os.path.join(hcfg.result_dir, "train", "gen"))
-    assert grids, "freq_gen artifact must have been saved under multi-host"
+    if proc_id == 0:
+        assert grids, "freq_gen artifact must have been saved on host 0"
+    else:  # round 3: only host 0 writes cadence artifacts (every host still
+        # participates in the cross-host artifact gather)
+        assert not grids, "non-zero hosts must not write cadence artifacts"
     print(
         f"MULTIHOST_HOSTFED_OK proc={proc_id} decoded={ds.decoded_rows} "
         f"batches={ds.batches} rows={ds.rows_per_batch} steps={tr.global_step} "

@@ -635,6 +635,13 @@ def test_spatial_multihost_hostfed_build(tiny_cfg, tmp_path, monkeypatch):
     )
     ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
     monkeypatch.setattr(_jax, "process_count", lambda: 2)
+    # the fixture's cross-host collectives consult the (monkeypatched)
+    # process count inside multihost_utils — stub them to single-process
+    # identities; the REAL collective path runs in tests/test_multihost.py
+    from jax.experimental import multihost_utils as _mhu
+
+    monkeypatch.setattr(_mhu, "process_allgather", lambda x, tiled=False: np.asarray([x]))
+    monkeypatch.setattr(_mhu, "broadcast_one_to_all", lambda x: x)
     tr = Trainer(cfg, ds)
     assert tr._hostfed_rows_sliced and ds.rows_per_batch == cfg.batch_size // 2
 
@@ -856,3 +863,81 @@ def test_ema_predict_export_and_resume(run_cfg, tmp_path):
         np.asarray(tr2.state.ema["g_head"]["dense"]["kernel"]),
         np.asarray(tr.state.ema["g_head"]["dense"]["kernel"]),
     )
+
+
+def test_latest_tag_orders_epochs_numerically(tiny_cfg, tmp_path):
+    """Epoch checkpoints are ordered by tag NUMBER, not mtime: a result dir
+    copied without mtime preservation (or same-tick saves) must not resume
+    a stale epoch. 'interrupt' still wins only when its FILE is newer."""
+    state = create_train_state(tiny_cfg, jax.random.PRNGKey(0))
+    ck = Checkpointer(str(tmp_path))
+    ck.save("9", state, {"epoch": 10})
+    ck.save("10", state, {"epoch": 11})
+    # perturb mtimes: make ckpt-9 look newer than ckpt-10
+    late = os.path.getmtime(os.path.join(str(tmp_path), "ckpt-10.npz")) + 100
+    os.utime(os.path.join(str(tmp_path), "ckpt-9.npz"), (late, late))
+    assert ck.latest_tag() == "10"
+    # an interrupt checkpoint NEWER than the newest epoch wins...
+    ck.save("interrupt", state, {"epoch": 11})
+    os.utime(os.path.join(str(tmp_path), "ckpt-interrupt.npz"), (late + 100, late + 100))
+    assert ck.latest_tag() == "interrupt"
+    # ...but an OLDER one does not
+    os.utime(os.path.join(str(tmp_path), "ckpt-interrupt.npz"), (late - 200, late - 200))
+    assert ck.latest_tag() == "10"
+
+
+def test_restore_latest_reconciles_stale_status(tiny_cfg, tmp_path):
+    """Crash window between the checkpoint rename and the status write:
+    status.json lags the newest checkpoint by one epoch — resuming as-is
+    would train that epoch TWICE on its own weights. The npz backend must
+    reconcile from the tag (like the orbax backend's deferred-status
+    reconcile)."""
+    state = create_train_state(tiny_cfg, jax.random.PRNGKey(0))
+    ck = Checkpointer(str(tmp_path))
+    ck.save("4", state, {"epoch": 5, "step": 20})
+    ck.save("5", state, None)  # crash before _write_status: status stays 5
+    with open(os.path.join(str(tmp_path), "status.json")) as f:
+        assert json.load(f)["epoch"] == 5
+    _, status = ck.restore_latest(state)
+    assert status["epoch"] == 6  # re-derived from ckpt-5, not the stale file
+
+
+def test_multihost_without_mesh_or_slicing_refused(tiny_cfg, tmp_path, monkeypatch):
+    """Two silent multi-host failure modes must refuse at build time:
+    (a) batch not divisible by global devices -> mesh=None -> n_proc
+    INDEPENDENT models training silently; (b) a DP mesh with a dataset
+    lacking set_rows_per_batch -> n_proc-inflated global batch."""
+    import jax as _jax
+
+    from jax.experimental import multihost_utils as _mhu
+
+    monkeypatch.setattr(_jax, "process_count", lambda: 2)
+    monkeypatch.setattr(_mhu, "process_allgather", lambda x, tiled=False: np.asarray([x]))
+    monkeypatch.setattr(_mhu, "broadcast_one_to_all", lambda x: x)
+
+    base = tiny_cfg.replace(
+        epoch=1,
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        donate_state=False,
+    )
+    # (a) 8 virtual devices, batch 6: no mesh -> refuse under multi-process
+    cfg_a = base.replace(batch_size=6, exp_name="mh_nomesh")
+    ds_a = SyntheticDataset(cfg_a, num_items=8 * cfg_a.batch_size)
+    with pytest.raises(ValueError, match="independent"):
+        Trainer(cfg_a, ds_a)
+
+    # (b) DP mesh but the dataset hides set_rows_per_batch -> refuse
+    class _NoSlice:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            if name == "set_rows_per_batch":
+                raise AttributeError(name)
+            return getattr(self._inner, name)
+
+    cfg_b = base.replace(batch_size=8, exp_name="mh_noslice")
+    ds_b = SyntheticDataset(cfg_b, num_items=8 * cfg_b.batch_size)
+    with pytest.raises(ValueError, match="row slicing"):
+        Trainer(cfg_b, _NoSlice(ds_b))

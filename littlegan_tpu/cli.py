@@ -42,6 +42,16 @@ def build_parser() -> ArgumentParser:
 
 def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     args = build_parser().parse_args(argv)
+    if args.env != "sample" and not os.path.isfile(f"{args.env}.config.json"):
+        # the reference hard-fails on a missing env file (config.py:17-31);
+        # load_config degrades gracefully for programmatic use, so the CLI
+        # must validate — a typo'd -e would otherwise silently train with
+        # sample/default hyperparameters and clobber checkpoints
+        raise FileNotFoundError(
+            f"config environment {args.env!r}: no {args.env}.config.json in "
+            f"{os.getcwd()} (config files are looked up in the current "
+            "working directory)"
+        )
     overrides = {
         k: v
         for k, v in vars(args).items()
@@ -109,10 +119,21 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         Trainer(cfg, data).train()
 
     elif cfg.mode == "visual":  # main.py:34-36
+        import subprocess
+
         logdir = os.path.join(cfg.result_dir, "log")
         print("The result path is", logdir)
-        rc = os.system(f"tensorboard --host 0.0.0.0 --logdir {logdir}")
-        if rc != 0:
+        # argv list, not a shell string: exp_name is user input (spaces /
+        # metacharacters must stay one --logdir value, never shell-run)
+        try:
+            rc = subprocess.run(
+                ["tensorboard", "--host", "0.0.0.0", "--logdir", logdir]
+            ).returncode
+        except KeyboardInterrupt:  # user stopped a working server: not an error
+            rc = 0
+        except FileNotFoundError:  # tensorboard not installed
+            rc = 127
+        if rc not in (0, 130, -2):  # 130 / -SIGINT: Ctrl-C on a working server
             print("tensorboard unavailable; event files are TensorBoard-format at", logdir)
 
     elif cfg.mode == "plot":  # main.py:37-40
@@ -131,7 +152,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 image, cond = next(it)
             except StopIteration:  # short dataset: re-iterate (new epoch perm)
                 it = data.epoch_iterator(b + 1)
-                image, cond = next(it)
+                try:
+                    image, cond = next(it)
+                except StopIteration:
+                    raise ValueError(
+                        f"dataset yields ZERO full batches (needs >= "
+                        f"{cfg.batch_size} images); add data or lower batch_size"
+                    ) from None
             image = ensure_pm1(image)
             noise = rng.normal(size=(cond.shape[0], cfg.noise_dim)).astype(np.float32)
             trainer.predict(
@@ -152,24 +179,32 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         batches = int(np.ceil(cfg.evaluate_sample_size / cfg.batch_size))
         rng = np.random.default_rng(cfg.seed)
         it = data.epoch_iterator(0)
+        base = 1  # contiguous 1..N numbering even when batches carry fewer
+        # than cfg.batch_size rows (multi-host row slicing)
         for b in range(batches):
             try:
                 image, cond = next(it)
             except StopIteration:
                 it = data.epoch_iterator(b + 1)
-                image, cond = next(it)
+                try:
+                    image, cond = next(it)
+                except StopIteration:
+                    raise ValueError(
+                        f"dataset yields ZERO full batches (needs >= "
+                        f"{cfg.batch_size} images); add data or lower batch_size"
+                    ) from None
             image = ensure_pm1(image)
             noise = rng.normal(size=(cond.shape[0], cfg.noise_dim)).astype(np.float32)
-            base = b * cfg.batch_size + 1
             gen_image, _, adj_real, adj_fake = trainer.predict(
                 noise, cond, image, None,
                 os.path.join(cfg.result_dir, "evaluate", "disc", f"{b}.json"), None,
             )
-            for i in range(cfg.batch_size):
+            for i in range(gen_image.shape[0]):
                 save_image(gen_image[i], os.path.join(cfg.result_dir, "evaluate", "gen", f"{base + i}.jpg"))
                 if adj_real is not None and adj_fake is not None:
                     save_image(adj_real[i], os.path.join(cfg.result_dir, "evaluate", "adj", f"real_{base + i}.jpg"))
                     save_image(adj_fake[i], os.path.join(cfg.result_dir, "evaluate", "adj", f"fake_{base + i}.jpg"))
+            base += gen_image.shape[0]
             if (b + 1) % 50 == 0:
                 print(f"evaluate-sample: {b + 1}/{batches} batches")
 

@@ -173,17 +173,20 @@ def boundary_conv_s2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, with_stats
 
 def _fwd(x, w, b, with_stats):
     y, s1, s2 = conv3x3_same_stats(x, w, b, with_stats)
-    return (y, s1, s2), (x, w, y)
+    return (y, s1, s2), (x, w, y, b)
 
 
 def _bwd(with_stats, res, cts):
-    x, w, y = res
+    x, w, y, b = res
+    b_dtype = b.dtype
     gy, gs1, gs2 = cts
     gy = gy.astype(jnp.float32)
     if with_stats:
         # d(sum)/dy = 1, d(sumsq)/dy = 2y — fold into the output cotangent
         gy = gy + gs1[:, None, None, None] + 2.0 * y.astype(jnp.float32) * gs2[:, None, None, None]
-    db = gy.sum(axis=(0, 1, 2)).astype(w.dtype)
+    # the bias cotangent must match the bias PRIMAL's dtype (f32 even under
+    # bf16 compute, where w arrives pre-cast) — custom_vjp enforces it
+    db = gy.sum(axis=(0, 1, 2)).astype(b_dtype)
     gy = gy.astype(x.dtype)
     # dx: conv with spatially-flipped, IO-transposed kernel (what JAX's
     # autodiff emits for a stride-1 SAME conv)

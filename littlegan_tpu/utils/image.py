@@ -73,11 +73,17 @@ def to_grid(batch: np.ndarray, shape: Tuple[Optional[int], Optional[int]] = (Non
     """
     n, h, w, c = batch.shape
     rows, cols = _grid_dims(n, shape)
-    grid = np.zeros((rows * h, cols * w, c), dtype=batch.dtype)
-    for index in range(n):
-        col, row = divmod(index, rows)
-        grid[row * h : (row + 1) * h, col * w : (col + 1) * w] = batch[index]
-    return grid
+    pad = rows * cols - n
+    if pad:
+        batch = np.concatenate([batch, np.zeros((pad, h, w, c), batch.dtype)])
+    # index fills columns downward (index % rows, index // rows), so the
+    # column axis is the SLOW reshape axis; one transpose replaces the
+    # reference's per-image copy loop (utils.py:24-31)
+    return (
+        batch.reshape(cols, rows, h, w, c)
+        .transpose(1, 2, 0, 3, 4)
+        .reshape(rows * h, cols * w, c)
+    )
 
 
 def save_image(image, path: Optional[str] = None, shape: Tuple[Optional[int], Optional[int]] = (None, None)):

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 import subprocess
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Optional
 
 if TYPE_CHECKING:
     from littlegan_tpu.config import Config
@@ -36,22 +36,37 @@ RESULT_SUBDIRS = (
 )
 
 
-def git_is_dirty(repo_root: str = ".") -> bool:
+def _default_repo_root() -> str:
+    """The repository CONTAINING THIS CODE — not the process cwd. Running
+    ``cd /tmp && python -m littlegan_tpu train …`` must still check the
+    framework checkout's tree, and a cwd outside any repo must not read as
+    'clean'."""
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def git_is_dirty(repo_root: Optional[str] = None) -> bool:
     """True if the working tree has uncommitted changes (reference: main.py:27-29)."""
     try:
         out = subprocess.run(
             ["git", "status", "--porcelain"],
-            cwd=repo_root,
+            cwd=repo_root or _default_repo_root(),
             capture_output=True,
             text=True,
             timeout=30,
         )
     except (OSError, subprocess.TimeoutExpired):
         return False  # no git -> treat as clean (reference would crash instead)
+    if out.returncode != 0:
+        # not a git checkout (pip-installed package): nothing to check.
+        # An actual git FAILURE (dubious ownership etc.) prints its stderr
+        # so 'clean' is never silently reported on a broken git.
+        if out.stderr.strip():
+            print(f"git status failed ({out.stderr.strip()[:120]}); skipping dirty check")
+        return False
     return bool(out.stdout.strip())
 
 
-def ensure_clean_tree(cfg: "Config", repo_root: str = ".") -> None:
+def ensure_clean_tree(cfg: "Config", repo_root: Optional[str] = None) -> None:
     if cfg.mode == "train" and not cfg.debug and git_is_dirty(repo_root):
         raise EnvironmentError(
             "Git repo is dirty! Commit before training or pass --debug "
@@ -67,7 +82,7 @@ def init_result_dirs(cfg: "Config") -> str:
     return cfg.result_dir
 
 
-def snapshot_run(cfg: "Config", repo_root: str = ".") -> None:
+def snapshot_run(cfg: "Config", repo_root: Optional[str] = None) -> None:
     """Dump config.json + code.tar into the result dir (reference: eager_trainer.py:240-245)."""
     init_result_dirs(cfg)
     cfg.dump(os.path.join(cfg.result_dir, "config.json"))
@@ -77,7 +92,7 @@ def snapshot_run(cfg: "Config", repo_root: str = ".") -> None:
             with open(tar_path, "wb") as f:
                 subprocess.run(
                     ["git", "archive", "HEAD"],
-                    cwd=repo_root,
+                    cwd=repo_root or _default_repo_root(),
                     stdout=f,
                     timeout=60,
                     check=True,

@@ -21,6 +21,7 @@
 #include <cstdio>
 #include <cstring>
 #include <functional>
+#include <memory>
 #include <mutex>
 #include <queue>
 #include <thread>
@@ -48,6 +49,9 @@ bool decode_jpeg(const uint8_t* data, size_t len, int channels,
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_err_exit;
+  // NOTE: explicit jpeg_destroy_decompress on every path, no RAII guard —
+  // libjpeg errors longjmp back here, and longjmp over frames with live
+  // non-trivial destructors is undefined behavior.
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
     return false;
@@ -62,7 +66,14 @@ bool decode_jpeg(const uint8_t* data, size_t len, int channels,
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width, h = cinfo.output_height;
   const int c = cinfo.output_components;
-  pixels->resize(static_cast<size_t>(w) * h * c);
+  try {
+    pixels->resize(static_cast<size_t>(w) * h * c);
+  } catch (const std::bad_alloc&) {
+    // corrupt header claiming a gigapixel image: fail the FILE without
+    // leaking libjpeg's internal memory pool (destroy before unwinding)
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = pixels->data() + static_cast<size_t>(cinfo.output_scanline) * w * c;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -234,18 +245,20 @@ struct Loader {
 };
 
 bool load_one(const char* path, int dim, int channels, uint8_t* out) try {
-  FILE* f = std::fopen(path, "rb");
+  // RAII close: the buffer allocation below can throw bad_alloc for a huge
+  // file — the fd must not leak into the catch (a dataset of many corrupt
+  // entries would otherwise exhaust descriptors across epochs)
+  std::unique_ptr<FILE, int (*)(FILE*)> f(std::fopen(path, "rb"), std::fclose);
   if (!f) return false;
-  std::fseek(f, 0, SEEK_END);
-  const long size = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
+  std::fseek(f.get(), 0, SEEK_END);
+  const long size = std::ftell(f.get());
+  std::fseek(f.get(), 0, SEEK_SET);
   if (size <= 0) {  // unseekable/empty: ftell -1 would become SIZE_MAX below
-    std::fclose(f);
     return false;
   }
   std::vector<uint8_t> buf(static_cast<size_t>(size));
-  const bool read_ok = std::fread(buf.data(), 1, buf.size(), f) == buf.size();
-  std::fclose(f);
+  const bool read_ok = std::fread(buf.data(), 1, buf.size(), f.get()) == buf.size();
+  f.reset();
   if (!read_ok) return false;
   std::vector<uint8_t> pixels;
   int w = 0, h = 0;

@@ -75,14 +75,30 @@ def test_mode_plot(workspace, capsys):
 def test_mode_visual_fallback(workspace, capsys, monkeypatch):
     """No tensorboard binary in-container: the visual branch must print the
     logdir fallback instead of crashing (reference main.py:34-36 spawns
-    tensorboard unconditionally)."""
+    tensorboard unconditionally). The command runs as an ARGV LIST — a
+    shell-metacharacter exp_name must stay one --logdir value — and a
+    Ctrl-C'd working server (rc 130) is not 'unavailable'."""
+    import subprocess
+
     calls = []
-    monkeypatch.setattr(os, "system", lambda cmd: (calls.append(cmd), 127)[1])
+
+    class _RC:
+        def __init__(self, rc):
+            self.returncode = rc
+
+    monkeypatch.setattr(
+        subprocess, "run", lambda argv, **kw: (calls.append(argv), _RC(127))[1]
+    )
     assert cli.main(["visual", "exp"]) == 0
     out = capsys.readouterr().out
     assert "tensorboard unavailable" in out
-    assert len(calls) == 1 and "tensorboard" in calls[0]
-    assert str(workspace / "log") in calls[0]
+    assert len(calls) == 1 and calls[0][0] == "tensorboard"
+    assert isinstance(calls[0], list) and calls[0][-1] == str(workspace / "log")
+
+    # user Ctrl-C on a WORKING server: no misleading fallback message
+    monkeypatch.setattr(subprocess, "run", lambda argv, **kw: _RC(130))
+    assert cli.main(["visual", "exp"]) == 0
+    assert "tensorboard unavailable" not in capsys.readouterr().out
 
 
 def test_mode_random_sample(workspace):
@@ -170,3 +186,11 @@ def test_mode_train_refuses_missing_dataset(workspace):
 def test_unknown_mode_rejected():
     with pytest.raises(SystemExit):  # argparse rejects non-MODES values
         cli.main(["frobnicate", "exp"])
+
+
+def test_missing_env_file_refused(workspace):
+    """A typo'd -e env must hard-fail (reference config.py behavior): the
+    graceful load_config skip would otherwise silently train with
+    sample/default hyperparameters and clobber checkpoints."""
+    with pytest.raises(FileNotFoundError, match="config environment"):
+        cli.main(["plot", "exp", "-e", "porduction"])

@@ -189,3 +189,26 @@ def test_instance_norm_from_stats_matches_instance_norm():
         np.asarray(instance_norm(x, g, b)),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_boundary_conv_grads_under_bf16_compute(tiny_cfg):
+    """Under the DEFAULT bfloat16 compute dtype the kernel receives a bf16
+    input/weight but a FLOAT32 bias — the custom-vjp bias cotangent must
+    match the bias primal's dtype (it used to return bf16 and crash
+    jax.grad's aval check). Full fused step through the kernel."""
+    import jax.numpy as jnp
+
+    from littlegan_tpu.data.synthetic import random_device_batch
+    from littlegan_tpu.training import create_train_state
+    from littlegan_tpu.training.step import make_train_step
+
+    cfg = tiny_cfg.replace(
+        compute_dtype="bfloat16", use_s2d=True, use_pallas_boundary=True,
+        donate_state=False,
+    )
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, state.params, donate=False)
+    b1 = random_device_batch(cfg, jax.random.PRNGKey(1))
+    b2 = random_device_batch(cfg, jax.random.PRNGKey(2))
+    out = step(state, b1, b2, jax.random.PRNGKey(3), jnp.int32(11))
+    assert np.isfinite(float(out.metrics["loss/gen"]))

@@ -44,7 +44,50 @@ assumption); the derivation and both knobs are emitted in the JSON.
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
+
+
+def _ensure_live_backend(timeout_s: float = 240.0) -> None:
+    """Fall back to CPU when the axon TPU tunnel is unresponsive.
+
+    This container reaches its chip over a tunnel that is sometimes DOWN in
+    a way that makes backend init HANG (jax.devices() never returns —
+    observed 2026-08-18), which would leave the driver with no bench line at
+    all. Probe device discovery in a subprocess with a timeout; on hang or
+    failure re-exec under JAX_PLATFORMS=cpu with the axon plugin disabled,
+    tagging the emitted JSON so the number is never mistaken for a chip
+    measurement. No-op when a platform is already pinned or axon is absent.
+    """
+    if os.environ.get("JAX_PLATFORMS") or not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            check=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return  # backend is live
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["LITTLEGAN_BENCH_FALLBACK"] = (
+            f"cpu (accelerator backend unresponsive: {type(e).__name__})"
+        )
+        print(
+            f"WARNING: device discovery {type(e).__name__} after {timeout_s:.0f}s; "
+            "re-running this benchmark on CPU (vs_baseline will NOT be a chip number)",
+            file=sys.stderr,
+        )
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+_ensure_live_backend()
 
 from littlegan_tpu.utils.jax_cache import enable_compilation_cache
 
@@ -178,6 +221,8 @@ def main():
         "step_ms": round(step_s * 1000, 3),
         "device_kind": dev.device_kind,
     }
+    if os.environ.get("LITTLEGAN_BENCH_FALLBACK"):
+        out["backend_fallback"] = os.environ["LITTLEGAN_BENCH_FALLBACK"]
     if flops_per_step > 0:
         baseline_img_s = 2 * cfg.batch_size / (
             flops_per_step / (V100_FP32_PEAK * V100_ASSUMED_UTIL)

@@ -45,7 +45,6 @@ assumption); the derivation and both knobs are emitted in the JSON.
 import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -53,38 +52,30 @@ import time
 def _ensure_live_backend(timeout_s: float = 240.0) -> None:
     """Fall back to CPU when the axon TPU tunnel is unresponsive.
 
-    This container reaches its chip over a tunnel that is sometimes DOWN in
-    a way that makes backend init HANG (jax.devices() never returns —
-    observed 2026-08-18), which would leave the driver with no bench line at
-    all. Probe device discovery in a subprocess with a timeout; on hang or
-    failure re-exec under JAX_PLATFORMS=cpu with the axon plugin disabled,
-    tagging the emitted JSON so the number is never mistaken for a chip
-    measurement. No-op when a platform is already pinned or axon is absent.
+    The tunnel sometimes fails by making backend init HANG (jax.devices()
+    never returns — observed 2026-08-18), which would leave the driver with
+    no bench line at all. Probe device discovery in a subprocess
+    (utils/backend_probe.py); on hang/failure re-exec under
+    JAX_PLATFORMS=cpu with the axon plugin disabled, tagging the emitted
+    JSON so the number is never mistaken for a chip measurement. (The CLI
+    uses the same probe but fails fast instead — a silent CPU TRAINING run
+    would be wrong; a clearly-tagged CPU benchmark line is better than
+    none.)
     """
-    if os.environ.get("JAX_PLATFORMS") or not os.environ.get("PALLAS_AXON_POOL_IPS"):
+    from littlegan_tpu.utils.backend_probe import backend_may_hang, probe_backend
+
+    if not backend_may_hang() or probe_backend(timeout_s):
         return
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s,
-            check=True,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        )
-        return  # backend is live
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
-        env = dict(os.environ)
-        env.pop("PALLAS_AXON_POOL_IPS", None)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["LITTLEGAN_BENCH_FALLBACK"] = (
-            f"cpu (accelerator backend unresponsive: {type(e).__name__})"
-        )
-        print(
-            f"WARNING: device discovery {type(e).__name__} after {timeout_s:.0f}s; "
-            "re-running this benchmark on CPU (vs_baseline will NOT be a chip number)",
-            file=sys.stderr,
-        )
-        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["LITTLEGAN_BENCH_FALLBACK"] = "cpu (accelerator backend unresponsive)"
+    print(
+        f"WARNING: device discovery did not complete within {timeout_s:.0f}s; "
+        "re-running this benchmark on CPU (vs_baseline will NOT be a chip number)",
+        file=sys.stderr,
+    )
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
 _ensure_live_backend()
@@ -176,9 +167,19 @@ def main():
     # The optional flags exist to measure OTHER points of the README
     # resolution table (e.g. --dim 512 --batch 8) with the same harness.
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dim", type=int, default=128)
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--dim", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
     args = ap.parse_args()
+    # CPU-fallback runs (tunnel hang, see _ensure_live_backend) measure a
+    # SMALL config unless the caller pinned one: a CPU step at the 128²/b32
+    # contract size is ~3 min (measured 2026-08-18 — the full schedule blew
+    # a 25-minute budget), while 32²/b4 completes in a few minutes end to
+    # end. The metric NAME carries the dims, so the line stays honest.
+    fallback = bool(os.environ.get("LITTLEGAN_BENCH_FALLBACK"))
+    if args.dim is None:
+        args.dim = 32 if fallback else 128
+    if args.batch is None:
+        args.batch = 4 if fallback else 32
     cfg = Config(
         image_dim=args.dim,
         init_dim=args.dim // 16,  # 4 stride-2 encoder halvings

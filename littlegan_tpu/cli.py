@@ -108,6 +108,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     print("Application Params:", json.dumps(cfg.to_json_dict(), default=str)[:500])
     print("Running Mode:", cfg.mode)
 
+    if cfg.mode != "visual":  # visual only spawns tensorboard, no backend
+        # fail FAST with remediation text when the TPU tunnel would hang
+        # device discovery forever (utils/backend_probe.py)
+        from littlegan_tpu.utils.backend_probe import ensure_live_backend_or_exit
+
+        ensure_live_backend_or_exit()
+
     from littlegan_tpu.training.trainer import Trainer
     from littlegan_tpu.utils.provenance import ensure_clean_tree
     from littlegan_tpu.utils.image import ensure_pm1, save_image

@@ -458,8 +458,10 @@ def main(argv=None) -> int:
     )
     args = p.parse_args(argv)
     from littlegan_tpu.config import load_config
+    from littlegan_tpu.utils.backend_probe import ensure_live_backend_or_exit
     from littlegan_tpu.utils.jax_cache import enable_compilation_cache
 
+    ensure_live_backend_or_exit()  # fail fast if the TPU tunnel would hang
     enable_compilation_cache()
 
     cfg = load_config(args.env, {"exp_name": args.exp_name, "mode": "serve"})

@@ -222,7 +222,30 @@ def init_inception_params(weights_path: str = "", seed: int = 0) -> Params:
         )
         params[f"{name}/scale"] = np.ones((cout,), np.float32)
         params[f"{name}/offset"] = np.zeros((cout,), np.float32)
+    # classifier head (Inception Score); deterministic like the convs
+    params["fc/w"] = rng.normal(0, np.sqrt(1.0 / 2048), (2048, 1000)).astype(np.float32)
+    params["fc/b"] = np.zeros((1000,), np.float32)
     return params
+
+
+def class_probs_from_features(params: Params, features: np.ndarray) -> np.ndarray:
+    """2048-d pool features -> softmax class probabilities (host numpy).
+
+    torchvision eval-mode head is dropout(identity) -> fc (one matmul), so
+    Inception Score needs no second device forward — it reuses the SAME
+    features FID computed. Weights npz converted before the fc mapping
+    existed must be re-converted (scripts/convert_inception.py)."""
+    if "fc/w" not in params:
+        raise KeyError(
+            "Inception weights have no classifier head (fc/w) — re-run "
+            "scripts/convert_inception.py with a current checkout to enable "
+            "Inception Score"
+        )
+    logits = features.astype(np.float64) @ np.asarray(params["fc/w"], np.float64)
+    logits = logits + np.asarray(params["fc/b"], np.float64)
+    z = logits - logits.max(axis=1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=1, keepdims=True)
 
 
 def inception_features(params: Params, images: jnp.ndarray) -> jnp.ndarray:

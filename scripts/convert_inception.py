@@ -105,6 +105,13 @@ def convert(state_dict, eps: float = 1e-3) -> dict:
         scale = gamma / np.sqrt(var + eps)
         out[f"{ours}/scale"] = scale.astype(np.float32)
         out[f"{ours}/offset"] = (beta - mean * scale).astype(np.float32)
+    # classifier head (torchvision fc: (1000, 2048) + bias) — not used by
+    # FID's pool features, but Inception Score needs the class logits
+    if "fc.weight" in state_dict:
+        out["fc/w"] = np.transpose(get("fc.weight"), (1, 0)).astype(np.float32)
+        out["fc/b"] = get("fc.bias").astype(np.float32)
+    else:  # pragma: no cover - partial dumps only
+        print("NOTE: state_dict has no fc.weight — Inception Score unavailable", file=sys.stderr)
     return out
 
 
@@ -128,6 +135,8 @@ def synthetic_state_dict(seed: int = 0) -> dict:
         sd[f"{tv}.bn.bias"] = rng.normal(0, 0.1, (cout,)).astype(np.float32)
         sd[f"{tv}.bn.running_mean"] = rng.normal(0, 0.1, (cout,)).astype(np.float32)
         sd[f"{tv}.bn.running_var"] = rng.uniform(0.5, 1.5, (cout,)).astype(np.float32)
+    sd["fc.weight"] = rng.normal(0, np.sqrt(1.0 / 2048), (1000, 2048)).astype(np.float32)
+    sd["fc.bias"] = rng.normal(0, 0.01, (1000,)).astype(np.float32)
     return sd
 
 

@@ -474,3 +474,88 @@ def test_eval_cli_two_modes(tmp_path, monkeypatch):
     # "anything-else-is-calc" quirk: mode string "calculate" runs calc
     assert eval_main(["calculate", str(d), str(stats), "", str(log)]) == 0
     assert "RANDOM-INIT" in log.read_text()
+
+
+# --------------------------------------------------- Inception Score -------
+
+
+def test_inception_score_golden():
+    """Closed-form anchors: uniform rows -> IS=1; N one-hot rows evenly
+    covering C classes (single split) -> IS=C."""
+    from littlegan_tpu.eval.inception_score import inception_score
+
+    uniform = np.full((40, 10), 0.1)
+    m, s = inception_score(uniform, splits=4)
+    assert abs(m - 1.0) < 1e-9 and s < 1e-12
+
+    one_hot = np.eye(8)[np.arange(32) % 8]
+    m, s = inception_score(one_hot, splits=1)
+    assert abs(m - 8.0) < 1e-6
+
+    # sharper conditionals with the same marginal -> strictly higher IS
+    soft = np.full((32, 8), 0.02 / 7) + one_hot * (0.98 - 0.02 / 7)
+    m_soft, _ = inception_score(soft, splits=1)
+    assert 1.0 < m_soft < 8.0
+
+    with pytest.raises(ValueError, match=r"\(N, C\)"):
+        inception_score(np.ones((0, 5)))
+
+
+def test_class_probs_match_torch_fc():
+    """Converted fc head == torch's eval-mode classifier (dropout-free
+    F.linear + softmax) on the same pool features."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from littlegan_tpu.eval.inception import class_probs_from_features
+
+    conv = _converter()
+    sd = conv.synthetic_state_dict(seed=3)
+    params = conv.convert(sd)
+    feats = np.random.default_rng(0).normal(size=(5, 2048)).astype(np.float32)
+
+    ours = class_probs_from_features(params, feats)
+    want = F.softmax(
+        F.linear(
+            torch.as_tensor(feats),
+            torch.as_tensor(sd["fc.weight"]),
+            torch.as_tensor(sd["fc.bias"]),
+        ),
+        dim=1,
+    ).numpy()
+    np.testing.assert_allclose(ours, want, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(ours.sum(axis=1), 1.0, rtol=1e-9)
+
+    # pre-fc-era weight files must fail loudly, not silently skip IS
+    legacy = {k: v for k, v in params.items() if not k.startswith("fc/")}
+    with pytest.raises(KeyError, match="re-run"):
+        class_probs_from_features(legacy, feats)
+
+
+@pytest.mark.slow
+def test_evaluate_with_is_logs_tagged_score(tmp_path, tiny_cfg):
+    """with_is=True appends an IS line from the SAME features, tagged
+    RANDOM-INIT exactly like FID when no real weights exist."""
+    from PIL import Image
+
+    from littlegan_tpu.eval.evaluate import evaluate_generated, precalculate
+
+    rng = np.random.default_rng(1)
+    real_dir, gen_dir = tmp_path / "real", tmp_path / "gen"
+    real_dir.mkdir(), gen_dir.mkdir()
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+            real_dir / f"{i}.jpg"
+        )
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+            gen_dir / f"{i}.jpg"
+        )
+    cfg = tiny_cfg.replace(allow_random_fid=True)
+    stats, log = tmp_path / "s.npz", tmp_path / "fid.log"
+    precalculate(cfg, str(real_dir), str(stats), batch_size=6)
+    fid = evaluate_generated(
+        cfg, str(gen_dir), str(stats), str(log), batch_size=6, with_is=True
+    )
+    assert np.isfinite(fid)
+    text = log.read_text()
+    assert "IS[RANDOM-INIT" in text and "+/-" in text

@@ -186,8 +186,12 @@ def precalculate(
     limit: Optional[int] = None,
     batch_size: int = 100,
     dim: Optional[int] = None,
+    save_features: int = 0,
 ) -> None:
-    """Dataset -> mu/sigma npz (reference evaluate.py:27-42)."""
+    """Dataset -> mu/sigma npz (reference evaluate.py:27-42).
+
+    ``save_features=N`` additionally embeds the first N raw feature rows
+    (f16, ~4 KB each) — KID needs raw real features, not just (mu, sigma)."""
     files = sorted(glob(os.path.join(image_dir, f"*.{cfg.image_ext}")))
     if limit:
         files = files[:limit]
@@ -195,7 +199,8 @@ def precalculate(
         raise FileNotFoundError(f"no images in {image_dir}")
     feats = compute_features_from_files(files, cfg, batch_size, dim=dim)
     mu, sigma = activation_statistics(feats)
-    np.savez_compressed(out_npz, mu=mu, sigma=sigma)
+    extra = {"features": feats[:save_features].astype(np.float16)} if save_features else {}
+    np.savez_compressed(out_npz, mu=mu, sigma=sigma, **extra)
     print(f"pre-calculate: {len(files)} images -> {out_npz}")
 
 
@@ -207,12 +212,15 @@ def evaluate_generated(
     batch_size: int = 100,
     dim: Optional[int] = None,
     with_is: bool = False,
+    with_kid: bool = False,
 ) -> float:
     """Generated dir + stats npz -> FID, appended to log (evaluate.py:43-59).
 
-    ``with_is`` additionally computes the Inception Score from the SAME
-    features (beyond the reference; eval/inception_score.py) and appends
-    its own log line. Returns the FID either way."""
+    ``with_is`` / ``with_kid`` additionally compute the Inception Score and
+    Kernel Inception Distance from the SAME features (beyond the reference;
+    eval/inception_score.py, eval/kid.py — KID needs a stats npz written
+    with ``precalculate(..., save_features=N)``) and append their own log
+    lines. Returns the FID either way."""
     files = sorted(glob(os.path.join(gen_dir, "*.jpg"))) + sorted(
         glob(os.path.join(gen_dir, "*.png"))
     )
@@ -226,6 +234,7 @@ def evaluate_generated(
     mu_g, sigma_g = activation_statistics(feats)
     with np.load(stats_npz) as z:
         mu_r, sigma_r = z["mu"], z["sigma"]
+        real_feats = z["features"] if "features" in z.files else None
     fid = frechet_distance(mu_r, sigma_r, mu_g, sigma_g)
     # tag uncomparable numbers right in the log line (round-1 verdict #2)
     lines = [f"{fid_label(cfg)}: {fid}"]
@@ -237,6 +246,19 @@ def evaluate_generated(
         probs = class_probs_from_features(_inception_params(cfg), feats)
         m, s = inception_score(probs)
         lines.append(f"{is_label(cfg)}: {m} +/- {s}")
+        print(lines[-1])
+    if with_kid:
+        if real_feats is None:
+            raise ValueError(
+                f"KID needs raw real features but {stats_npz} has only "
+                "(mu, sigma) — re-run pre-calculate with save_features/"
+                "--save-features N"
+            )
+        from littlegan_tpu.eval.kid import kid
+
+        m, s = kid(real_feats, feats)
+        label = "KID" if cfg.fid_weights else "KID[RANDOM-INIT Inception, NOT comparable]"
+        lines.append(f"{label}: {m} +/- {s}")
         print(lines[-1])
     with open(log_path, "a") as f:
         stamp = time.strftime("%Y-%m-%d %H:%M:%S")
@@ -264,6 +286,16 @@ def main(argv=None) -> int:
         "--is", dest="with_is", action="store_true",
         help="also compute the Inception Score from the same features (calc mode)",
     )
+    p.add_argument(
+        "--kid", dest="with_kid", action="store_true",
+        help="also compute the Kernel Inception Distance (calc mode; needs a "
+        "stats npz written with --save-features)",
+    )
+    p.add_argument(
+        "--save-features", type=int, default=0,
+        help="pre-calculate mode: embed the first N raw feature rows in the "
+        "stats npz (enables --kid later)",
+    )
     args = p.parse_args(argv)
     from littlegan_tpu.config import load_config
     from littlegan_tpu.utils.jax_cache import enable_compilation_cache
@@ -271,10 +303,14 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     cfg = load_config(args.env)  # fid_weights / image_ext come from env files
     if args.mode == "pre-calculate":
-        precalculate(cfg, args.image_dir, args.stats, dim=args.image_dim)
+        precalculate(
+            cfg, args.image_dir, args.stats, dim=args.image_dim,
+            save_features=args.save_features,
+        )
     else:  # reference quirk: any mode != pre-calculate is calc (evaluate.py:27,43)
         fid = evaluate_generated(
-            cfg, args.image_dir, args.stats, args.log, dim=args.image_dim, with_is=args.with_is
+            cfg, args.image_dir, args.stats, args.log, dim=args.image_dim,
+            with_is=args.with_is, with_kid=args.with_kid,
         )
         print(f"{fid_label(cfg)}:", fid)
     return 0

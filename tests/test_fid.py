@@ -559,3 +559,77 @@ def test_evaluate_with_is_logs_tagged_score(tmp_path, tiny_cfg):
     assert np.isfinite(fid)
     text = log.read_text()
     assert "IS[RANDOM-INIT" in text and "+/-" in text
+
+
+# ------------------------------------------------------------- KID ---------
+
+
+def test_kid_math_golden():
+    """Unbiased-MMD anchors: same distribution -> ~0 (can dip negative);
+    mean-shifted -> clearly positive; brute-force double-sum agreement."""
+    from littlegan_tpu.eval.kid import kid, mmd2_unbiased, polynomial_kernel
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 16))
+    y = rng.normal(size=(64, 16))
+    same_m, _ = kid(x, y, subset_size=64)
+    shift_m, _ = kid(x, y + 1.5, subset_size=64)
+    # estimator noise at n=64/d=16 is O(0.1); the signal is the separation
+    assert abs(same_m) < 0.3
+    assert shift_m > 10 * abs(same_m)
+
+    # brute-force cross-check of the estimator on a tiny sample
+    a, b = rng.normal(size=(5, 4)), rng.normal(size=(5, 4))
+    m = 5
+    brute = 0.0
+    for i in range(m):
+        for j in range(m):
+            if i != j:
+                brute += polynomial_kernel(a[i : i + 1], a[j : j + 1])[0, 0] / (m * (m - 1))
+                brute += polynomial_kernel(b[i : i + 1], b[j : j + 1])[0, 0] / (m * (m - 1))
+            brute -= 2 * polynomial_kernel(a[i : i + 1], b[j : j + 1])[0, 0] / (m * m)
+    np.testing.assert_allclose(mmd2_unbiased(a, b), brute, rtol=1e-10)
+
+    # subsampled path: deterministic for a seed, std reported
+    big_x, big_y = rng.normal(size=(40, 8)), rng.normal(size=(40, 8))
+    m1 = kid(big_x, big_y, subset_size=10, n_subsets=8, seed=3)
+    m2 = kid(big_x, big_y, subset_size=10, n_subsets=8, seed=3)
+    assert m1 == m2 and m1[1] > 0
+
+    with pytest.raises(ValueError, match=">=2"):
+        kid(x[:1], y)
+
+
+@pytest.mark.slow
+def test_evaluate_with_kid_needs_saved_features(tmp_path, tiny_cfg):
+    """--save-features N embeds raw rows; --kid uses them (tagged), and a
+    stats npz without them fails with remediation text."""
+    from PIL import Image
+
+    from littlegan_tpu.eval.evaluate import evaluate_generated, precalculate
+
+    rng = np.random.default_rng(2)
+    real_dir, gen_dir = tmp_path / "real", tmp_path / "gen"
+    real_dir.mkdir(), gen_dir.mkdir()
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+            real_dir / f"{i}.jpg"
+        )
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+            gen_dir / f"{i}.jpg"
+        )
+    cfg = tiny_cfg.replace(allow_random_fid=True)
+    stats, log = tmp_path / "s.npz", tmp_path / "fid.log"
+    precalculate(cfg, str(real_dir), str(stats), batch_size=6, save_features=6)
+    with np.load(stats) as z:
+        assert z["features"].shape == (6, 2048) and z["features"].dtype == np.float16
+    fid = evaluate_generated(
+        cfg, str(gen_dir), str(stats), str(log), batch_size=6, with_kid=True
+    )
+    assert np.isfinite(fid)
+    assert "KID[RANDOM-INIT" in log.read_text()
+
+    bare = tmp_path / "bare.npz"
+    precalculate(cfg, str(real_dir), str(bare), batch_size=6)
+    with pytest.raises(ValueError, match="save_features"):
+        evaluate_generated(cfg, str(gen_dir), str(bare), str(log), batch_size=6, with_kid=True)

@@ -62,7 +62,13 @@ def main() -> int:
     from littlegan_tpu.data import CelebA
     from littlegan_tpu.eval.evaluate import compute_features
     from littlegan_tpu.eval.fid import activation_statistics, frechet_distance
-    from littlegan_tpu.eval.inception import inception_features, init_inception_params
+    from littlegan_tpu.eval.inception import (
+        class_probs_from_features,
+        inception_features,
+        init_inception_params,
+    )
+    from littlegan_tpu.eval.inception_score import inception_score
+    from littlegan_tpu.eval.kid import kid
     from littlegan_tpu.training.state import eval_params
     from littlegan_tpu.training.trainer import Trainer
     from littlegan_tpu.utils.image import ensure_pm1, soft
@@ -132,6 +138,8 @@ def main() -> int:
     if os.path.isfile(stats_path):
         with np.load(stats_path) as z:
             mu_r, sigma_r = z["mu"], z["sigma"]
+            # KID trend needs raw real rows; a pre-KID-era cache skips it
+            real_feats = z["features"] if "features" in z.files else None
     else:
         imgs = []
         it = ds.epoch_iterator(0)
@@ -139,9 +147,11 @@ def main() -> int:
             img, _ = next(it)
             imgs.append(img if img.dtype == np.uint8 else ((img + 1) * 127.5).astype(np.uint8))
         real_u8 = np.concatenate(imgs)
-        mu_r, sigma_r = activation_statistics(features_of(real_u8))
+        real_feats = features_of(real_u8)
+        mu_r, sigma_r = activation_statistics(real_feats)
+        real_feats = real_feats[:1024].astype(np.float16)
         os.makedirs(args.result_dir, exist_ok=True)
-        np.savez_compressed(stats_path, mu=mu_r, sigma=sigma_r)
+        np.savez_compressed(stats_path, mu=mu_r, sigma=sigma_r, features=real_feats)
         print(f"dataset stats over {len(real_u8)} images -> {stats_path}")
 
     from littlegan_tpu.models import adjuster_apply, generator_apply
@@ -248,8 +258,17 @@ def main() -> int:
         for i in range(0, len(fid_noise), 128):
             f = np.asarray(gen_feat(params, fid_noise[i : i + 128], fid_cond[i : i + 128]))
             feats.append(f)
-        mu_g, sigma_g = activation_statistics(np.concatenate(feats))
+        gen_feats = np.concatenate(feats)
+        mu_g, sigma_g = activation_statistics(gen_feats)
         fid_trend = float(frechet_distance(mu_r, sigma_r, mu_g, sigma_g))
+        # IS/KID trends from the SAME features (eval/inception_score, eval/kid)
+        # — random-init tagged like the FID trend, NOT comparable to published
+        is_trend, _ = inception_score(class_probs_from_features(incep, gen_feats))
+        kid_trend = (
+            kid(real_feats, gen_feats, subset_size=256, n_subsets=32)[0]
+            if real_feats is not None
+            else None
+        )
 
         rec = {
             "epoch": epoch,
@@ -261,6 +280,8 @@ def main() -> int:
             "adj_learned": int(sum(d > 0.02 for d in adj_fx)),
             "d_cond_acc": round(acc, 4),
             "fid_trend_random_init": round(fid_trend, 3),
+            "is_trend_random_init": round(is_trend, 4),
+            "kid_trend_random_init": round(kid_trend, 6) if kid_trend is not None else None,
             "cond_bias": args.cond_bias,
             "ema_decay": args.ema,
             "batch_size": args.batch_size,

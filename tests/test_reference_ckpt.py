@@ -177,13 +177,135 @@ def _assert_trees_equal(a, b):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(bp[p]), err_msg=str(p))
 
 
+def _build_keras_checkpoint(tmp_path, cfg, params):
+    """The same trackable graph built from REAL keras objects — subclassed
+    Models, keras Conv2D/Dense layers, and an add_weight-based
+    InstanceNormalization clone (instance.py:88-100 assigns the weights to
+    ``self.gamma``/``self.beta``, which is what names the checkpoint keys).
+    Proves the importer's key schema holds for what the reference's actual
+    classes serialize, not just for the tf.Module fixture."""
+    tf = pytest.importorskip("tensorflow")
+    tfk = pytest.importorskip("tf_keras")
+
+    class Norm(tfk.layers.Layer):  # instance.py:72-103 weight layout
+        def build(self, _):
+            self.gamma = self.add_weight(shape=(1,), name="gamma")
+            self.beta = self.add_weight(shape=(1,), name="beta")
+
+        def call(self, x):
+            return x * self.gamma + self.beta
+
+    def set_conv(layer, blk):
+        layer.set_weights([blk["conv"]["kernel"], blk["conv"]["bias"]])
+
+    def set_norm(layer, nm):
+        layer.set_weights([nm["gamma"], nm["beta"]])
+
+    cf, k = cfg.conv_filter, cfg.kernel_size
+
+    class Encoder(tfk.Model):  # model.py:6-27 attribute names
+        def __init__(self):
+            super().__init__()
+            for i in range(1, 5):
+                setattr(self, f"conv{i}", tfk.layers.Conv2D(cf[4 - i], k, 2, "same"))
+                setattr(self, f"norm{i}", Norm())
+
+        def call(self, x):
+            for i in range(1, 5):
+                x = getattr(self, f"norm{i}")(getattr(self, f"conv{i}")(x))
+            return x
+
+    class Decoder(tfk.Model):  # model.py:30-51
+        def __init__(self):
+            super().__init__()
+            for i in range(1, 5):
+                setattr(self, f"conv{i}", tfk.layers.Conv2DTranspose(cf[i], k, 2, "same"))
+                setattr(self, f"norm{i}", Norm())
+
+        def call(self, x):
+            for i in range(1, 5):
+                x = getattr(self, f"norm{i}")(getattr(self, f"conv{i}")(x))
+            return x
+
+    class Discriminator(tfk.Model):  # model.py:54-73
+        def __init__(self, enc):
+            super().__init__()
+            self.encoder = enc
+            self.dense_pr = tfk.layers.Dense(1)
+            self.dense_cond = tfk.layers.Dense(cfg.cond_dim)
+
+        def call(self, x):
+            f = tf.reshape(self.encoder(x), (x.shape[0], -1))
+            return self.dense_pr(f), self.dense_cond(f)
+
+    class Generator(tfk.Model):  # model.py:76-105
+        def __init__(self, dec):
+            super().__init__()
+            feat = cfg.init_dim**2 * cf[0]
+            self.dense = tfk.layers.Dense(feat)
+            self.norm = Norm()
+            self.decoder = dec
+            self.conv = tfk.layers.Conv2DTranspose(cfg.image_channel, k, 1, "same")
+
+        def call(self, z):
+            x = self.norm(self.dense(z))
+            x = tf.reshape(x, (-1, cfg.init_dim, cfg.init_dim, cf[0]))
+            return self.conv(self.decoder(x))
+
+    class Adjuster(tfk.Model):  # model.py:108-136 sharing
+        def __init__(self, disc, gen):
+            super().__init__()
+            self.encoder = disc.encoder
+            self.dense = tfk.layers.Dense(cfg.init_dim**2 * cf[0])
+            self.norm = Norm()
+            self.decoder = gen.decoder
+            self.conv = gen.conv
+
+        def call(self, inputs):
+            img, cond = inputs
+            self.encoder(img)
+            c = self.norm(self.dense(cond))
+            c = tf.reshape(c, (-1, cfg.init_dim, cfg.init_dim, cf[0]))
+            return self.conv(self.decoder(c))
+
+    enc, dec = Encoder(), Decoder()
+    disc, gen = Discriminator(enc), Generator(dec)
+    adj = Adjuster(disc, gen)
+    img = np.zeros((1, cfg.image_dim, cfg.image_dim, cfg.image_channel), np.float32)
+    z = np.zeros((1, cfg.noise_dim + cfg.cond_dim), np.float32)
+    disc(img), gen(z), adj([img, np.zeros((1, cfg.cond_dim), np.float32)])  # build
+
+    for i in range(1, 5):
+        set_conv(getattr(enc, f"conv{i}"), params["encoder"][f"block{i}"])
+        set_norm(getattr(enc, f"norm{i}"), params["encoder"][f"block{i}"]["norm"])
+        set_conv(getattr(dec, f"conv{i}"), params["decoder"][f"block{i}"])
+        set_norm(getattr(dec, f"norm{i}"), params["decoder"][f"block{i}"]["norm"])
+    gen.dense.set_weights([params["g_head"]["dense"]["kernel"], params["g_head"]["dense"]["bias"]])
+    set_norm(gen.norm, params["g_head"]["norm"])
+    gen.conv.set_weights([params["out_conv"]["kernel"], params["out_conv"]["bias"]])
+    disc.dense_pr.set_weights([params["d_head"]["pr"]["kernel"], params["d_head"]["pr"]["bias"]])
+    disc.dense_cond.set_weights(
+        [params["d_head"]["cond"]["kernel"], params["d_head"]["cond"]["bias"]]
+    )
+    adj.dense.set_weights(
+        [params["adj_head"]["dense"]["kernel"], params["adj_head"]["dense"]["bias"]]
+    )
+    set_norm(adj.norm, params["adj_head"]["norm"])
+
+    ckpt = tf.train.Checkpoint(discriminator=disc, generator=gen, adjuster=adj)
+    ckdir = tmp_path / "refkeras"
+    ckpt.save(os.fspath(ckdir / "3"))
+    return os.fspath(ckdir)
+
+
 # ---------------------------------------------------------------- TF fixture
 
 
-def test_weights_roundtrip_through_tf_checkpoint(tmp_path):
+@pytest.mark.parametrize("builder", [_build_tf_checkpoint, _build_keras_checkpoint])
+def test_weights_roundtrip_through_tf_checkpoint(tmp_path, builder):
     cfg = _cfg()
     p0 = _random_params(cfg)
-    src = _build_tf_checkpoint(tmp_path, cfg, p0)
+    src = builder(tmp_path, cfg, p0)
     variables = read_reference_variables(src)
     params, _, inferred = variables_to_params(variables)
     _assert_trees_equal(p0, params)

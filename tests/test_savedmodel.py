@@ -99,3 +99,34 @@ def test_export_experiment_uses_ema_weights(tmp_path):
 
     with pytest.raises(FileNotFoundError, match="no checkpoint"):
         export_experiment(cfg.replace(exp_name="never-trained"))
+
+
+def test_export_script_cli(tmp_path, monkeypatch, capsys):
+    """scripts/export_savedmodel.py main(): cwd config resolution + flags."""
+    import importlib.util
+    import json
+
+    cfg = _cfg(all_result_dir=os.fspath(tmp_path / "result"), exp_name="cliexp")
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    Checkpointer(os.path.join(cfg.result_dir, "checkpoint")).save("1", state)
+
+    # the CLI merges configs from the CURRENT directory (reference semantics)
+    (tmp_path / "sample.config.json").write_text(
+        json.dumps({k: getattr(cfg, k) for k in (
+            "image_dim", "init_dim", "noise_dim", "attr", "conv_filter",
+            "all_result_dir", "compute_dtype",
+        )})
+    )
+    monkeypatch.chdir(tmp_path)
+
+    spec = importlib.util.spec_from_file_location(
+        "export_savedmodel",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "export_savedmodel.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main(["cliexp", "--only", "generate"]) == 0
+    out_dir = os.path.join(cfg.result_dir, "model", "savedmodel")
+    assert "savedmodel" in capsys.readouterr().out
+    loaded = tf.saved_model.load(out_dir)
+    assert set(loaded.signatures) == {"generate"}

@@ -228,7 +228,9 @@ def main():
         baseline_img_s = 2 * cfg.batch_size / (
             flops_per_step / (V100_FP32_PEAK * V100_ASSUMED_UTIL)
         )
-        out["vs_baseline"] = round(images_per_sec / baseline_img_s, 3)
+        ratio = images_per_sec / baseline_img_s
+        # keep tiny (CPU-fallback) ratios visible instead of rounding to 0.0
+        out["vs_baseline"] = round(ratio, 3 if ratio >= 0.01 else 6)
         out["model_tflops_per_step"] = round(flops_per_step / 1e12, 4)
         out["achieved_tflops"] = round(achieved / 1e12, 2)
         out["baseline_images_per_sec"] = round(baseline_img_s, 1)

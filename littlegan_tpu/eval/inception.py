@@ -1,4 +1,4 @@
-"""InceptionV3 pool-features extractor in pure JAX (for FID).
+"""InceptionV3 pool-features extractor in pure JAX (for FID / IS / KID).
 
 The reference extracts 2048-d ``pool_3`` activations from a 2015-vintage
 frozen InceptionV3 GraphDef executed by a TF session (fid.py:36-42,73-106).

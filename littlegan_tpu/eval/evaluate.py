@@ -213,14 +213,17 @@ def evaluate_generated(
     dim: Optional[int] = None,
     with_is: bool = False,
     with_kid: bool = False,
+    with_prdc: bool = False,
+    prdc_k: int = 5,
 ) -> float:
     """Generated dir + stats npz -> FID, appended to log (evaluate.py:43-59).
 
-    ``with_is`` / ``with_kid`` additionally compute the Inception Score and
-    Kernel Inception Distance from the SAME features (beyond the reference;
-    eval/inception_score.py, eval/kid.py — KID needs a stats npz written
-    with ``precalculate(..., save_features=N)``) and append their own log
-    lines. Returns the FID either way."""
+    ``with_is`` / ``with_kid`` / ``with_prdc`` additionally compute the
+    Inception Score, Kernel Inception Distance, and Precision/Recall/
+    Density/Coverage from the SAME features (beyond the reference;
+    eval/inception_score.py, eval/kid.py, eval/prdc.py — KID and PRDC need
+    a stats npz written with ``precalculate(..., save_features=N)``) and
+    append their own log lines. Returns the FID either way."""
     files = sorted(glob(os.path.join(gen_dir, "*.jpg"))) + sorted(
         glob(os.path.join(gen_dir, "*.png"))
     )
@@ -260,6 +263,25 @@ def evaluate_generated(
         label = "KID" if cfg.fid_weights else "KID[RANDOM-INIT Inception, NOT comparable]"
         lines.append(f"{label}: {m} +/- {s}")
         print(lines[-1])
+    if with_prdc:
+        if real_feats is None:
+            raise ValueError(
+                f"precision/recall need raw real features but {stats_npz} has "
+                "only (mu, sigma) — re-run pre-calculate with save_features/"
+                "--save-features N"
+            )
+        from littlegan_tpu.eval.prdc import prdc
+
+        k = min(prdc_k, len(real_feats) - 1, len(feats) - 1)
+        if k < prdc_k:
+            print(f"prdc: lowering k {prdc_k} -> {k} for the small sample", file=sys.stderr)
+        vals = prdc(np.asarray(real_feats, np.float64), feats, k=k)
+        tag = "" if cfg.fid_weights else "[RANDOM-INIT Inception, NOT comparable]"
+        lines.append(
+            f"PRDC{tag} (k={k}): precision={vals['precision']} recall={vals['recall']} "
+            f"density={vals['density']} coverage={vals['coverage']}"
+        )
+        print(lines[-1])
     with open(log_path, "a") as f:
         stamp = time.strftime("%Y-%m-%d %H:%M:%S")
         f.writelines(f"{stamp} {line}\n" for line in lines)
@@ -292,6 +314,15 @@ def main(argv=None) -> int:
         "stats npz written with --save-features)",
     )
     p.add_argument(
+        "--prdc", dest="with_prdc", action="store_true",
+        help="also compute precision/recall/density/coverage (calc mode; "
+        "needs a stats npz written with --save-features)",
+    )
+    p.add_argument(
+        "--prdc-k", type=int, default=5,
+        help="k for the k-NN manifold radii (papers' default 5)",
+    )
+    p.add_argument(
         "--save-features", type=int, default=0,
         help="pre-calculate mode: embed the first N raw feature rows in the "
         "stats npz (enables --kid later)",
@@ -311,6 +342,7 @@ def main(argv=None) -> int:
         fid = evaluate_generated(
             cfg, args.image_dir, args.stats, args.log, dim=args.image_dim,
             with_is=args.with_is, with_kid=args.with_kid,
+            with_prdc=args.with_prdc, prdc_k=args.prdc_k,
         )
         print(f"{fid_label(cfg)}:", fid)
     return 0

@@ -69,6 +69,7 @@ def main() -> int:
     )
     from littlegan_tpu.eval.inception_score import inception_score
     from littlegan_tpu.eval.kid import kid
+    from littlegan_tpu.eval.prdc import prdc
     from littlegan_tpu.training.state import eval_params
     from littlegan_tpu.training.trainer import Trainer
     from littlegan_tpu.utils.image import ensure_pm1, soft
@@ -269,6 +270,17 @@ def main() -> int:
             if real_feats is not None
             else None
         )
+        # precision/recall/density/coverage trend (eval/prdc.py) — fidelity
+        # vs diversity split the FID trend can't show (mode collapse drops
+        # recall/coverage while precision holds). Random-init tagged too.
+        prdc_trend = None
+        if real_feats is not None and min(len(real_feats), len(gen_feats)) > 5:
+            prdc_trend = {
+                name: round(v, 4)
+                for name, v in prdc(
+                    np.asarray(real_feats, np.float64), gen_feats, k=5
+                ).items()
+            }
 
         rec = {
             "epoch": epoch,
@@ -282,6 +294,7 @@ def main() -> int:
             "fid_trend_random_init": round(fid_trend, 3),
             "is_trend_random_init": round(is_trend, 4),
             "kid_trend_random_init": round(kid_trend, 6) if kid_trend is not None else None,
+            "prdc_trend_random_init": prdc_trend,
             "cond_bias": args.cond_bias,
             "ema_decay": args.ema,
             "batch_size": args.batch_size,

@@ -633,3 +633,98 @@ def test_evaluate_with_kid_needs_saved_features(tmp_path, tiny_cfg):
     precalculate(cfg, str(real_dir), str(bare), batch_size=6)
     with pytest.raises(ValueError, match="save_features"):
         evaluate_generated(cfg, str(gen_dir), str(bare), str(log), batch_size=6, with_kid=True)
+
+
+# ------------------------------------------------------------- PRDC --------
+
+
+def test_prdc_math_golden():
+    """k-NN manifold-metric anchors: a set against itself is perfect; far
+    disjoint clusters score zero everywhere; a mode-dropping generator keeps
+    precision high while recall/coverage fall; brute-force agreement."""
+    from littlegan_tpu.eval.prdc import kth_neighbour_radii, pairwise_distances, prdc
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(40, 8))
+
+    same = prdc(x, x, k=3)
+    assert same["precision"] == same["recall"] == same["coverage"] == 1.0
+    assert same["density"] >= 1.0  # every point sits in >= k spheres (its own kNN's)
+
+    far = prdc(x, x + 100.0, k=3)
+    assert set(far.values()) == {0.0}
+
+    # mode dropping: gen densely covers only the first real cluster
+    real = np.concatenate([rng.normal(size=(30, 4)), rng.normal(size=(30, 4)) + 50.0])
+    gen = rng.normal(scale=0.5, size=(60, 4))
+    drop = prdc(real, gen, k=5)
+    assert drop["precision"] > 0.9
+    assert drop["recall"] < 0.7 and drop["coverage"] < 0.7
+
+    # brute-force cross-check on a tiny sample (kth excludes self)
+    a, b, k = rng.normal(size=(7, 3)), rng.normal(size=(6, 3)), 2
+    dist = lambda u, v: float(np.linalg.norm(u - v))
+    radii = lambda s: np.array(
+        [sorted(dist(s[i], s[j]) for j in range(len(s)) if j != i)[k - 1] for i in range(len(s))]
+    )
+    ra, rb = radii(a), radii(b)
+    brute = {
+        "precision": np.mean([any(dist(g, a[j]) <= ra[j] for j in range(len(a))) for g in b]),
+        "recall": np.mean([any(dist(r, b[j]) <= rb[j] for j in range(len(b))) for r in a]),
+        "density": np.mean([sum(dist(g, a[j]) <= ra[j] for j in range(len(a))) for g in b]) / k,
+        "coverage": np.mean([min(dist(a[i], g) for g in b) <= ra[i] for i in range(len(a))]),
+    }
+    got = prdc(a, b, k=k)
+    for name, want in brute.items():
+        np.testing.assert_allclose(got[name], want, rtol=1e-12, err_msg=name)
+    np.testing.assert_allclose(kth_neighbour_radii(a, k), ra, rtol=1e-12)
+
+    # chunked pairwise distances match the direct form
+    big, small = rng.normal(size=(50, 6)), rng.normal(size=(9, 6))
+    np.testing.assert_allclose(
+        pairwise_distances(big, small, chunk=7),
+        np.linalg.norm(big[:, None, :] - small[None, :, :], axis=-1),
+        rtol=1e-9,
+        atol=1e-12,
+    )
+
+    with pytest.raises(ValueError, match="k < n_samples"):
+        prdc(a, b, k=6)  # b has only 6 rows
+
+
+@pytest.mark.slow
+def test_evaluate_with_prdc(tmp_path, tiny_cfg):
+    """--prdc rides the saved raw features: tagged log line with all four
+    values, k auto-lowered for tiny samples, bare npz fails with remediation."""
+    from PIL import Image
+
+    from littlegan_tpu.eval.evaluate import evaluate_generated, precalculate
+
+    rng = np.random.default_rng(3)
+    real_dir, gen_dir = tmp_path / "real", tmp_path / "gen"
+    real_dir.mkdir(), gen_dir.mkdir()
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+            real_dir / f"{i}.jpg"
+        )
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+            gen_dir / f"{i}.jpg"
+        )
+    cfg = tiny_cfg.replace(allow_random_fid=True)
+    stats, log = tmp_path / "s.npz", tmp_path / "fid.log"
+    precalculate(cfg, str(real_dir), str(stats), batch_size=6, save_features=6)
+    fid = evaluate_generated(
+        cfg, str(gen_dir), str(stats), str(log), batch_size=6, with_prdc=True
+    )
+    assert np.isfinite(fid)
+    text = log.read_text()
+    assert "PRDC[RANDOM-INIT" in text and "(k=5)" in text
+    for name in ("precision=", "recall=", "density=", "coverage="):
+        assert name in text
+
+    bare = tmp_path / "bare.npz"
+    precalculate(cfg, str(real_dir), str(bare), batch_size=6)
+    with pytest.raises(ValueError, match="save_features"):
+        evaluate_generated(
+            cfg, str(gen_dir), str(bare), str(log), batch_size=6, with_prdc=True
+        )

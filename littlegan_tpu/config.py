@@ -199,6 +199,18 @@ class Config:
     # schedule; False (default) counts per-leaf updates (self-consistent
     # per-leaf Adam). Matters only with use_partition / the adjuster warm-up.
     adam_tf_parity: bool = False
+    # OPT-IN, beyond the reference (constant AdamOptimizer lr,
+    # eager_trainer.py:28-30): learning-rate schedule, evaluated INSIDE the
+    # masked Adam update from the per-leaf step count its state already
+    # carries — no global-step threading through step signatures, so it
+    # composes unchanged with every pipeline, mesh, scan, grad-accum, and
+    # partition variant. "constant" (the default, with no warmup) is
+    # bit-identical to the historical update. Steps are optimizer APPLIES:
+    # per-leaf counts by default, the global v1 tick under adam_tf_parity.
+    lr_schedule: str = "constant"  # constant | linear | cosine | exponential
+    lr_warmup_steps: int = 0  # linear 0->lr ramp over this many applies
+    lr_decay_steps: int = 0  # decay horizon after warmup (0 = no decay)
+    lr_min_ratio: float = 0.0  # decay floor as a fraction of lr (exponential needs > 0)
     # checkpoint retention: keep the newest N epoch checkpoints (0 = keep all,
     # the reference's behavior — tf.train.Checkpoint.save never prunes).
     # 'interrupt' and weights-only exports are never pruned.

@@ -33,6 +33,66 @@ import jax
 import jax.numpy as jnp
 
 
+def lr_scale_fn(
+    kind: str, warmup_steps: int = 0, decay_steps: int = 0, min_ratio: float = 0.0
+):
+    """Schedule factory for ``masked_adam_update(..., lr_scale=...)``.
+
+    Returns ``None`` when the schedule is the constant-1 identity (so the
+    default config path stays BIT-IDENTICAL to the historical update — the
+    golden-trajectory tests pin this), else a pure ``t -> scale`` over the
+    float32 apply count ``t >= 1``:
+
+    - linear warmup ``min(t / warmup_steps, 1)`` first (any kind), then
+    - over ``decay_steps`` applies after warmup, progress p in [0, 1]:
+      linear ``1 - (1-r) p``; cosine ``r + (1-r)(1 + cos(pi p))/2``;
+      exponential ``r ** p`` (geometric to the floor, needs r > 0);
+      all hold the floor ``r = min_ratio`` after the horizon.
+
+    Beyond the reference (constant lr, eager_trainer.py:28-30); evaluated
+    per-leaf from AdamState.count, so partitioned groups advance their own
+    schedule exactly as they advance their own bias correction.
+    """
+    kinds = ("constant", "linear", "cosine", "exponential")
+    if kind not in kinds:
+        raise ValueError(f"lr_schedule must be one of {kinds}, got {kind!r}")
+    decaying = kind != "constant" and decay_steps > 0
+    if kind != "constant" and decay_steps <= 0 and warmup_steps <= 0:
+        raise ValueError(
+            f"lr_schedule={kind!r} does nothing without lr_decay_steps or "
+            "lr_warmup_steps — set a horizon or use 'constant'"
+        )
+    if kind == "exponential" and decaying and min_ratio <= 0.0:
+        raise ValueError("exponential lr_schedule needs lr_min_ratio > 0 (its decay floor)")
+    if not 0.0 <= min_ratio <= 1.0:
+        raise ValueError(f"lr_min_ratio must be in [0, 1], got {min_ratio}")
+    if kind == "constant" and warmup_steps <= 0:
+        return None  # identity: callers skip the multiply entirely
+
+    def fn(t):
+        t = t.astype(jnp.float32) if hasattr(t, "astype") else jnp.float32(t)
+        scale = jnp.minimum(t / warmup_steps, 1.0) if warmup_steps > 0 else jnp.float32(1.0)
+        if decaying:
+            p = jnp.clip((t - warmup_steps) / decay_steps, 0.0, 1.0)
+            if kind == "linear":
+                base = 1.0 - (1.0 - min_ratio) * p
+            elif kind == "cosine":
+                base = min_ratio + (1.0 - min_ratio) * 0.5 * (1.0 + jnp.cos(jnp.pi * p))
+            else:  # exponential
+                base = jnp.float32(min_ratio) ** p
+            scale = scale * base
+        return scale
+
+    return fn
+
+
+def lr_scale_from_config(cfg) -> "callable | None":
+    """The trainer/step entry: Config fields -> schedule fn (or None)."""
+    return lr_scale_fn(
+        cfg.lr_schedule, cfg.lr_warmup_steps, cfg.lr_decay_steps, cfg.lr_min_ratio
+    )
+
+
 class AdamState(NamedTuple):
     count: Any  # per-leaf int32 step counts
     mu: Any  # first moments
@@ -55,10 +115,13 @@ def masked_adam_update(
     b2: float,
     eps: float = 1e-8,
     tick_all: bool = False,
+    lr_scale=None,
 ):
     """One masked Adam step. ``mask`` is a tree of scalar 0./1. per leaf
     (may be traced). ``tick_all`` advances the bias-correction count on every
     call (TF-v1 shared-beta-power parity); default counts per-leaf updates.
+    ``lr_scale`` (from ``lr_scale_fn``) multiplies lr by a schedule of the
+    apply count; None keeps the exact historical constant-lr update.
     Returns (new_params, new_state)."""
 
     def upd(g, c, m, v, p, msk):
@@ -73,6 +136,8 @@ def masked_adam_update(
         v_new = jnp.where(on, b2 * v + (1.0 - b2) * jnp.square(g), v)
         t = jnp.maximum(c_new, 1).astype(jnp.float32)  # safe when mask==0
         lr_t = lr * jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+        if lr_scale is not None:  # masked-off leaves never apply the step
+            lr_t = lr_t * lr_scale(t)
         step = lr_t * m_new / (jnp.sqrt(v_new) + eps)
         p_new = jnp.where(on, p - step.astype(p.dtype), p)
         return p_new, c_new, m_new, v_new

@@ -52,7 +52,7 @@ from littlegan_tpu.models import adjuster_apply, discriminator_apply, generator_
 from littlegan_tpu.models.littlegan import s2d_active
 from littlegan_tpu.ops.augment import augment, augment_s2d
 from littlegan_tpu.ops.losses import adjuster_loss, discriminator_loss, generator_loss
-from littlegan_tpu.training.optimizer import masked_adam_update
+from littlegan_tpu.training.optimizer import lr_scale_from_config, masked_adam_update
 from littlegan_tpu.training.partition import build_partition_masks, resolve_mask
 from littlegan_tpu.training.state import A_KEYS, D_KEYS, G_KEYS, TrainState, subtree
 from littlegan_tpu.utils.jax_cache import tpu_compiler_options
@@ -222,13 +222,17 @@ def apply_updates(
         a_mask = jax.tree_util.tree_map(lambda m: m * 0.0, a_mask)
 
     tick_all = cfg.adam_tf_parity
+    # lr schedule (Config.lr_schedule, beyond the reference's constant lr):
+    # a pure function of the apply count already in AdamState — None (the
+    # default) keeps the historical constant-lr update bit-identical.
+    lr_scale = lr_scale_from_config(cfg)
     new_g, opt_g = masked_adam_update(
         g_grads, state.opt_g, subtree(state.params, G_KEYS), g_mask, cfg.lr, cfg.beta_1, cfg.beta_2,
-        tick_all=tick_all,
+        tick_all=tick_all, lr_scale=lr_scale,
     )
     new_d, opt_d = masked_adam_update(
         d_grads, state.opt_d, subtree(state.params, D_KEYS), d_mask, cfg.lr, cfg.beta_1, cfg.beta_2,
-        tick_all=tick_all,
+        tick_all=tick_all, lr_scale=lr_scale,
     )
     # adjuster Adam uses default betas (eager_trainer.py:30). NO tick_all
     # here even in parity mode: the reference calls the adjuster's
@@ -236,7 +240,8 @@ def apply_updates(
     # partition group is always the full own-subtree, so the per-leaf count
     # already equals v1's beta-power tick count exactly.
     new_a, opt_a = masked_adam_update(
-        a_grads, state.opt_a, subtree(state.params, A_KEYS), a_mask, cfg.lr, 0.9, 0.999
+        a_grads, state.opt_a, subtree(state.params, A_KEYS), a_mask, cfg.lr, 0.9, 0.999,
+        lr_scale=lr_scale,
     )
 
     new_params = {**new_g, **new_d, **new_a}

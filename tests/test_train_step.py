@@ -545,3 +545,119 @@ def test_store_s2d_requires_active_s2d(tiny_cfg):
             build()
     # raw store under the same mesh still builds (the supported layout)
     make_scan_train_step(cfg, state.params, 2, donate=False, mesh=smesh, store_s2d=False)
+
+
+def test_lr_schedule_factory_goldens():
+    """lr_scale_fn anchors: identity -> None; warmup ramp; linear/cosine/
+    exponential endpoints and floors; validation errors."""
+    import numpy as np
+
+    from littlegan_tpu.training.optimizer import lr_scale_fn
+
+    assert lr_scale_fn("constant") is None  # default path stays bit-identical
+
+    warm = lr_scale_fn("constant", warmup_steps=4)
+    np.testing.assert_allclose([warm(t) for t in (1.0, 2.0, 4.0, 9.0)], [0.25, 0.5, 1.0, 1.0])
+
+    lin = lr_scale_fn("linear", decay_steps=10, min_ratio=0.1)
+    np.testing.assert_allclose(lin(1.0), 1.0 - 0.9 * 0.1, rtol=1e-6)
+    np.testing.assert_allclose(lin(10.0), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(lin(99.0), 0.1, rtol=1e-6)  # holds the floor
+
+    cos = lr_scale_fn("cosine", warmup_steps=2, decay_steps=8, min_ratio=0.0)
+    np.testing.assert_allclose(cos(1.0), 0.5, rtol=1e-6)  # mid-warmup
+    np.testing.assert_allclose(cos(2.0), 1.0, rtol=1e-6)  # warmup done, p=0
+    np.testing.assert_allclose(cos(6.0), 0.5, rtol=1e-6)  # p=1/2
+    np.testing.assert_allclose(cos(10.0), 0.0, atol=1e-7)  # p=1
+    np.testing.assert_allclose(cos(50.0), 0.0, atol=1e-7)
+
+    exp = lr_scale_fn("exponential", decay_steps=10, min_ratio=0.01)
+    np.testing.assert_allclose(exp(5.0), 0.1, rtol=1e-5)  # geometric midpoint
+    np.testing.assert_allclose(exp(10.0), 0.01, rtol=1e-5)
+    np.testing.assert_allclose(exp(25.0), 0.01, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="one of"):
+        lr_scale_fn("step")
+    with pytest.raises(ValueError, match="does nothing"):
+        lr_scale_fn("cosine")  # no horizon at all
+    with pytest.raises(ValueError, match="min_ratio > 0"):
+        lr_scale_fn("exponential", decay_steps=10, min_ratio=0.0)
+    with pytest.raises(ValueError, match="0, 1"):
+        lr_scale_fn("linear", decay_steps=10, min_ratio=1.5)
+
+
+def test_lr_schedule_scales_adam_step_exactly():
+    """The schedule multiplies lr_t and nothing else: each scheduled apply's
+    param delta equals the constant-lr delta times scale(t), with identical
+    moments/counts; masked-off leaves stay untouched."""
+    import numpy as np
+
+    from littlegan_tpu.training.optimizer import adam_init, lr_scale_fn, masked_adam_update
+
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.normal(size=(5,)), jnp.float32)}
+    scale = lr_scale_fn("linear", warmup_steps=2, decay_steps=4, min_ratio=0.25)
+    ones = {"w": jnp.float32(1.0)}
+
+    p_sched, st_sched = params, adam_init(params)
+    p_const, st_const = params, adam_init(params)
+    for t in range(1, 7):
+        g = {"w": jnp.asarray(rng.normal(size=(5,)), jnp.float32)}
+        new_sched, st_sched = masked_adam_update(
+            g, st_sched, p_sched, ones, lr=0.1, b1=0.5, b2=0.9, lr_scale=scale
+        )
+        new_const, st_const = masked_adam_update(
+            g, st_const, p_const, ones, lr=0.1, b1=0.5, b2=0.9
+        )
+        # moments depend only on grads -> identical; deltas scale by scale(t)
+        np.testing.assert_allclose(st_sched.mu["w"], st_const.mu["w"], rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(new_sched["w"] - p_sched["w"]),
+            float(scale(float(t))) * np.asarray(new_const["w"] - p_const["w"]),
+            rtol=2e-5, atol=1e-8,
+        )
+        # from here the trajectories diverge; step both forward independently
+        p_sched, p_const = new_sched, new_const
+
+    # masked-off leaf: schedule must not touch it either
+    zeros = {"w": jnp.float32(0.0)}
+    frozen, st_frozen = masked_adam_update(
+        {"w": jnp.ones(5, jnp.float32)}, adam_init(params), params, zeros,
+        lr=0.1, b1=0.5, b2=0.9, lr_scale=scale,
+    )
+    np.testing.assert_array_equal(frozen["w"], params["w"])
+    assert int(st_frozen.count["w"]) == 0
+
+
+def test_lr_schedule_through_train_step(tiny_cfg, rng):
+    """Config wiring: a decayed-to-floor schedule produces smaller param
+    movement than the constant default on the SAME inputs, and the default
+    config resolves to the identity (None)."""
+    from littlegan_tpu.training.optimizer import lr_scale_from_config
+
+    assert lr_scale_from_config(tiny_cfg) is None
+
+    sched_cfg = tiny_cfg.replace(
+        lr_schedule="linear", lr_decay_steps=1, lr_min_ratio=0.1,
+        use_partition=False, train_adj=False,
+    )
+    const_cfg = tiny_cfg.replace(use_partition=False, train_adj=False)
+    b1, b2 = _batches(tiny_cfg, rng)
+
+    deltas = {}
+    for name, cfg in (("sched", sched_cfg), ("const", const_cfg)):
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = make_train_step(cfg, state.params, donate=False)
+        out = step(state, b1, b2, rng, jnp.int32(50))
+        deltas[name] = float(
+            sum(
+                jnp.abs(b.astype(jnp.float32) - a.astype(jnp.float32)).sum()
+                for a, b in zip(
+                    jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(out.state.params),
+                )
+            )
+        )
+    # first apply: t=1 -> schedule already at the 0.1 floor
+    assert deltas["sched"] < 0.5 * deltas["const"]
+    assert np.isfinite(deltas["sched"]) and deltas["sched"] > 0

@@ -416,3 +416,177 @@ def convert_reference_checkpoint(
         }
         path = ck.save(tag, state, status=status)
     return {"path": path, "inferred": inferred, "optimizers": report, "tag": tag}
+
+
+# --------------------------------------------------------------------------
+# EXPORT: our TrainState -> a reference-loadable tf.train.Checkpoint.
+# The inverse of the importer above — completes two-way migration: a user
+# can train here and hand the result back to the reference's own restore
+# (eager_trainer.py:37-43, tf.train.latest_checkpoint + optional
+# status.json {'epoch': next}).
+# --------------------------------------------------------------------------
+
+
+def _build_reference_modules(params_np):
+    """The reference's exact trackable graph (model.py:6-136 attribute
+    names, Adjuster sharing D.encoder + G.decoder + G.conv per
+    model.py:119-123) as plain tf.Modules holding our weights.
+
+    Returns ``(gen, disc, adj, varmap)`` with ``varmap``: our leaf path
+    ('encoder/block1/conv/kernel', ...) -> the tf.Variable — object-based
+    restore matches by attribute names, so plain Modules restore into the
+    reference's Keras models (proven for the import direction against a
+    real keras-built checkpoint, tests/test_reference_ckpt.py).
+    """
+    import tensorflow as tf  # noqa: PLC0415 — heavyweight, lazy
+
+    class Mod(tf.Module):
+        pass
+
+    varmap: Dict[str, Any] = {}
+
+    def var(arr, our_path):
+        v = tf.Variable(np.asarray(arr, np.float32))
+        varmap[our_path] = v
+        return v
+
+    def conv_mod(blk, our):
+        m = Mod()
+        m.kernel = var(blk["conv"]["kernel"], f"{our}/conv/kernel")
+        m.bias = var(blk["conv"]["bias"], f"{our}/conv/bias")
+        return m
+
+    def norm_mod(nm, our):
+        m = Mod()
+        m.gamma = var(nm["gamma"], f"{our}/gamma")
+        m.beta = var(nm["beta"], f"{our}/beta")
+        return m
+
+    def dense_mod(d, our):
+        m = Mod()
+        m.kernel = var(d["kernel"], f"{our}/kernel")
+        m.bias = var(d["bias"], f"{our}/bias")
+        return m
+
+    enc, dec = Mod(), Mod()
+    for i in range(1, 5):
+        eb = params_np["encoder"][f"block{i}"]
+        db = params_np["decoder"][f"block{i}"]
+        setattr(enc, f"conv{i}", conv_mod(eb, f"encoder/block{i}"))
+        setattr(enc, f"norm{i}", norm_mod(eb["norm"], f"encoder/block{i}/norm"))
+        setattr(dec, f"conv{i}", conv_mod(db, f"decoder/block{i}"))
+        setattr(dec, f"norm{i}", norm_mod(db["norm"], f"decoder/block{i}/norm"))
+    disc = Mod()
+    disc.encoder = enc
+    disc.dense_pr = dense_mod(params_np["d_head"]["pr"], "d_head/pr")
+    disc.dense_cond = dense_mod(params_np["d_head"]["cond"], "d_head/cond")
+    gen = Mod()
+    gen.dense = dense_mod(params_np["g_head"]["dense"], "g_head/dense")
+    gen.norm = norm_mod(params_np["g_head"]["norm"], "g_head/norm")
+    gen.decoder = dec
+    out = Mod()
+    out.kernel = var(params_np["out_conv"]["kernel"], "out_conv/kernel")
+    out.bias = var(params_np["out_conv"]["bias"], "out_conv/bias")
+    gen.conv = out
+    adj = Mod()
+    adj.encoder = enc
+    adj.dense = dense_mod(params_np["adj_head"]["dense"], "adj_head/dense")
+    adj.norm = norm_mod(params_np["adj_head"]["norm"], "adj_head/norm")
+    adj.decoder = dec
+    adj.conv = out
+    return gen, disc, adj, varmap
+
+
+def _export_opt(opt, adam_state, sub_params, varmap, betas) -> Optional[int]:
+    """Load one AdamState into a v1 optimizer: slots from mu/nu, shared
+    beta powers from the max per-leaf count (v1 keeps ONE power pair per
+    optimizer — the reference's own coupling; under Config.adam_tf_parity
+    the per-leaf counts are all equal and the export is exact).
+
+    Returns the exported apply count, or None when the optimizer never ran
+    (no slots are created then — matching a reference checkpoint whose v1
+    optimizer was constructed but never applied).
+    """
+    import jax
+    import tensorflow as tf  # noqa: PLC0415
+
+    from littlegan_tpu.utils.tree import path_str
+
+    leaves = jax.tree_util.tree_leaves_with_path(sub_params)
+    counts = jax.tree_util.tree_leaves(adam_state.count)
+    count = max(int(c) for c in counts) if counts else 0
+    if count == 0:
+        return None
+
+    tf_vars = [varmap[path_str(p)] for p, _ in leaves]
+    # one zero-gradient apply creates the m/v slots and the beta-power
+    # accumulators without moving any weight (Adam with g=0 on m=v=0 is an
+    # exact no-op update); real values are assigned over them below
+    opt.apply_gradients([(tf.zeros_like(v), v) for v in tf_vars])
+    mu = {path_str(p): l for p, l in jax.tree_util.tree_leaves_with_path(adam_state.mu)}
+    nu = {path_str(p): l for p, l in jax.tree_util.tree_leaves_with_path(adam_state.nu)}
+    for p, _ in leaves:
+        key = path_str(p)
+        opt.get_slot(varmap[key], "m").assign(np.asarray(mu[key], np.float32))
+        opt.get_slot(varmap[key], "v").assign(np.asarray(nu[key], np.float32))
+    # stored power after t applies is beta^(t+1) (v1 multiplies AFTER the
+    # apply; see _derive_count). f32 underflow past ~beta^-38 loses the
+    # exact count exactly as the reference's own checkpoints do — the
+    # updates are bit-identical either way (1 - beta^t == 1.0 there).
+    b1p, b2p = opt._get_beta_accumulators()
+    b1p.assign(np.float32(betas[0] ** (count + 1)))
+    b2p.assign(np.float32(betas[1] ** (count + 1)))
+    return count
+
+
+def export_reference_checkpoint(
+    state,
+    out_dir: str,
+    tag: str = "1",
+    beta_1: float = 0.5,
+    beta_2: float = 0.9,
+    use_ema: bool = False,
+) -> Dict[str, Any]:
+    """Write ``state`` as a reference ``result/<exp>/checkpoint/`` directory.
+
+    Produces ``<out_dir>/<tag>-1.{index,data-*}``, TF's ``checkpoint`` state
+    file, and ``status.json`` ({'epoch': tag+1} — the reference resumes at
+    the NEXT epoch, eager_trainer.py:40-43,173). ``beta_1``/``beta_2`` must
+    be the G/D betas trained with (they parameterize the stored beta powers).
+    ``use_ema`` exports the EMA generator subtrees as the weights (the
+    optimizer moments still describe the live trajectory — documented
+    mismatch, weights-quality export). Returns a summary dict.
+    """
+    import jax
+    import tensorflow as tf  # noqa: PLC0415
+
+    from littlegan_tpu.training.state import A_KEYS, D_KEYS, G_KEYS, eval_params, subtree
+
+    params = eval_params(state) if use_ema else state.params
+    params_np = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), params)
+    gen, disc, adj, varmap = _build_reference_modules(params_np)
+
+    # lr is not a trackable in v1 checkpoints — any value serializes the same
+    opt_g = tf.compat.v1.train.AdamOptimizer(1e-4, beta_1, beta_2)
+    opt_d = tf.compat.v1.train.AdamOptimizer(1e-4, beta_1, beta_2)
+    opt_a = tf.compat.v1.train.AdamOptimizer(1e-4)  # v1 defaults (eager_trainer.py:30)
+    report = {
+        "opt_g": _export_opt(opt_g, state.opt_g, subtree(params_np, G_KEYS), varmap, (beta_1, beta_2)),
+        "opt_d": _export_opt(opt_d, state.opt_d, subtree(params_np, D_KEYS), varmap, (beta_1, beta_2)),
+        "opt_a": _export_opt(opt_a, state.opt_a, subtree(params_np, A_KEYS), varmap, (0.9, 0.999)),
+    }
+
+    ckpt = tf.train.Checkpoint(
+        discriminator=disc,
+        generator=gen,
+        adjuster=adj,
+        discriminator_optimizer=opt_d,
+        generator_optimizer=opt_g,
+        adjuster_optimizer=opt_a,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    path = ckpt.save(os.path.join(out_dir, str(tag)))
+    epoch_next = (int(tag) + 1) if str(tag).isdigit() else 1
+    with open(os.path.join(out_dir, "status.json"), "w") as f:
+        json.dump({"epoch": epoch_next, "exported_by": "littlegan_tpu"}, f)
+    return {"path": path, "optimizers": report, "ema": bool(use_ema and state.ema is not None)}

@@ -431,3 +431,173 @@ def test_underflowed_beta_powers_use_converged_count():
         assert int(leaf) == _CONVERGED_COUNT
     # bias correction at the sentinel is exactly converged in f32
     assert np.float32(1.0 - 0.9 ** np.float32(_CONVERGED_COUNT)) == np.float32(1.0)
+
+
+# ------------------------------------------------------------- EXPORT ------
+
+
+def _random_state(cfg, counts=(7, 5, 3), seed=11):
+    """TrainState with randomized params AND nonzero Adam moments/counts —
+    zeros would make a dropped slot assignment invisible to the roundtrip."""
+    from littlegan_tpu.training.optimizer import AdamState
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(seed)
+    rand_tree = lambda t: jax.tree_util.tree_map(
+        lambda l: jnp.asarray(rng.normal(size=np.shape(l)).astype(np.float32)), t
+    )
+    params = rand_tree(state.params)
+
+    def opt(template, params_sub, n):
+        return AdamState(
+            count=jax.tree_util.tree_map(lambda _: jnp.int32(n), params_sub),
+            mu=rand_tree(template.mu),
+            nu=jax.tree_util.tree_map(lambda l: jnp.abs(l), rand_tree(template.nu)),
+        )
+
+    from littlegan_tpu.training.state import A_KEYS, D_KEYS, G_KEYS, subtree
+
+    return state._replace(
+        params=params,
+        opt_g=opt(state.opt_g, subtree(params, G_KEYS), counts[0]),
+        opt_d=opt(state.opt_d, subtree(params, D_KEYS), counts[1]),
+        opt_a=opt(state.opt_a, subtree(params, A_KEYS), counts[2]),
+    )
+
+
+def test_export_roundtrips_through_importer(tmp_path):
+    """export -> import recovers params, moments, and apply counts
+    bit-for-bit, and writes the reference's resume contract (status.json
+    epoch = tag + 1, TF 'checkpoint' state file)."""
+    from littlegan_tpu.compat.reference_checkpoint import export_reference_checkpoint
+
+    pytest.importorskip("tensorflow")
+    cfg = _cfg()
+    state = _random_state(cfg)
+    out = os.fspath(tmp_path / "refexport")
+    summary = export_reference_checkpoint(
+        state, out, tag="9", beta_1=cfg.beta_1, beta_2=cfg.beta_2
+    )
+    assert summary["optimizers"] == {"opt_g": 7, "opt_d": 5, "opt_a": 3}
+    assert os.path.isfile(os.path.join(out, "checkpoint"))  # latest_checkpoint state
+    with open(os.path.join(out, "status.json")) as f:
+        assert json.load(f)["epoch"] == 10  # reference resumes at the NEXT epoch
+
+    variables = read_reference_variables(out)
+    state2, inferred, report = variables_to_train_state(
+        variables, beta_1=cfg.beta_1, beta_2=cfg.beta_2
+    )
+    assert report == {"opt_g": 7, "opt_d": 5, "opt_a": 3}
+    assert inferred["conv_filter"] == cfg.conv_filter
+    _assert_trees_equal(state.params, state2.params)
+    for field in ("opt_g", "opt_d", "opt_a"):
+        _assert_trees_equal(getattr(state, field).mu, getattr(state2, field).mu)
+        _assert_trees_equal(getattr(state, field).nu, getattr(state2, field).nu)
+
+
+def test_export_key_schema_matches_keras_checkpoint(tmp_path):
+    """The exported checkpoint's weight keys are EXACTLY what the
+    reference's real keras classes serialize (same object paths, same
+    sharing roots) — so its restore matches every variable, none dangling."""
+    from littlegan_tpu.compat.reference_checkpoint import export_reference_checkpoint
+
+    pytest.importorskip("tensorflow")
+    pytest.importorskip("tf_keras")
+    cfg = _cfg()
+    p0 = _random_params(cfg)
+    keras_dir = _build_keras_checkpoint(tmp_path, cfg, p0)
+    keras_keys = set(read_reference_variables(keras_dir))
+
+    state = _random_state(cfg)
+    out = os.fspath(tmp_path / "refexport")
+    export_reference_checkpoint(state, out, beta_1=cfg.beta_1, beta_2=cfg.beta_2)
+    exported = read_reference_variables(out)
+    weight_keys = {
+        k for k in exported
+        if "/.OPTIMIZER_SLOT/" not in k and not k.endswith(("beta1_power", "beta2_power"))
+    }
+    assert weight_keys == keras_keys
+
+
+def test_export_restores_into_fresh_reference_graph(tmp_path):
+    """Simulate the reference's own resume: a FRESH trackable graph + fresh
+    v1 optimizers restore the exported checkpoint — weights land, and the
+    optimizers' deferred slot restore fills m/v + beta powers on their
+    first apply (exactly how eager_trainer.py:37-43 resumes training)."""
+    from littlegan_tpu.compat.reference_checkpoint import (
+        _build_reference_modules,
+        export_reference_checkpoint,
+    )
+
+    tf = pytest.importorskip("tensorflow")
+    cfg = _cfg()
+    state = _random_state(cfg)
+    out = os.fspath(tmp_path / "refexport")
+    export_reference_checkpoint(state, out, beta_1=cfg.beta_1, beta_2=cfg.beta_2)
+
+    zeros = jax.tree_util.tree_map(lambda l: np.zeros_like(np.asarray(l)), state.params)
+    gen, disc, adj, varmap = _build_reference_modules(zeros)
+    opt_g = tf.compat.v1.train.AdamOptimizer(1e-4, cfg.beta_1, cfg.beta_2)
+    opt_d = tf.compat.v1.train.AdamOptimizer(1e-4, cfg.beta_1, cfg.beta_2)
+    opt_a = tf.compat.v1.train.AdamOptimizer(1e-4)
+    ckpt = tf.train.Checkpoint(
+        discriminator=disc, generator=gen, adjuster=adj,
+        discriminator_optimizer=opt_d, generator_optimizer=opt_g,
+        adjuster_optimizer=opt_a,
+    )
+    ckpt.restore(tf.train.latest_checkpoint(out))
+
+    got = {p: v.numpy() for p, v in varmap.items()}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state.params):
+        from littlegan_tpu.utils.tree import path_str
+
+        np.testing.assert_array_equal(got[path_str(path)], np.asarray(leaf), err_msg=path_str(path))
+
+    # deferred optimizer restore: creating the slots (first apply) must
+    # surface the exported moments, not zeros — the zero-grad probe itself
+    # decays the restored m by beta_1 (m <- b1*m + (1-b1)*0), so expect that
+    g_var = varmap["g_head/dense/kernel"]
+    opt_g.apply_gradients([(tf.zeros_like(g_var), g_var)])
+    np.testing.assert_allclose(
+        opt_g.get_slot(g_var, "m").numpy(),
+        cfg.beta_1 * np.asarray(state.opt_g.mu["g_head"]["dense"]["kernel"]),
+        rtol=1e-6,
+    )
+    b1p, b2p = opt_g._get_beta_accumulators()
+    # restored power beta^(7+1), then the probe apply multiplied once more
+    np.testing.assert_allclose(float(b1p), cfg.beta_1 ** 9, rtol=1e-6)
+    np.testing.assert_allclose(float(b2p), cfg.beta_2 ** 9, rtol=1e-6)
+
+
+def test_export_script_cli(tmp_path, monkeypatch, capsys):
+    """scripts/export_reference_checkpoint.py main(): cwd config, tag from
+    the native checkpoint's status, --ema flag refusal-free when no EMA."""
+    import importlib.util
+
+    pytest.importorskip("tensorflow")
+    cfg = _cfg(all_result_dir=os.fspath(tmp_path / "result"), exp_name="refout")
+    state = _random_state(cfg)
+    Checkpointer(os.path.join(cfg.result_dir, "checkpoint")).save(
+        "4", state, status={"epoch": 5, "step": 12}
+    )
+    (tmp_path / "sample.config.json").write_text(
+        json.dumps({k: getattr(cfg, k) for k in (
+            "image_dim", "init_dim", "noise_dim", "attr", "conv_filter",
+            "all_result_dir", "compute_dtype",
+        )})
+    )
+    monkeypatch.chdir(tmp_path)
+    spec = importlib.util.spec_from_file_location(
+        "export_reference_checkpoint",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "export_reference_checkpoint.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main(["refout"]) == 0
+    out_dir = os.path.join(cfg.result_dir, "model", "reference-checkpoint")
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["path"].startswith(out_dir)
+    assert "4-1" in os.path.basename(summary["path"])  # tag = status epoch - 1
+    variables = read_reference_variables(out_dir)
+    params, _, _ = variables_to_params(variables)
+    _assert_trees_equal(state.params, params)

@@ -218,6 +218,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     elif cfg.mode == "evaluate":  # main.py:82-104, in-process
         from littlegan_tpu.eval.evaluate import evaluate_generated, fid_label
 
+        known = {"fid", "is", "kid", "prdc"}
+        metrics = {m.lower() for m in cfg.eval_metrics}
+        if not metrics <= known:
+            raise ValueError(
+                f"unknown eval_metrics {sorted(metrics - known)}; choose from {sorted(known)}"
+            )
         stats = os.path.join(cfg.test_data_dir, cfg.evaluate_pre_calculated)
         for sub, log in (("gen", "fid-gen.log"), ("adj", "fid-adj.log")):
             if sub == "adj" and not cfg.train_adj:
@@ -227,6 +233,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 os.path.join(cfg.result_dir, "evaluate", sub),
                 stats,
                 os.path.join(cfg.result_dir, "evaluate", log),
+                with_is="is" in metrics,
+                with_kid="kid" in metrics,
+                with_prdc="prdc" in metrics,
             )
             print(f"{fid_label(cfg)} ({sub}): {fid}")
 

@@ -224,6 +224,12 @@ class Config:
     # self-consistent trend metric only, NOT comparable to published numbers.
     # Evaluation refuses to run in that state unless this is set.
     allow_random_fid: bool = False
+    # Metrics the `evaluate` MODE computes (the standalone eval CLI has
+    # per-flag control). Beyond "fid" (the reference's only metric): "is"
+    # (Inception Score), "kid", "prdc" (precision/recall/density/coverage)
+    # — all from the same features; kid/prdc need a stats npz written with
+    # --save-features (eval/evaluate.py).
+    eval_metrics: List[str] = field(default_factory=lambda: ["fid"])
 
     # unknown keys from user env files are preserved here for provenance
     extra: Dict[str, Any] = field(default_factory=dict)

@@ -194,3 +194,33 @@ def test_missing_env_file_refused(workspace):
     sample/default hyperparameters and clobber checkpoints."""
     with pytest.raises(FileNotFoundError, match="config environment"):
         cli.main(["plot", "exp", "-e", "porduction"])
+
+
+def test_mode_evaluate_full_metric_suite(workspace, capsys):
+    """Config.eval_metrics routes the evaluate MODE through IS/KID/PRDC from
+    the same features (stats npz re-written with raw rows); unknown names
+    fail loudly before any feature compute."""
+    if not (workspace / "evaluate" / "gen" / "1.jpg").is_file():
+        cli.main(["evaluate-sample", "exp", "--synthetic-data"])
+    from littlegan_tpu.config import load_config
+    from littlegan_tpu.eval.evaluate import precalculate
+
+    cfg = load_config("sample", {"exp_name": "exp", "mode": "evaluate"})
+    stats = os.path.join(cfg.test_data_dir, cfg.evaluate_pre_calculated)
+    precalculate(cfg, str(workspace / "evaluate" / "gen"), stats, batch_size=4, save_features=16)
+
+    with open("sample.config.json") as f:
+        base = json.load(f)
+    with open("metrics.config.json", "w") as f:
+        json.dump({**base, "eval_metrics": ["fid", "is", "kid", "prdc"]}, f)
+    assert cli.main(["evaluate", "exp", "-e", "metrics"]) == 0
+    out = capsys.readouterr().out
+    assert "(gen):" in out
+    text = (workspace / "evaluate" / "fid-gen.log").read_text()
+    for tag in ("IS[RANDOM-INIT", "KID[RANDOM-INIT", "PRDC[RANDOM-INIT"):
+        assert tag in text, tag
+
+    with open("bad.config.json", "w") as f:
+        json.dump({**base, "eval_metrics": ["fid", "ssim"]}, f)
+    with pytest.raises(ValueError, match="ssim"):
+        cli.main(["evaluate", "exp", "-e", "bad"])

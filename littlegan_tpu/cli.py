@@ -267,6 +267,56 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             img = trainer._gen_jit(eval_params(trainer.state), noise, cond)
             save_image(np.asarray(img), os.path.join(cfg.result_dir, "sample", f"condition-gen-{i}.jpg"), (1, 8))
 
+    elif cfg.mode == "interpolate":  # beyond-reference latent-space tooling
+        cfg = cfg.replace(reuse=True)
+        trainer = Trainer(cfg, None)
+        rng = np.random.default_rng(cfg.seed)
+        from littlegan_tpu.utils.image import soft
+
+        rows, steps = cfg.interpolate_rows, cfg.interpolate_steps
+        if rows < 1 or steps < 2:
+            raise ValueError(
+                f"interpolate needs interpolate_rows >= 1 and interpolate_steps >= 2, "
+                f"got {rows}/{steps}"
+            )
+        now = int(time.time())
+        t = np.linspace(0.0, 1.0, steps, dtype=np.float32)
+
+        # 1) latent slerp grid: one (z0 -> z1) pair per row at a fixed
+        # random condition (utils/latent.py on why slerp, not lerp)
+        from littlegan_tpu.utils.latent import slerp
+
+        z0 = rng.normal(size=(rows, cfg.noise_dim)).astype(np.float32)
+        z1 = rng.normal(size=(rows, cfg.noise_dim)).astype(np.float32)
+        # grid index fills columns downward (utils/image.py to_grid): batch
+        # order [t0 r0..rN, t1 r0..rN, ...] -> (rows, steps) tiling
+        z = slerp(z0, z1, t).reshape(steps * rows, cfg.noise_dim)
+        # dataset-convention conditions: softened +/-1 (data/celeba.py)
+        row_cond = soft(np.where(rng.random((rows, cfg.cond_dim)) < 0.5, -1.0, 1.0)).astype(np.float32)
+        gen = trainer.generate(z, np.tile(row_cond, (steps, 1)))
+        save_image(
+            gen, os.path.join(cfg.result_dir, "sample", f"interpolate-z-{now}.jpg"),
+            (rows, steps),
+        )
+
+        # 2) adjuster attribute sweep: one base image, each ROW sweeps one
+        # attribute's target from soft(-1) to soft(+1) across the columns
+        if cfg.train_adj:
+            base_z = rng.normal(size=(1, cfg.noise_dim)).astype(np.float32)
+            base_cond = soft(np.where(rng.random((1, cfg.cond_dim)) < 0.5, -1.0, 1.0)).astype(np.float32)
+            base = trainer.generate(base_z, base_cond)  # (1, H, W, C)
+            sweep = np.tile(base_cond, (steps * cfg.cond_dim, 1))
+            for j in range(cfg.cond_dim):
+                # column t of row j: attribute j forced to soft(2t-1)
+                sweep[np.arange(steps) * cfg.cond_dim + j, j] = soft(2.0 * t - 1.0)
+            adj = trainer.adjust(np.tile(base, (steps * cfg.cond_dim, 1, 1, 1)), sweep)
+            save_image(
+                adj,
+                os.path.join(cfg.result_dir, "sample", f"interpolate-attr-{now}.jpg"),
+                (cfg.cond_dim, steps),
+            )
+        print(f"interpolate grids -> {os.path.join(cfg.result_dir, 'sample')}")
+
     elif cfg.mode == "export-model":  # main.py:126-130
         cfg = cfg.replace(reuse=True, restore=True)
         path = Trainer(cfg, None).export_model_checkpoint()

@@ -36,6 +36,9 @@ MODES = (
     "condition-sample",
     "evaluate-sample",
     "export-model",
+    # beyond the reference's 8 (main.py:12-13): latent slerp + per-attribute
+    # adjuster sweep grids (cli.py)
+    "interpolate",
 )
 
 
@@ -89,6 +92,11 @@ class Config:
     evaluate_pre_calculated: str = "fid_stats_celeba_128_all.npz"
     random_sample_batch: int = 4
     condition_sample_batch: int = 100
+    # interpolate mode (beyond-reference): grid geometry — `rows` latent
+    # pairs slerped over `steps` columns, and one adjuster sweep row per
+    # attribute over the same number of columns.
+    interpolate_steps: int = 10
+    interpolate_rows: int = 8
     evaluate_sample_size: int = 30000
     restore: bool = True
     reuse: bool = False

@@ -1025,6 +1025,18 @@ class Trainer:
 
     # ----------------------------------------------------------- predict ----
 
+    def generate(self, noise, cond) -> np.ndarray:
+        """G(noise, cond) with the eval weights (EMA when enabled) — the
+        bare forward predict() wraps; public for sampling tooling
+        (cli.py interpolate mode, scripts)."""
+        params = eval_params(self.state)
+        return np.asarray(self._gen_jit(params, jnp.asarray(noise), jnp.asarray(cond)))
+
+    def adjust(self, image, cond) -> np.ndarray:
+        """Adjuster(image, cond) with the eval weights; [-1,1] NHWC in/out."""
+        params = eval_params(self.state)
+        return np.asarray(self._adj_jit(params, jnp.asarray(image), jnp.asarray(cond)))
+
     def predict(
         self,
         noise,

@@ -224,3 +224,42 @@ def test_mode_evaluate_full_metric_suite(workspace, capsys):
         json.dump({**base, "eval_metrics": ["fid", "ssim"]}, f)
     with pytest.raises(ValueError, match="ssim"):
         cli.main(["evaluate", "exp", "-e", "bad"])
+
+
+def test_mode_interpolate(workspace):
+    """9th mode (beyond-reference): slerp grid is (rows*H, steps*W), the
+    adjuster sweep grid is (cond_dim*H, steps*W), same-seed reruns are
+    byte-identical, and degenerate geometry fails loudly."""
+    from PIL import Image
+
+    import numpy as np
+
+    with open("sample.config.json") as f:
+        base = json.load(f)
+    with open("interp.config.json", "w") as f:
+        json.dump({**base, "interpolate_rows": 3, "interpolate_steps": 4, "seed": 7}, f)
+    assert cli.main(["interpolate", "exp", "-e", "interp"]) == 0
+    sample = workspace / "sample"
+    z_grids = sorted(sample.glob("interpolate-z-*.jpg"))
+    a_grids = sorted(sample.glob("interpolate-attr-*.jpg"))
+    assert z_grids and a_grids
+    dim = TINY["image_dim"]
+    z_img = np.asarray(Image.open(z_grids[-1]))
+    assert z_img.shape == (3 * dim, 4 * dim, 3)
+    a_img = np.asarray(Image.open(a_grids[-1]))
+    assert a_img.shape == (7 * dim, 4 * dim, 3)
+
+    # same seed -> byte-identical grids (filenames carry a timestamp; wait
+    # for a fresh second so the rerun cannot overwrite the originals)
+    import time as _time
+
+    _time.sleep(1.1)
+    assert cli.main(["interpolate", "exp", "-e", "interp"]) == 0
+    z2 = sorted(sample.glob("interpolate-z-*.jpg"))
+    assert len(z2) > len(z_grids)
+    assert z2[-1].read_bytes() == z_grids[-1].read_bytes()
+
+    with open("badinterp.config.json", "w") as f:
+        json.dump({**base, "interpolate_steps": 1}, f)
+    with pytest.raises(ValueError, match="interpolate_steps"):
+        cli.main(["interpolate", "exp", "-e", "badinterp"])

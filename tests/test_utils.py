@@ -84,3 +84,39 @@ def test_tpu_compiler_options_gating(monkeypatch):
     assert tpu_compiler_options(
         Config(scoped_vmem_kib=0, xla_options={"a": "b"}, debug=True)
     ) == {"a": "b"}
+
+
+def test_slerp_goldens():
+    """utils/latent.py slerp: exact endpoints, great-circle norm for unit
+    inputs, lerp fallback for (anti)parallel pairs, midpoint symmetry."""
+    from littlegan_tpu.utils.latent import slerp
+
+    rng = np.random.default_rng(0)
+    z0 = rng.normal(size=(5, 16)).astype(np.float32)
+    z1 = rng.normal(size=(5, 16)).astype(np.float32)
+    t = np.linspace(0.0, 1.0, 7, dtype=np.float32)
+    out = slerp(z0, z1, t)
+    assert out.shape == (7, 5, 16)
+    np.testing.assert_allclose(out[0], z0, rtol=1e-5, atol=1e-6)  # t=0 endpoint
+    np.testing.assert_allclose(out[-1], z1, rtol=1e-5, atol=1e-6)  # t=1 endpoint
+
+    # unit vectors stay on the sphere at every step (the reason to slerp)
+    u0 = z0 / np.linalg.norm(z0, axis=-1, keepdims=True)
+    u1 = z1 / np.linalg.norm(z1, axis=-1, keepdims=True)
+    norms = np.linalg.norm(slerp(u0, u1, t), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+    # ...unlike lerp, whose midpoint falls inside the shell
+    lerp_mid = np.linalg.norm(0.5 * u0 + 0.5 * u1, axis=-1)
+    assert (lerp_mid < 0.95).all()
+
+    # parallel pair: sin(omega)=0 -> lerp fallback, constant trajectory
+    same = slerp(z0, z0.copy(), t)
+    for k in range(7):
+        np.testing.assert_allclose(same[k], z0, rtol=1e-5, atol=1e-6)
+
+    # midpoint is the angle bisector: equal cosine to both unit endpoints
+    mid = slerp(u0, u1, np.array([0.5], np.float32))[0]
+    mid = mid / np.linalg.norm(mid, axis=-1, keepdims=True)
+    c0 = (mid * u0).sum(-1)
+    c1 = (mid * u1).sum(-1)
+    np.testing.assert_allclose(c0, c1, rtol=1e-4)

@@ -183,11 +183,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         cfg = cfg.replace(reuse=True)
         data = _make_dataset(cfg)
         trainer = Trainer(cfg, data)
+        from littlegan_tpu.utils.image import BatchImageWriter
+
         batches = int(np.ceil(cfg.evaluate_sample_size / cfg.batch_size))
         rng = np.random.default_rng(cfg.seed)
         it = data.epoch_iterator(0)
         base = 1  # contiguous 1..N numbering even when batches carry fewer
         # than cfg.batch_size rows (multi-host row slicing)
+        writer = BatchImageWriter()  # JPEG encode/IO overlaps device compute
         for b in range(batches):
             try:
                 image, cond = next(it)
@@ -207,13 +210,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 os.path.join(cfg.result_dir, "evaluate", "disc", f"{b}.json"), None,
             )
             for i in range(gen_image.shape[0]):
-                save_image(gen_image[i], os.path.join(cfg.result_dir, "evaluate", "gen", f"{base + i}.jpg"))
+                writer.save(gen_image[i], os.path.join(cfg.result_dir, "evaluate", "gen", f"{base + i}.jpg"))
                 if adj_real is not None and adj_fake is not None:
-                    save_image(adj_real[i], os.path.join(cfg.result_dir, "evaluate", "adj", f"real_{base + i}.jpg"))
-                    save_image(adj_fake[i], os.path.join(cfg.result_dir, "evaluate", "adj", f"fake_{base + i}.jpg"))
+                    writer.save(adj_real[i], os.path.join(cfg.result_dir, "evaluate", "adj", f"real_{base + i}.jpg"))
+                    writer.save(adj_fake[i], os.path.join(cfg.result_dir, "evaluate", "adj", f"fake_{base + i}.jpg"))
             base += gen_image.shape[0]
             if (b + 1) % 50 == 0:
                 print(f"evaluate-sample: {b + 1}/{batches} batches")
+        writer.close()
 
     elif cfg.mode == "evaluate":  # main.py:82-104, in-process
         from littlegan_tpu.eval.evaluate import evaluate_generated, fid_label

@@ -238,6 +238,11 @@ class Config:
     # — all from the same features; kid/prdc need a stats npz written with
     # --save-features (eval/evaluate.py).
     eval_metrics: List[str] = field(default_factory=lambda: ["fid"])
+    # Shard offline inference batches (predict / sampling modes / Inception
+    # featurization) row-wise over all LOCAL devices (parallel/infer.py) —
+    # value-equivalent to single-device; single-process only. Off = always
+    # single-device inference.
+    eval_data_parallel: bool = True
 
     # unknown keys from user env files are preserved here for provenance
     extra: Dict[str, Any] = field(default_factory=dict)

@@ -68,14 +68,31 @@ _FEAT_FN_CACHE: dict = {}
 # constants AND force a full retrace for every new tree; as an argument the
 # same compiled executable serves every same-shaped tree. Images ship uint8
 # and upcast on device (4x less host->device transfer; a 100-image 512² f32
-# chunk is 300 MB).
+# chunk is 300 MB). With several local devices the batch additionally shards
+# row-wise over a ('data',) mesh (parallel/infer.py) — value-equivalent,
+# ~n_devices x featurization throughput for the 30k-image evaluate runs.
 _FEAT_JIT = None
+_DP_FEAT = None
 
 
-def _feat_jit():
-    global _FEAT_JIT
+def _feat_fn_raw(p, imgs):
+    return inception_features(p, imgs.astype(jnp.float32))
+
+
+def _feat_call(cfg: Config):
+    """(params, uint8 imgs) -> features callable; DP-wrapped when enabled.
+
+    Both variants are module singletons: the jit executable / wrapper (and
+    its params placement cache) must survive across _featurizer calls."""
+    global _FEAT_JIT, _DP_FEAT
+    from littlegan_tpu.parallel.infer import data_parallel_infer, infer_mesh_devices
+
+    if cfg.eval_data_parallel and infer_mesh_devices() > 1:
+        if _DP_FEAT is None:
+            _DP_FEAT = data_parallel_infer(_feat_fn_raw, 1)
+        return _DP_FEAT
     if _FEAT_JIT is None:
-        _FEAT_JIT = jax.jit(lambda p, imgs: inception_features(p, imgs.astype(jnp.float32)))
+        _FEAT_JIT = jax.jit(_feat_fn_raw)
     return _FEAT_JIT
 
 
@@ -83,7 +100,12 @@ def _featurizer(cfg: Config, params=None):
     """(feature fn over uint8 chunks) with WEIGHTS cached per source: the
     evaluate mode scores gen AND adj dirs in one process — load + device-put
     Inception once; the single jitted executable is shared by all trees."""
+    call = _feat_call(cfg)
     if params is not None:
+        if getattr(call, "mesh", None) is not None:
+            # the DP wrapper keeps its own single-slot replicated-placement
+            # cache keyed on tree identity — hand it the raw tree
+            return lambda imgs: call(params, imgs)
         # single-slot device cache keyed on object identity: a per-epoch
         # eval loop reusing one tree must not re-upload it each call, and a
         # fresh tree per epoch must not accumulate pinned device arrays
@@ -94,7 +116,7 @@ def _featurizer(cfg: Config, params=None):
             cached = (id(params), jax.device_put(params))
             _FEAT_FN_CACHE["<params>"] = cached
         dev_params = cached[1]
-        return lambda imgs: _feat_jit()(dev_params, imgs)
+        return lambda imgs: call(dev_params, imgs)
     if not cfg.fid_weights:
         # Round-1 verdict: never print an uncomparable number labeled FID
         # without saying so. Mirror serving.py's untrained-weights policy.
@@ -117,7 +139,7 @@ def _featurizer(cfg: Config, params=None):
             file=sys.stderr,
         )
     loaded = _inception_params(cfg)
-    return lambda imgs: _feat_jit()(loaded, imgs)
+    return lambda imgs: call(loaded, imgs)
 
 
 def _inception_params(cfg: Config):
@@ -136,7 +158,7 @@ def _featurize_chunks(chunks, feat_fn, batch_size: int) -> np.ndarray:
         pad = batch_size - chunk.shape[0]
         if pad:  # keep shapes static for XLA
             chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
-        f = np.asarray(feat_fn(jnp.asarray(chunk)))  # uint8 ships; device upcasts
+        f = np.asarray(feat_fn(chunk))  # uint8 ships; device upcasts
         feats.append(f[: batch_size - pad] if pad else f)
     return np.concatenate(feats, axis=0)
 

@@ -301,9 +301,22 @@ class Trainer:
                 )
         # inference entry points return f32 images (the apply fns emit
         # compute dtype — bf16 by default; external consumers expect f32)
-        self._gen_jit = jax.jit(lambda p, n, c: generator_apply(p, n, c, cfg).astype(jnp.float32))
-        self._disc_jit = jax.jit(lambda p, i: discriminator_apply(p, i, cfg))
-        self._adj_jit = jax.jit(lambda p, i, c: adjuster_apply(p, i, c, cfg).astype(jnp.float32))
+        gen_fn = lambda p, n, c: generator_apply(p, n, c, cfg).astype(jnp.float32)
+        disc_fn = lambda p, i: discriminator_apply(p, i, cfg)
+        adj_fn = lambda p, i, c: adjuster_apply(p, i, c, cfg).astype(jnp.float32)
+        from littlegan_tpu.parallel.infer import data_parallel_infer, infer_mesh_devices
+
+        if cfg.eval_data_parallel and infer_mesh_devices() > 1:
+            # offline tools (evaluate-sample's 30k images, predict, sampling
+            # modes) shard their batches over all local chips; row-wise DP of
+            # the pure forwards is value-equivalent (parallel/infer.py)
+            self._gen_jit = data_parallel_infer(gen_fn, 2)
+            self._disc_jit = data_parallel_infer(disc_fn, 1)
+            self._adj_jit = data_parallel_infer(adj_fn, 2)
+        else:
+            self._gen_jit = jax.jit(gen_fn)
+            self._disc_jit = jax.jit(disc_fn)
+            self._adj_jit = jax.jit(adj_fn)
 
     # ---------------------------------------------------------- fixture ----
 

@@ -120,3 +120,26 @@ def test_slerp_goldens():
     c0 = (mid * u0).sum(-1)
     c1 = (mid * u1).sum(-1)
     np.testing.assert_allclose(c0, c1, rtol=1e-4)
+
+
+def test_batch_image_writer(tmp_path):
+    """Pooled writes are byte-identical to serial save_image; worker errors
+    re-raise on close instead of vanishing in the pool."""
+    import pytest
+
+    from littlegan_tpu.utils.image import BatchImageWriter, save_image
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(-1, 1, size=(12, 8, 8, 3)).astype(np.float32)
+    with BatchImageWriter(workers=3, max_pending=4) as w:
+        for i in range(12):
+            w.save(imgs[i], str(tmp_path / f"pooled{i}.jpg"))
+    for i in range(12):
+        serial = tmp_path / f"serial{i}.jpg"
+        save_image(imgs[i], str(serial))
+        assert serial.read_bytes() == (tmp_path / f"pooled{i}.jpg").read_bytes()
+
+    w2 = BatchImageWriter(workers=2)
+    w2.save(imgs[0], str(tmp_path / "no_such_dir" / "x.jpg"))
+    with pytest.raises(FileNotFoundError):
+        w2.close()

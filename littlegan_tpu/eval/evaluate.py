@@ -106,14 +106,16 @@ def _featurizer(cfg: Config, params=None):
             # the DP wrapper keeps its own single-slot replicated-placement
             # cache keyed on tree identity — hand it the raw tree
             return lambda imgs: call(params, imgs)
-        # single-slot device cache keyed on object identity: a per-epoch
-        # eval loop reusing one tree must not re-upload it each call, and a
-        # fresh tree per epoch must not accumulate pinned device arrays
-        # (the old entry is dropped). Callers must NOT mutate leaves of a
-        # cached tree in place — pass a new tree instead.
+        # single-slot device cache: a per-epoch eval loop reusing one tree
+        # must not re-upload it each call, and a fresh tree per epoch must
+        # not accumulate pinned device arrays (the old entry is dropped).
+        # Holds a STRONG reference and compares identity with `is` — a bare
+        # id() key would let CPython reuse a dead tree's address for the
+        # next epoch's tree and silently serve the OLD weights. Callers
+        # must NOT mutate leaves of a cached tree in place.
         cached = _FEAT_FN_CACHE.get("<params>")
-        if cached is None or cached[0] != id(params):
-            cached = (id(params), jax.device_put(params))
+        if cached is None or cached[0] is not params:
+            cached = (params, jax.device_put(params))
             _FEAT_FN_CACHE["<params>"] = cached
         dev_params = cached[1]
         return lambda imgs: call(dev_params, imgs)

@@ -45,10 +45,11 @@ def data_parallel_infer(fn: Callable, n_batch_args: int, mesh=None) -> Callable:
     - every batch argument shards ``P('data')`` on axis 0 (zero-padded up to
       the next device-count multiple; outputs are sliced back),
     - ``params`` replicates, device-put ONCE per tree (single-slot cache
-      keyed on object identity — the evaluate/evaluate-sample loops reuse
-      one restored tree across thousands of calls; a fresh tree evicts the
-      old entry so trees never accumulate in HBM. Callers must not mutate a
-      cached tree's leaves in place),
+      holding a STRONG reference to the host tree and comparing identity
+      with ``is`` — caching a bare ``id()`` would let CPython reuse the
+      freed address for a different tree and silently serve stale weights;
+      a fresh tree evicts the old entry so trees never accumulate in HBM.
+      Callers must not mutate a cached tree's leaves in place),
     - every output leaf must carry the batch on axis 0 (true for the
       generator/discriminator/adjuster applies and the Inception featurizer).
 
@@ -66,8 +67,8 @@ def data_parallel_infer(fn: Callable, n_batch_args: int, mesh=None) -> Callable:
         if len(batch_args) != n_batch_args:
             raise TypeError(f"expected {n_batch_args} batch args, got {len(batch_args)}")
         cached = cache.get("<params>")
-        if cached is None or cached[0] != id(params):
-            cached = (id(params), jax.device_put(params, rep))
+        if cached is None or cached[0] is not params:
+            cached = (params, jax.device_put(params, rep))
             cache["<params>"] = cached
         rows = batch_args[0].shape[0]
         target = max(math.ceil(rows / n) * n, n)

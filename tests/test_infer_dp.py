@@ -125,3 +125,19 @@ def test_trainer_wiring(tiny_cfg, tmp_path):
     tr_1d.state = tr_dp.state
     g_1d = tr_1d.generate(noise, cond)
     np.testing.assert_allclose(g_dp, g_1d, rtol=2e-5, atol=2e-5)
+
+
+def test_dp_params_cache_tracks_tree_changes(tiny_cfg):
+    """Swapping in a different tree must never serve the previous tree's
+    weights (the cache holds the host tree and compares identity — a bare
+    id() key could collide after garbage collection)."""
+    gen_fn = lambda p, n, c: generator_apply(p, n, c, tiny_cfg).astype(jnp.float32)
+    dp = data_parallel_infer(gen_fn, 2)
+    rng = np.random.default_rng(7)
+    noise = rng.normal(size=(8, tiny_cfg.noise_dim)).astype(np.float32)
+    cond = rng.uniform(-1, 1, size=(8, tiny_cfg.cond_dim)).astype(np.float32)
+    for seed in (0, 1, 0, 2):  # incl. returning to an earlier tree
+        params = init_params(tiny_cfg, jax.random.PRNGKey(seed))
+        out = np.asarray(dp(params, noise, cond))
+        ref = np.asarray(jax.jit(gen_fn)(params, noise, cond))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)

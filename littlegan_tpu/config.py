@@ -243,6 +243,11 @@ class Config:
     # value-equivalent to single-device; single-process only. Off = always
     # single-device inference.
     eval_data_parallel: bool = True
+    # Log the freq_test predict grids (test/gen, test/adj) as TensorBoard
+    # image summaries too (utils/tensorboard.py::SummaryWriter.image) —
+    # beyond the reference's scalar-only logging. PNG-encoded; the cadence
+    # is rare, so event-file growth is modest.
+    tb_images: bool = True
 
     # unknown keys from user env files are preserved here for provenance
     extra: Dict[str, Any] = field(default_factory=dict)

@@ -123,6 +123,7 @@ class Trainer:
         self._interrupt_requested = False  # set by the SIGINT handler; acted
         # on at train-loop safe points (_request_interrupt)
         self._nonfinite_warned = False  # one divergence warning per run
+        self._in_train = False  # predict() logs TB images only mid-training
         self._store_s2d = False  # store layout, set at upload
 
         n_dev = len(jax.devices())
@@ -677,6 +678,7 @@ class Trainer:
         cfg = self.cfg
         assert self.dataset is not None, "train mode needs a dataset"
         self._interrupt_requested = False
+        self._in_train = True  # predict cadences log TB images (tb_images)
         prev_handler = signal.signal(signal.SIGINT, self._request_interrupt)
         self._metrics_buffer = []  # (step, device metrics) — flushed lazily,
         metrics_buffer = self._metrics_buffer  # shared with _save_interrupt
@@ -966,6 +968,7 @@ class Trainer:
                     self.checkpointer.wait()
                     epoch_callback(epoch)
         finally:
+            self._in_train = False
             if profiling:
                 jax.profiler.stop_trace()
             signal.signal(signal.SIGINT, prev_handler)
@@ -1097,6 +1100,21 @@ class Trainer:
             if adj_image_save_path and write:
                 save_image(
                     np.concatenate([adj_real_image, adj_fake_image], axis=0), adj_image_save_path
+                )
+        # TB image summaries (beyond-reference): the same grids the test
+        # cadence writes to disk, under TensorBoard's Images tab. Only
+        # inside a training run — predict() from the sampling modes must
+        # not create an event file.
+        if cfg.tb_images and self._in_train and write:
+            from littlegan_tpu.utils.image import inverse_rescale, to_grid
+
+            u8_grid = lambda b: to_grid(inverse_rescale(np.asarray(b)).astype(np.uint8))
+            self.writer.image("test/gen", u8_grid(gen_image), self.global_step)
+            if adj_real_image is not None:
+                self.writer.image(
+                    "test/adj",
+                    u8_grid(np.concatenate([adj_real_image, adj_fake_image], axis=0)),
+                    self.global_step,
                 )
         return np.asarray(gen_image), save, adj_real_image, adj_fake_image
 

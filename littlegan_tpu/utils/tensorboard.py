@@ -9,7 +9,11 @@ TensorBoard can read our logs without TensorFlow being installed here.
 Wire format implemented:
 - TFRecord: u64 length | u32 masked_crc(length) | payload | u32 masked_crc(payload)
 - Event proto: wall_time(1,double) step(2,int64) file_version(3,string)
-  summary(5,msg); Summary { Value { tag(1,string) simple_value(2,float) } }
+  summary(5,msg); Summary { Value { tag(1,string) simple_value(2,float)
+  image(4,msg) } }; Summary.Image { height(1) width(2) colorspace(3)
+  encoded_image_string(4,bytes) } — the legacy image summary, which
+  TensorBoard's image plugin still migrates and renders (beyond the
+  reference, which logs scalars only — eager_trainer.py:203-207).
 """
 
 from __future__ import annotations
@@ -76,6 +80,16 @@ def _encode_value(tag: str, value: float) -> bytes:
     return body
 
 
+def _encode_image_value(tag: str, height: int, width: int, colorspace: int, png: bytes) -> bytes:
+    img = (
+        _key(1, 0) + _varint(height)
+        + _key(2, 0) + _varint(width)
+        + _key(3, 0) + _varint(colorspace)
+        + _len_delim(4, png)
+    )
+    return _len_delim(1, tag.encode()) + _len_delim(4, img)
+
+
 def _encode_event(
     wall_time: float,
     step: int,
@@ -120,6 +134,30 @@ class SummaryWriter:
         pairs = [(t, float(v)) for t, v in pairs]
         if pairs:
             self._record(_encode_event(time.time(), step, pairs))
+
+    def image(self, tag: str, array, step: int) -> None:
+        """Log an HWC uint8 image (C in {1, 3, 4}) under TB's Images tab.
+
+        PNG-encoded (lossless; TB accepts any format PIL writes). [-1,1]
+        float batches should go through utils/image.py rescaling first —
+        this method takes display-ready uint8 pixels.
+        """
+        import io
+
+        import numpy as np
+        from PIL import Image  # local import, same policy as utils/image.py
+
+        arr = np.asarray(array)
+        if arr.ndim != 3 or arr.dtype != np.uint8 or arr.shape[2] not in (1, 3, 4):
+            raise ValueError(f"need HWC uint8 with 1/3/4 channels, got {arr.dtype} {arr.shape}")
+        mode = {1: "L", 3: "RGB", 4: "RGBA"}[arr.shape[2]]
+        buf = io.BytesIO()
+        Image.fromarray(arr[:, :, 0] if mode == "L" else arr, mode).save(buf, format="PNG")
+        value = _encode_image_value(tag, arr.shape[0], arr.shape[1], arr.shape[2], buf.getvalue())
+        ev = _key(1, 1) + struct.pack("<d", time.time())
+        ev += _key(2, 0) + _varint(step & 0xFFFFFFFFFFFFFFFF)
+        ev += _len_delim(5, _len_delim(1, value))
+        self._record(ev)
 
     def flush(self) -> None:
         os.fsync(self._f.fileno())

@@ -941,3 +941,38 @@ def test_multihost_without_mesh_or_slicing_refused(tiny_cfg, tmp_path, monkeypat
     ds_b = SyntheticDataset(cfg_b, num_items=8 * cfg_b.batch_size)
     with pytest.raises(ValueError, match="row slicing"):
         Trainer(cfg_b, _NoSlice(ds_b))
+
+
+def test_predict_logs_tb_images(run_cfg, tmp_path):
+    """The freq_test predict cadence logs test/gen (and test/adj) image
+    summaries when training opened the writer; sampling-mode predicts (no
+    writer yet) must NOT create an event file; tb_images=false disables."""
+    from littlegan_tpu.data.synthetic import SyntheticDataset
+
+    cfg = run_cfg.replace(epoch=1, freq_test=2, tb_images=True)
+    # one step consumes TWO batches (reference semantics): 32 items -> 4 steps
+    tr = Trainer(cfg, SyntheticDataset(cfg, num_items=32))
+    tr.train()
+    log_dir = os.path.join(cfg.result_dir, "log")
+    (fname,) = [f for f in os.listdir(log_dir) if f.startswith("events")]
+    data = open(os.path.join(log_dir, fname), "rb").read()
+    # legacy Summary.Image events carry a PNG: magic bytes must appear
+    assert b"\x89PNG\r\n\x1a\n" in data
+    assert b"test/gen" in data
+    assert (b"test/adj" in data) == cfg.train_adj
+
+    # no-writer predict (sampling modes) creates no event file
+    cfg2 = cfg.replace(exp_name="tbi2", reuse=True, restore=False)
+    tr2 = Trainer(cfg2, None)
+    tr2.predict(tr2.test_noise, tr2.test_cond, tr2.test_image)
+    assert not os.path.isdir(os.path.join(cfg2.result_dir, "log")) or not os.listdir(
+        os.path.join(cfg2.result_dir, "log")
+    )
+
+    # tb_images=false: scalars still flow, no PNG records
+    cfg3 = cfg.replace(exp_name="tbi3", tb_images=False, restore=False)
+    tr3 = Trainer(cfg3, SyntheticDataset(cfg3, num_items=32))
+    tr3.train()
+    log3 = os.path.join(cfg3.result_dir, "log")
+    (f3,) = [f for f in os.listdir(log3) if f.startswith("events")]
+    assert b"\x89PNG\r\n\x1a\n" not in open(os.path.join(log3, f3), "rb").read()

@@ -30,6 +30,7 @@ training loop:
 from __future__ import annotations
 
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from glob import glob
 from typing import Iterator, List, Optional, Sequence, Tuple
@@ -147,7 +148,10 @@ class CelebA:
         self.rows_per_batch = cfg.batch_size
         self.batches = (global_items // shard_count) // cfg.batch_size
         self.decoded_rows = 0  # observability: total rows decoded (tests
-        # assert the multi-host path decodes only its devices' rows)
+        # assert the multi-host path decodes only its devices' rows).
+        # Incremented from prefetch POOL THREADS — guarded by a lock: a bare
+        # += is a read-modify-write the GIL can interleave, losing counts.
+        self._decoded_lock = threading.Lock()
         self.all_label = list(CELEBA_ATTR_NAMES)
         self.label = [CELEBA_ATTR_NAMES[i] for i in cfg.attr]
         self._decoder = self._pick_decoder()
@@ -180,7 +184,8 @@ class CelebA:
         return lambda paths: np.stack([_decode_pil(p, dim, ch) for p in paths])
 
     def _load_batch(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        self.decoded_rows += len(idx)
+        with self._decoded_lock:
+            self.decoded_rows += len(idx)
         if self._cache is not None:
             missing = [int(i) for i in idx if int(i) not in self._cache]
             if missing:

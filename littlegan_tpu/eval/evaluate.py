@@ -89,7 +89,7 @@ def _feat_call(cfg: Config):
 
     if cfg.eval_data_parallel and infer_mesh_devices() > 1:
         if _DP_FEAT is None:
-            _DP_FEAT = data_parallel_infer(_feat_fn_raw, 1)
+            _DP_FEAT = data_parallel_infer(_feat_fn_raw, 1, cfg=cfg)
         return _DP_FEAT
     if _FEAT_JIT is None:
         _FEAT_JIT = jax.jit(_feat_fn_raw)

@@ -39,7 +39,7 @@ def pad_rows(arr, target: int):
     return np.concatenate([arr, np.zeros((pad, *arr.shape[1:]), arr.dtype)])
 
 
-def data_parallel_infer(fn: Callable, n_batch_args: int, mesh=None) -> Callable:
+def data_parallel_infer(fn: Callable, n_batch_args: int, mesh=None, cfg=None) -> Callable:
     """Wrap ``fn(params, *batch_args)`` to shard batches over the devices.
 
     - every batch argument shards ``P('data')`` on axis 0 (zero-padded up to
@@ -56,11 +56,20 @@ def data_parallel_infer(fn: Callable, n_batch_args: int, mesh=None) -> Callable:
     With one device (or multi-host) this wrapper is never built — callers
     gate on ``infer_mesh_devices() > 1``.
     """
+    from littlegan_tpu.utils.jax_cache import tpu_compiler_options
+
     mesh = mesh if mesh is not None else make_mesh(axis_names=("data",))
     n = int(np.prod(mesh.devices.shape))
     rep = NamedSharding(mesh, P())
     row = NamedSharding(mesh, P("data"))
-    jfn = jax.jit(fn, in_shardings=(rep,) + (row,) * n_batch_args, out_shardings=row)
+    jfn = jax.jit(
+        fn,
+        in_shardings=(rep,) + (row,) * n_batch_args,
+        out_shardings=row,
+        # per-jit options are the ONLY channel to the tunneled TPU backend
+        # (XLA_FLAGS does not reach it) — same policy as every other jit
+        compiler_options=tpu_compiler_options(cfg),
+    )
     cache: dict = {}
 
     def wrapped(params, *batch_args):

@@ -311,9 +311,9 @@ class Trainer:
             # offline tools (evaluate-sample's 30k images, predict, sampling
             # modes) shard their batches over all local chips; row-wise DP of
             # the pure forwards is value-equivalent (parallel/infer.py)
-            self._gen_jit = data_parallel_infer(gen_fn, 2)
-            self._disc_jit = data_parallel_infer(disc_fn, 1)
-            self._adj_jit = data_parallel_infer(adj_fn, 2)
+            self._gen_jit = data_parallel_infer(gen_fn, 2, cfg=cfg)
+            self._disc_jit = data_parallel_infer(disc_fn, 1, cfg=cfg)
+            self._adj_jit = data_parallel_infer(adj_fn, 2, cfg=cfg)
         else:
             self._gen_jit = jax.jit(gen_fn)
             self._disc_jit = jax.jit(disc_fn)

@@ -340,3 +340,136 @@ def test_serving_restores_ema_weights_from_train_checkpoint(tiny_cfg, tmp_path):
     want = eval_params(state)
     got_leaf = np.asarray(engine.params["out_conv"]["kernel"])
     np.testing.assert_array_equal(got_leaf, np.asarray(want["out_conv"]["kernel"]))
+
+
+# ----------------------------------------------------------- /metrics ----
+
+
+def test_server_metrics_render_unit():
+    """ServerMetrics bucket semantics: latency histograms are cumulative
+    (a 3 ms request lands in le=5 and every wider bucket, not le=2.5);
+    batch-fill histograms bucket by rows-per-dispatch."""
+    from littlegan_tpu.serving import ServerMetrics
+
+    m = ServerMetrics(engine_batch=4)
+    m.request_started(); m.request_finished("generate", 200, 3.0)
+    m.request_started(); m.request_finished("generate", 200, 30.0)
+    m.request_started(); m.request_finished("generate", 400, 0.5)
+    m.batch_dispatched("generate", 1)
+    m.batch_dispatched("generate", 4)
+    text = m.render()
+    assert 'littlegan_requests_total{endpoint="generate",code="200"} 2' in text
+    assert 'littlegan_requests_total{endpoint="generate",code="400"} 1' in text
+    # cumulative latency buckets: 0.5 -> le=1; 3.0 -> le=5; 30.0 -> le=50
+    assert 'littlegan_request_latency_ms_bucket{endpoint="generate",le="1"} 1' in text
+    assert 'littlegan_request_latency_ms_bucket{endpoint="generate",le="5"} 2' in text
+    assert 'littlegan_request_latency_ms_bucket{endpoint="generate",le="50"} 3' in text
+    assert 'littlegan_request_latency_ms_bucket{endpoint="generate",le="+Inf"} 3' in text
+    assert 'littlegan_request_latency_ms_count{endpoint="generate"} 3' in text
+    # batch fill: one 1-row dispatch, one full 4-row dispatch
+    assert 'littlegan_batch_fill_bucket{endpoint="generate",le="1"} 1' in text
+    assert 'littlegan_batch_fill_bucket{endpoint="generate",le="4"} 2' in text
+    assert 'littlegan_batch_rows_total{endpoint="generate"} 5' in text
+    assert 'littlegan_batch_dispatches_total{endpoint="generate"} 2' in text
+    assert "littlegan_inflight_requests 0" in text
+    assert "littlegan_engine_batch 4" in text
+
+
+def test_http_metrics_endpoint(engine):
+    """GET /metrics returns Prometheus text reflecting served requests."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from littlegan_tpu.serving import ServerMetrics, close_batchers, make_batchers, make_handler
+
+    metrics = ServerMetrics(engine.batch)
+    batchers = make_batchers(engine, max_wait_ms=30.0, metrics=metrics)
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(engine, batchers, metrics)
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}"
+        status, out = _post(url + "/generate", {"cond": [[0.98] * engine.cfg.cond_dim], "seed": 7})
+        assert status == 200
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):  # 400 must be counted too
+            _post(url + "/generate", {"wrong": 1})
+        with urllib.request.urlopen(url + "/metrics") as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert 'littlegan_requests_total{endpoint="generate",code="200"} 1' in text
+        assert 'littlegan_requests_total{endpoint="generate",code="400"} 1' in text
+        assert 'littlegan_request_latency_ms_count{endpoint="generate"} 2' in text
+        # the single-row generate rode the batcher: one 1-row dispatch
+        assert 'littlegan_batch_dispatches_total{endpoint="generate"} 1' in text
+        assert 'littlegan_batch_rows_total{endpoint="generate"} 1' in text
+        assert f"littlegan_engine_batch {engine.batch}" in text
+    finally:
+        server.shutdown()
+        close_batchers(batchers)
+
+
+def test_metrics_absent_without_wiring(http_server):
+    """The bare handler (no metrics object) keeps /metrics a 404 — the
+    endpoint never serves an empty scrape that hides a wiring mistake."""
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(http_server + "/metrics")
+    assert e.value.code == 404
+
+
+@pytest.mark.slow
+def test_serve_drains_on_sigterm(tmp_path):
+    """serve() under a real SIGTERM: stops accepting, closes batchers and
+    the socket, exits the serve_forever loop (production supervisor drain).
+    Fresh subprocess: signal handlers only install in a main thread."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    script = f"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import jax; jax.config.update("jax_platforms", "cpu")
+from littlegan_tpu.config import Config
+from littlegan_tpu.serving import serve
+cfg = Config(batch_size=2, image_dim=16, init_dim=1, noise_dim=13,
+             attr=[0,1,2,3,4,5,6], conv_filter=[24,16,12,8,4], kernel_size=5,
+             compute_dtype="float32", debug=True, restore=False,
+             all_result_dir={str(tmp_path / 'result')!r},
+             test_data_dir={str(tmp_path / 'td')!r})
+serve(cfg, host="127.0.0.1", port=0, batch_size=2, max_wait_ms=3.0)
+print("SERVE_RETURNED", flush=True)
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd="/root/repo",
+    )
+    try:
+        # wait for the server banner (engine AOT compile included)
+        deadline = _time.monotonic() + 240
+        lines = []
+        while _time.monotonic() < deadline:
+            line = proc.stdout.readline()
+            lines.append(line)
+            if "serving on" in line:
+                break
+        else:
+            raise AssertionError(f"server never came up: {lines}")
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert "drained, socket closed" in out, out
+    assert "SERVE_RETURNED" in out, out
+    assert proc.returncode == 0

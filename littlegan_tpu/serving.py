@@ -12,6 +12,8 @@ demo site; nothing in-repo). Here serving is first-class:
     POST /generate      {"cond": [[...7 floats...], ...], "noise": optional}
     POST /adjust        {"image_b64": <png/jpeg base64>, "cond": [[...]]}
     POST /discriminate  {"image_b64": ...}
+    GET  /              (built-in demo UI — attribute toggles, image upload;
+                         the reference only LINKS an external demo site)
     GET  /healthz
     GET  /metrics       (Prometheus text exposition)
   Responses carry base64 JPEG images. The device is the serial resource:
@@ -23,7 +25,10 @@ Production operability: per-endpoint request counters (by status code),
 latency histograms, dynamic-batch fill histograms, and an in-flight gauge
 are exported at ``/metrics`` in the Prometheus text format (no client
 library needed — the format is five line shapes); ``serve()`` drains
-cleanly on SIGTERM/SIGINT (stop accepting, close batchers, close socket).
+cleanly on SIGTERM/SIGINT (stop accepting, close batchers, close socket)
+and can hot-reload newly saved checkpoints without a restart
+(``--reload-every``; the AOT programs take params as an argument, so a
+swap is restore + device_put + one atomic attribute assignment).
 """
 
 from __future__ import annotations
@@ -59,6 +64,11 @@ class InferenceEngine:
             params = self._load_params(cfg)
         self.params = jax.device_put(params)
 
+        # hot-reload bookkeeping: remember which checkpoint the served
+        # weights came from (or would have come from, for explicit params)
+        # so maybe_reload() only acts on genuinely NEW checkpoints
+        self._ckpt_token = self._latest_checkpoint(cfg) if cfg.restore else None
+
         b, nd, cd = self.batch, cfg.noise_dim, cfg.cond_dim
         img_shape = (b, cfg.image_dim, cfg.image_dim, cfg.image_channel)
         # public API contract: f32 images in [-1,1] (the model emits its
@@ -73,6 +83,39 @@ class InferenceEngine:
         )
         self._adj = jax.jit(adj).lower(self.params, zeros(img_shape), zeros((b, cd))).compile()
         self._disc = jax.jit(disc).lower(self.params, zeros(img_shape)).compile()
+
+    @staticmethod
+    def _latest_checkpoint(cfg: Config):
+        """(subdir, tag, fingerprint) of the checkpoint ``_load_params`` would
+        restore right now, or None. Same probe order as ``_load_params``
+        (weights-only export dir first) so the reload token always tracks
+        what a load would actually pick up."""
+        from littlegan_tpu.training.checkpoint import make_checkpointer
+
+        for sub in ("model", "checkpoint"):
+            ck = make_checkpointer(cfg, os.path.join(cfg.result_dir, sub))
+            tag = ck.latest_tag()
+            if tag is not None:
+                return (sub, tag, ck.tag_fingerprint(tag))
+        return None
+
+    def maybe_reload(self) -> Optional[str]:
+        """Swap in the latest checkpoint's weights if it changed since the
+        served ones were loaded; returns the new tag, or None when current.
+
+        The AOT executables take params as an ARGUMENT (same tree structure,
+        same shapes), so a reload is one restore + device_put + atomic
+        attribute swap — no recompile, and in-flight requests finish on the
+        weights they started with. Never reloads for ``restore=false``
+        engines (an explicit fresh-init serve must stay fresh-init)."""
+        if not self.cfg.restore:
+            return None
+        token = self._latest_checkpoint(self.cfg)
+        if token is None or token == self._ckpt_token:
+            return None
+        self.params = jax.device_put(self._load_params(self.cfg))
+        self._ckpt_token = token
+        return f"{token[0]}/{token[1]}"
 
     @staticmethod
     def _load_params(cfg: Config):
@@ -194,8 +237,17 @@ class ServerMetrics:
         self._batch_dispatches: Dict[str, int] = {}
         self._batch_fill: Dict[str, List[int]] = {}  # endpoint -> count per fill 1..B
         self._inflight = 0
+        self._ckpt_reloads = 0
+        self._ckpt_tag = ""  # currently-served checkpoint (subdir/tag)
         self.engine_batch = engine_batch
         self._start = time.time() if start_time is None else start_time
+
+    def checkpoint_loaded(self, tag: str, reload: bool = True) -> None:
+        """Record the served checkpoint tag (and count hot reloads)."""
+        with self._lock:
+            self._ckpt_tag = tag
+            if reload:
+                self._ckpt_reloads += 1
 
     def request_started(self) -> None:
         with self._lock:
@@ -292,7 +344,16 @@ class ServerMetrics:
                 "# HELP littlegan_uptime_seconds seconds since the server started",
                 "# TYPE littlegan_uptime_seconds gauge",
                 f"littlegan_uptime_seconds {time.time() - self._start:.1f}",
+                "# HELP littlegan_checkpoint_reloads_total hot checkpoint reloads since start",
+                "# TYPE littlegan_checkpoint_reloads_total counter",
+                f"littlegan_checkpoint_reloads_total {self._ckpt_reloads}",
             ]
+            if self._ckpt_tag:
+                lines += [
+                    "# HELP littlegan_checkpoint_info currently-served checkpoint (info gauge)",
+                    "# TYPE littlegan_checkpoint_info gauge",
+                    f'littlegan_checkpoint_info{{tag="{self._ckpt_tag}"}} 1',
+                ]
         return "\n".join(lines) + "\n"
 
 
@@ -459,6 +520,61 @@ def close_batchers(batchers: Optional[Dict[str, DynamicBatcher]]) -> None:
 # ------------------------------------------------------------- http layer ----
 
 
+def _demo_page(cfg: Config, batch: int) -> str:
+    """Self-contained demo UI (GET /): attribute toggles -> /generate, image
+    upload + toggles -> /adjust, upload -> /discriminate. The reference README
+    links an external live demo (README.md:2-7); here the demo ships with the
+    server — zero dependencies, one HTML string. Cond values use the training
+    targets soft(+1)=0.98 / soft(-1)=-0.94 (utils.py:47-48 semantics), the
+    same convention predict/interpolate feed the adjuster."""
+    from littlegan_tpu.data import CELEBA_ATTR_NAMES
+
+    names = [
+        CELEBA_ATTR_NAMES[i] if 0 <= i < len(CELEBA_ATTR_NAMES) else f"attr{i}"
+        for i in cfg.attr
+    ]
+    boxes = "".join(
+        f'<label class="a"><input type="checkbox" class="attr" data-i="{i}">{n}</label>'
+        for i, n in enumerate(names)
+    )
+    return f"""<!doctype html><html><head><meta charset="utf-8">
+<title>littlegan-tpu demo</title><style>
+body{{font-family:system-ui,sans-serif;max-width:720px;margin:2em auto;padding:0 1em}}
+.a{{display:inline-block;margin:.2em .6em .2em 0;white-space:nowrap}}
+img{{image-rendering:auto;border:1px solid #ccc;margin:.5em .5em 0 0;max-width:256px}}
+button{{margin:.4em .4em 0 0;padding:.4em 1em}}section{{margin-top:1.5em}}
+pre{{background:#f4f4f4;padding:.6em;overflow-x:auto}}</style></head><body>
+<h1>littlegan-tpu</h1>
+<p>Conditional face generation + attribute adjustment, served from one TPU
+AOT program per endpoint (batch {batch}).</p>
+<div>{boxes}</div>
+<section><h3>Generate</h3>
+<label>seed <input id="seed" type="number" placeholder="random"></label>
+<button onclick="gen()">generate</button><div id="gout"></div></section>
+<section><h3>Adjust / Discriminate</h3>
+<input id="file" type="file" accept="image/*">
+<button onclick="adj()">adjust to attrs</button>
+<button onclick="disc()">discriminate</button>
+<div id="aout"></div><pre id="dout" hidden></pre></section>
+<script>
+const ON=0.98, OFF=-0.94;
+function cond(){{return [...document.querySelectorAll('.attr')].map(b=>b.checked?ON:OFF);}}
+async function post(p,b){{const r=await fetch(p,{{method:'POST',body:JSON.stringify(b)}});
+  const j=await r.json(); if(!r.ok) throw new Error(j.error||r.status); return j;}}
+function show(el,j){{el.innerHTML=j.images.map(b=>`<img src="data:image/jpeg;base64,${{b}}">`).join('')
+  +`<div>${{j.latency_ms}} ms</div>`;}}
+async function gen(){{const b={{cond:[cond()]}};const s=document.getElementById('seed').value;
+  if(s!=='')b.seed=+s; try{{show(gout,await post('/generate',b));}}catch(e){{gout.textContent=e;}}}}
+function fileB64(){{return new Promise((ok,no)=>{{const f=document.getElementById('file').files[0];
+  if(!f)return no(new Error('choose an image first'));const r=new FileReader();
+  r.onload=()=>ok(r.result.split(',')[1]);r.onerror=no;r.readAsDataURL(f);}});}}
+async function adj(){{try{{show(aout,await post('/adjust',{{image_b64:await fileB64(),cond:[cond()]}}));}}
+  catch(e){{aout.textContent=e;}}}}
+async function disc(){{try{{const j=await post('/discriminate',{{image_b64:await fileB64()}});
+  dout.hidden=false;dout.textContent=JSON.stringify(j,null,1);}}catch(e){{dout.hidden=false;dout.textContent=e;}}}}
+</script></body></html>"""
+
+
 def _img_to_b64(img_pm1: np.ndarray) -> str:
     from PIL import Image
 
@@ -510,7 +626,15 @@ def make_handler(
             pass
 
         def do_GET(self):
-            if self.path == "/healthz":
+            if self.path in ("/", "/index.html"):
+                body = _demo_page(engine.cfg, engine.batch).encode()
+                self._last_code = 200
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/healthz":
                 self._reply(200, {"status": "ok", "batch": engine.batch})
             elif self.path == "/metrics" and metrics is not None:
                 body = metrics.render().encode()
@@ -612,19 +736,44 @@ def serve(
     port: int = 8600,
     batch_size: int = 8,
     max_wait_ms: float = 3.0,
+    reload_every_s: float = 0.0,
 ):
     """Threaded HTTP server with cross-request dynamic batching on all three
     entry points (``max_wait_ms <= 0`` disables the batchers: serial
-    per-request calls), Prometheus ``/metrics``, and graceful SIGTERM/SIGINT
-    drain (stop accepting, fail queued batcher slots fast, close the socket
-    — a production supervisor's TERM must not RST in-flight connections)."""
+    per-request calls), Prometheus ``/metrics``, a built-in demo UI at ``/``,
+    graceful SIGTERM/SIGINT drain (stop accepting, fail queued batcher slots
+    fast, close the socket — a production supervisor's TERM must not RST
+    in-flight connections), and optional checkpoint hot-reload
+    (``reload_every_s > 0``: poll the experiment's checkpoint dirs and swap
+    newly-exported weights in without a restart or recompile — serve next to
+    a live training run and it tracks the latest epoch)."""
     import signal
     from http.server import ThreadingHTTPServer
 
     engine = InferenceEngine(cfg, batch_size=batch_size)
     metrics = ServerMetrics(engine.batch)
+    if engine._ckpt_token is not None:
+        metrics.checkpoint_loaded(
+            f"{engine._ckpt_token[0]}/{engine._ckpt_token[1]}", reload=False
+        )
     batchers = make_batchers(engine, max_wait_ms, metrics) if max_wait_ms > 0 else None
     server = ThreadingHTTPServer((host, port), make_handler(engine, batchers, metrics))
+
+    stop_reload = threading.Event()
+    if reload_every_s > 0:
+
+        def _reloader():
+            while not stop_reload.wait(reload_every_s):
+                try:
+                    tag = engine.maybe_reload()
+                except Exception as e:  # a half-written ckpt must not kill serving
+                    print(f"littlegan-tpu-serve: reload failed ({type(e).__name__}: {e})")
+                    continue
+                if tag is not None:
+                    metrics.checkpoint_loaded(tag)
+                    print(f"littlegan-tpu-serve: hot-reloaded checkpoint {tag}")
+
+        threading.Thread(target=_reloader, daemon=True, name="lg-ckpt-reload").start()
 
     def _drain(signum, frame):
         print(f"littlegan-tpu-serve: signal {signum} — draining")
@@ -642,6 +791,7 @@ def serve(
     try:
         server.serve_forever()
     finally:
+        stop_reload.set()
         for s, h in old_handlers.items():
             signal.signal(s, h)
         close_batchers(batchers)
@@ -661,6 +811,11 @@ def main(argv=None) -> int:
         "--max-wait-ms", type=float, default=3.0,
         help="dynamic-batching window; <=0 disables cross-request batching",
     )
+    p.add_argument(
+        "--reload-every", type=float, default=0.0, metavar="SECONDS",
+        help="poll the checkpoint dirs and hot-swap newly saved weights "
+        "(0 disables; serve next to a training run to track epochs)",
+    )
     args = p.parse_args(argv)
     from littlegan_tpu.config import load_config
     from littlegan_tpu.utils.backend_probe import ensure_live_backend_or_exit
@@ -670,7 +825,13 @@ def main(argv=None) -> int:
     enable_compilation_cache()
 
     cfg = load_config(args.env, {"exp_name": args.exp_name, "mode": "serve"})
-    serve(cfg, port=args.port, batch_size=args.batch, max_wait_ms=args.max_wait_ms)
+    serve(
+        cfg,
+        port=args.port,
+        batch_size=args.batch,
+        max_wait_ms=args.max_wait_ms,
+        reload_every_s=args.reload_every,
+    )
     return 0
 
 

@@ -107,6 +107,15 @@ class Checkpointer:
             flat = {k: z[k] for k in z.files}
         return _unflatten(template, flat)
 
+    def tag_fingerprint(self, tag: str) -> Optional[float]:
+        """Opaque change token for ``tag`` (mtime): lets a poller (serving
+        hot-reload) notice an OVERWRITTEN same-tag checkpoint — re-running
+        ``export-model`` always rewrites the fixed tag 'model'."""
+        try:
+            return os.path.getmtime(self._path(str(tag)))
+        except OSError:
+            return None
+
     def epoch_tags(self) -> list:
         """Numeric (epoch) tags, ascending — the prunable set."""
         tags = []
@@ -226,6 +235,13 @@ class OrbaxCheckpointer:
             if m and os.path.isdir(os.path.join(self.directory, fn)):
                 tags[m.group(1)] = os.path.getmtime(os.path.join(self.directory, fn))
         return max(tags, key=lambda t: tags[t]) if tags else None
+
+    def tag_fingerprint(self, tag: str) -> Optional[float]:
+        """Opaque change token (checkpoint-dir mtime); see Checkpointer."""
+        try:
+            return os.path.getmtime(self._path(str(tag)))
+        except OSError:
+            return None
 
     def restore_latest(self, template) -> Tuple[Optional[Any], Dict[str, Any]]:
         tag = self.latest_tag()

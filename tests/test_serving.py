@@ -473,3 +473,127 @@ print("SERVE_RETURNED", flush=True)
     assert "drained, socket closed" in out, out
     assert "SERVE_RETURNED" in out, out
     assert proc.returncode == 0
+
+
+# ----------------------------------------------- hot reload + demo page ----
+
+
+def _reload_cfg(tiny_cfg, tmp_path, **kw):
+    kw.setdefault("restore", True)
+    return tiny_cfg.replace(
+        exp_name="hotreload",
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "td"),
+        **kw,
+    )
+
+
+def test_hot_reload_swaps_new_checkpoint(tiny_cfg, tmp_path):
+    """A new checkpoint tag appearing after engine start swaps the served
+    weights in place — same AOT programs, new outputs."""
+    import os
+
+    import jax
+
+    from littlegan_tpu.models import init_params
+    from littlegan_tpu.training.checkpoint import make_checkpointer
+
+    cfg = _reload_cfg(tiny_cfg, tmp_path)
+    ck = make_checkpointer(cfg, os.path.join(cfg.result_dir, "checkpoint"))
+    p1 = init_params(cfg, jax.random.PRNGKey(1))
+    ck.save("1", p1)
+    engine = InferenceEngine(cfg, batch_size=2)
+    cond = np.zeros((1, cfg.cond_dim), np.float32)
+    out1 = engine.generate(cond, seed=0)
+    assert engine.maybe_reload() is None  # nothing new: no swap
+
+    p2 = init_params(cfg, jax.random.PRNGKey(2))
+    ck.save("2", p2)
+    assert engine.maybe_reload() == "checkpoint/2"
+    np.testing.assert_array_equal(
+        np.asarray(engine.params["out_conv"]["kernel"]),
+        np.asarray(p2["out_conv"]["kernel"]),
+    )
+    out2 = engine.generate(cond, seed=0)
+    assert not np.array_equal(out1, out2)  # same seed, new weights
+    assert engine.maybe_reload() is None  # idempotent until the next save
+
+
+def test_hot_reload_sees_same_tag_overwrite(tiny_cfg, tmp_path):
+    """Re-running export-model rewrites the FIXED tag 'model'; the mtime
+    fingerprint must catch the overwrite even though the tag is unchanged."""
+    import os
+    import time as _time
+
+    import jax
+
+    from littlegan_tpu.models import init_params
+    from littlegan_tpu.training.checkpoint import make_checkpointer
+
+    cfg = _reload_cfg(tiny_cfg, tmp_path)
+    ck = make_checkpointer(cfg, os.path.join(cfg.result_dir, "model"))
+    ck.save("model", init_params(cfg, jax.random.PRNGKey(1)))
+    engine = InferenceEngine(cfg, batch_size=2)
+    assert engine.maybe_reload() is None
+
+    p2 = init_params(cfg, jax.random.PRNGKey(2))
+    path = ck.save("model", p2)
+    # force a visible mtime change (same-second overwrites must still count)
+    st = os.stat(path)
+    os.utime(path, (st.st_atime, st.st_mtime + 2))
+    assert engine.maybe_reload() == "model/model"
+    np.testing.assert_array_equal(
+        np.asarray(engine.params["out_conv"]["kernel"]),
+        np.asarray(p2["out_conv"]["kernel"]),
+    )
+
+
+def test_hot_reload_refuses_fresh_init_engine(tiny_cfg, tmp_path):
+    """restore=false is an explicit fresh-init serve: a checkpoint appearing
+    later must NOT be picked up."""
+    import os
+
+    import jax
+
+    from littlegan_tpu.models import init_params
+    from littlegan_tpu.training.checkpoint import make_checkpointer
+
+    cfg = _reload_cfg(tiny_cfg, tmp_path, restore=False)
+    engine = InferenceEngine(cfg, batch_size=2)
+    before = np.asarray(engine.params["out_conv"]["kernel"]).copy()
+    make_checkpointer(cfg, os.path.join(cfg.result_dir, "checkpoint")).save(
+        "1", init_params(cfg, jax.random.PRNGKey(9))
+    )
+    assert engine.maybe_reload() is None
+    np.testing.assert_array_equal(
+        np.asarray(engine.params["out_conv"]["kernel"]), before
+    )
+
+
+def test_metrics_checkpoint_lines():
+    from littlegan_tpu.serving import ServerMetrics
+
+    m = ServerMetrics(engine_batch=4)
+    text = m.render()
+    assert "littlegan_checkpoint_reloads_total 0" in text
+    assert "littlegan_checkpoint_info" not in text  # no tag known yet
+    m.checkpoint_loaded("checkpoint/1", reload=False)  # startup load
+    m.checkpoint_loaded("checkpoint/2")  # hot reload
+    text = m.render()
+    assert "littlegan_checkpoint_reloads_total 1" in text
+    assert 'littlegan_checkpoint_info{tag="checkpoint/2"} 1' in text
+
+
+def test_demo_page_served(http_server, engine):
+    """GET / returns the built-in demo UI wired to the three endpoints."""
+    with urllib.request.urlopen(http_server + "/") as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        html = r.read().decode()
+    for needle in ("littlegan-tpu", "/generate", "/adjust", "/discriminate"):
+        assert needle in html
+    # one toggle per configured attribute, labeled with the CelebA name
+    from littlegan_tpu.data import CELEBA_ATTR_NAMES
+
+    assert html.count('class="attr"') == engine.cfg.cond_dim
+    assert CELEBA_ATTR_NAMES[engine.cfg.attr[0]] in html

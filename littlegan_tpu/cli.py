@@ -37,6 +37,13 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--epochs", type=int, default=None, dest="epoch")
     p.add_argument("--batch-size", type=int, default=None, dest="batch_size")
     p.add_argument("--synthetic-data", action="store_true", help="use the synthetic dataset")
+    # serve-mode knobs (ignored by every other mode; full set of serving
+    # options lives on `python -m littlegan_tpu.serving`)
+    p.add_argument("--port", type=int, default=8600, help="serve mode: HTTP port")
+    p.add_argument(
+        "--reload-every", type=float, default=0.0, dest="reload_every",
+        help="serve mode: poll + hot-swap new checkpoints every N seconds",
+    )
     return p
 
 
@@ -55,7 +62,7 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     overrides = {
         k: v
         for k, v in vars(args).items()
-        if v is not None and k not in ("synthetic_data", "gpu")
+        if v is not None and k not in ("synthetic_data", "gpu", "port", "reload_every")
     }
     overrides.pop("debug", None)
     cfg = load_config(args.env, overrides)
@@ -63,6 +70,9 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
         cfg = cfg.replace(debug=True)  # must not be clobbered by its absence
     if args.synthetic_data:
         cfg.extra["synthetic_data"] = True
+    if cfg.mode == "serve":  # serve-only knobs ride in extra (not Config fields)
+        cfg.extra.setdefault("serve_port", args.port)
+        cfg.extra.setdefault("serve_reload_every", args.reload_every)
     return cfg
 
 
@@ -325,6 +335,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         cfg = cfg.replace(reuse=True, restore=True)
         path = Trainer(cfg, None).export_model_checkpoint()
         print("Exported weights-only checkpoint to", path)
+
+    elif cfg.mode == "serve":  # beyond-reference: HTTP inference server
+        from littlegan_tpu.serving import serve
+
+        serve(
+            cfg.replace(restore=True),
+            port=int(cfg.extra.get("serve_port", 8600)),
+            batch_size=cfg.batch_size,
+            reload_every_s=float(cfg.extra.get("serve_reload_every", 0.0)),
+        )
 
     else:
         print("Unknown mode:", cfg.mode)

@@ -39,6 +39,9 @@ MODES = (
     # beyond the reference's 8 (main.py:12-13): latent slerp + per-attribute
     # adjuster sweep grids (cli.py)
     "interpolate",
+    # beyond-reference: HTTP inference server (littlegan_tpu/serving.py);
+    # also reachable directly as `python -m littlegan_tpu.serving`
+    "serve",
 )
 
 

@@ -123,6 +123,7 @@ class Trainer:
         self._interrupt_requested = False  # set by the SIGINT handler; acted
         # on at train-loop safe points (_request_interrupt)
         self._nonfinite_warned = False  # one divergence warning per run
+        self._pinned_tags: set = set()  # epoch tags exempt from retention
         self._in_train = False  # predict() logs TB images only mid-training
         self._store_s2d = False  # store layout, set at upload
 
@@ -986,7 +987,24 @@ class Trainer:
         if self._nonfinite_warned:
             return
         for tag in self.checkpointer.epoch_tags()[:-keep]:
+            if int(tag) in self._pinned_tags:
+                continue
             self.checkpointer.delete(tag)
+
+    def pin_checkpoint(self, tag) -> None:
+        """Exempt an epoch checkpoint from retention pruning.
+
+        For eval-driven callers (scripts/campaign.py's epoch_callback): with
+        ``keep_checkpoints`` small, the rolling window otherwise deletes the
+        best-metric epoch — the 512² campaign's best-FID epoch-90 checkpoint
+        was pruned before the final grids could be drawn (CAMPAIGN.md).
+        Pinning is per-Trainer state: a RESUMED run starts with no pins, so
+        callers re-pin from their recorded trajectory."""
+        self._pinned_tags.add(int(tag))
+
+    def unpin_checkpoint(self, tag) -> None:
+        """Drop a pin (the tag becomes prunable again at the NEXT rotation)."""
+        self._pinned_tags.discard(int(tag))
 
     @property
     def writer(self) -> SummaryWriter:

@@ -47,6 +47,11 @@ def main() -> int:
         help="micro-pairs per update (scan-accum path when >1; effective "
         "batch = grad_accum * batch_size)",
     )
+    p.add_argument(
+        "--fid-n", type=int, default=1024,
+        help="generated images per FID/IS/KID trend eval (smaller = cheaper "
+        "smoke runs; trend values are only comparable at equal --fid-n)",
+    )
     p.add_argument("--data", default="/tmp/structured_celeba")
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--n", type=int, default=6400)
@@ -194,8 +199,8 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     eval_noise = rng.normal(size=(64, cfg0.noise_dim)).astype(np.float32)
-    fid_noise = rng.normal(size=(1024, cfg0.noise_dim)).astype(np.float32)
-    fid_cond = soft(np.where(rng.random((1024, cfg0.cond_dim)) < 0.5, -1.0, 1.0)).astype(np.float32)
+    fid_noise = rng.normal(size=(args.fid_n, cfg0.noise_dim)).astype(np.float32)
+    fid_cond = soft(np.where(rng.random((args.fid_n, cfg0.cond_dim)) < 0.5, -1.0, 1.0)).astype(np.float32)
     base_cond = np.full((64, cfg0.cond_dim), soft(-1.0), np.float32)
     real_img, real_cond = next(ds.epoch_iterator(1))
     real_pm1 = ensure_pm1(real_img)
@@ -212,6 +217,24 @@ def main() -> int:
     records = json.load(open(traj_path)) if os.path.isfile(traj_path) else []
     evaluated = {r["epoch"] for r in records}
     chunk_t0 = [time.time()]
+
+    # keep the best-FID-trend epoch checkpoint alive through retention
+    # (keep_checkpoints=3 once pruned a campaign's best epoch, CAMPAIGN.md);
+    # on resume, re-pin from the recorded trajectory (pins are per-Trainer)
+    best = [None, None]  # [fid, epoch]
+    for r in records:
+        if best[0] is None or r["fid_trend_random_init"] < best[0]:
+            best[:] = [r["fid_trend_random_init"], r["epoch"]]
+    if best[1] is not None:
+        tr.pin_checkpoint(best[1])
+
+    def _maybe_pin_best(fid_trend: float, epoch: int) -> None:
+        if best[0] is not None and fid_trend >= best[0]:
+            return
+        if best[1] is not None:
+            tr.unpin_checkpoint(best[1])
+        tr.pin_checkpoint(epoch)
+        best[:] = [fid_trend, epoch]
 
     def eval_point(epoch: int) -> None:
         if (epoch % args.eval_every != 0 and epoch != args.epochs) or epoch in evaluated:
@@ -262,6 +285,7 @@ def main() -> int:
         gen_feats = np.concatenate(feats)
         mu_g, sigma_g = activation_statistics(gen_feats)
         fid_trend = float(frechet_distance(mu_r, sigma_r, mu_g, sigma_g))
+        _maybe_pin_best(fid_trend, epoch)
         # IS/KID trends from the SAME features (eval/inception_score, eval/kid)
         # — random-init tagged like the FID trend, NOT comparable to published
         is_trend, _ = inception_score(class_probs_from_features(incep, gen_feats))

@@ -263,3 +263,65 @@ def test_mode_interpolate(workspace):
         json.dump({**base, "interpolate_steps": 1}, f)
     with pytest.raises(ValueError, match="interpolate_steps"):
         cli.main(["interpolate", "exp", "-e", "badinterp"])
+
+
+def test_serve_mode_parses_knobs(workspace):
+    """`serve` is a first-class CLI mode; its knobs ride in cfg.extra."""
+    cfg = cli.parse_config(
+        ["serve", "exp", "--port", "1234", "--reload-every", "5"]
+    )
+    assert cfg.mode == "serve"
+    assert cfg.extra["serve_port"] == 1234
+    assert cfg.extra["serve_reload_every"] == 5.0
+
+
+@pytest.mark.slow
+def test_serve_mode_end_to_end(workspace):
+    """cli.main(["serve", ...]) brings up the HTTP server on the trained
+    experiment and serves /healthz + /generate; SIGTERM drains. Fresh
+    subprocess: serve() installs signal handlers (main thread only)."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+    import urllib.request
+
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-c",
+            "import os; os.environ['JAX_PLATFORMS']='cpu';"
+            "os.environ.pop('PALLAS_AXON_POOL_IPS', None);"
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "from littlegan_tpu import cli;"
+            "raise SystemExit(cli.main(['serve','exp','--port','18613','--batch-size','2']))",
+        ],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.getcwd(),  # workspace cwd: config + checkpoints live here
+        env={**os.environ, "PYTHONPATH": "/root/repo:" + os.environ.get("PYTHONPATH", "")},
+    )
+    try:
+        deadline = _time.monotonic() + 240
+        lines = []
+        while _time.monotonic() < deadline:
+            line = proc.stdout.readline()
+            lines.append(line)
+            if "serving on" in line:
+                break
+        else:
+            raise AssertionError(f"server never came up: {lines}")
+        with urllib.request.urlopen("http://127.0.0.1:18613/healthz", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+        req = urllib.request.Request(
+            "http://127.0.0.1:18613/generate",
+            data=json.dumps({"cond": [[0.98] * 7], "seed": 1}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert len(json.load(r)["images"]) == 1
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert "drained, socket closed" in out, out
+    assert proc.returncode == 0

@@ -280,6 +280,31 @@ def test_checkpoint_retention(tiny_cfg, tmp_path):
     assert kept == ["ckpt-3.npz", "ckpt-4.npz"]
 
 
+def test_pinned_checkpoint_survives_retention(tiny_cfg, tmp_path):
+    """pin_checkpoint() exempts an epoch from the rolling retention window
+    (campaign best-FID pinning); unpinning makes it prunable again."""
+    cfg = tiny_cfg.replace(
+        epoch=4,
+        keep_checkpoints=2,
+        freq_gen=100,
+        freq_test=100,
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="pin",
+        donate_state=False,
+    )
+    ds = SyntheticDataset(cfg, num_items=4 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    tr.train(epoch_callback=lambda ep: tr.pin_checkpoint(1) if ep == 1 else None)
+    ckdir = os.path.join(cfg.result_dir, "checkpoint")
+    kept = sorted(f for f in os.listdir(ckdir) if f.startswith("ckpt-"))
+    assert kept == ["ckpt-1.npz", "ckpt-3.npz", "ckpt-4.npz"]
+    tr.unpin_checkpoint(1)
+    tr._prune_checkpoints(keep=2)
+    kept = sorted(f for f in os.listdir(ckdir) if f.startswith("ckpt-"))
+    assert kept == ["ckpt-3.npz", "ckpt-4.npz"]
+
+
 def test_trainer_with_orbax_backend(tiny_cfg, tmp_path):
     cfg = tiny_cfg.replace(
         epoch=1,

@@ -50,6 +50,10 @@ def main() -> int:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--calls", type=int, default=50)
+    p.add_argument(
+        "--reload", action="store_true",
+        help="also run the checkpoint hot-reload-under-load drill",
+    )
     p.add_argument("--threads", type=int, default=32)
     args = p.parse_args()
 
@@ -175,7 +179,99 @@ def main() -> int:
     finally:
         for b in batchers.values():
             b.close()
+
+    if args.reload:
+        reload_drill(args)
     return 0
+
+
+def reload_drill(args) -> None:
+    """Checkpoint hot-reload under load: sustained concurrent /generate
+    traffic while ``maybe_reload`` swaps weights twice. Reports steady-state
+    vs reload-window request latency and the reload apply time. The claim
+    under test: a reload drops ZERO requests and the only cost is the
+    host-side restore + one params H2D overlapping served traffic."""
+    import tempfile
+
+    from littlegan_tpu.serving import close_batchers
+    from littlegan_tpu.training.checkpoint import Checkpointer
+
+    tmp = tempfile.mkdtemp(prefix="lg_reload_")
+    cfg = Config(
+        image_dim=args.dim,
+        init_dim=args.dim // 16,
+        batch_size=args.batch,
+        compute_dtype="bfloat16",
+        debug=True,
+        restore=True,
+        exp_name="reload",
+        all_result_dir=tmp,
+        test_data_dir=os.path.join(tmp, "td"),
+    )
+    ck = Checkpointer(os.path.join(cfg.result_dir, "checkpoint"))
+    ck.save("1", init_params(cfg, jax.random.PRNGKey(0)))
+    engine = InferenceEngine(cfg, batch_size=8)
+    batchers = make_batchers(engine, max_wait_ms=2.0)
+    stop = threading.Event()
+    lock = threading.Lock()
+    samples: list = []  # (end_time, latency_s)
+    errors: list = []
+
+    def worker(i: int):
+        rng = np.random.default_rng(i)
+        noise = rng.normal(size=(cfg.noise_dim,)).astype(np.float32)
+        cond = np.zeros((cfg.cond_dim,), np.float32)
+        while not stop.is_set():
+            t0 = time.perf_counter()
+            try:
+                batchers["generate"].submit(noise, cond)
+            except Exception as e:  # noqa: BLE001 - the drill records, not raises
+                errors.append(repr(e))
+                return
+            with lock:
+                samples.append((time.perf_counter(), time.perf_counter() - t0))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    time.sleep(3.0)  # steady state
+    windows = []
+    apply_ms = []
+    for k in (2, 3):
+        ck.save(str(k), init_params(cfg, jax.random.PRNGKey(k)))
+        t0 = time.perf_counter()
+        tag = engine.maybe_reload()
+        t1 = time.perf_counter()
+        assert tag is not None, "reload drill: maybe_reload saw nothing new"
+        apply_ms.append((t1 - t0) * 1e3)
+        windows.append((t0, t1 + 0.5))  # blip can land on the NEXT dispatch
+        time.sleep(3.0)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    close_batchers(batchers)
+
+    in_window = [
+        s for (end, s) in samples if any(w0 <= end <= w1 for (w0, w1) in windows)
+    ]
+    steady = sorted(
+        s for (end, s) in samples if not any(w0 <= end <= w1 for (w0, w1) in windows)
+    )
+    in_window.sort()
+    emit(
+        "serve_generate_latency_during_hot_reload",
+        1e3 * (in_window[len(in_window) // 2] if in_window else 0.0), "ms_p50",
+        window_p99_ms=round(1e3 * in_window[int(len(in_window) * 0.99)], 3) if in_window else None,
+        window_max_ms=round(1e3 * in_window[-1], 3) if in_window else None,
+        steady_p50_ms=round(1e3 * steady[len(steady) // 2], 3),
+        steady_p99_ms=round(1e3 * steady[int(len(steady) * 0.99)], 3),
+        reload_apply_ms=[round(a, 1) for a in apply_ms],
+        requests_total=len(samples),
+        requests_in_reload_windows=len(in_window),
+        errors=len(errors),
+        rtt_inclusive=True,
+    )
+    assert not errors, errors
 
 
 if __name__ == "__main__":

@@ -92,10 +92,11 @@ def _make_dataset(cfg: Config):
         except RuntimeError:
             shard = 0
         return SyntheticDataset(cfg, num_items=n, shard_index=shard)
-    if not os.path.isdir(cfg.image_path):
+    is_zip = os.path.isfile(cfg.image_path) and cfg.image_path.lower().endswith(".zip")
+    if not (os.path.isdir(cfg.image_path) or is_zip):
         raise FileNotFoundError(
-            f"image_path {cfg.image_path!r} is not a directory; pass "
-            f"--synthetic-data to run without CelebA"
+            f"image_path {cfg.image_path!r} is not a directory or .zip archive; "
+            f"pass --synthetic-data to run without CelebA"
         )
     from littlegan_tpu.data import CelebA
 

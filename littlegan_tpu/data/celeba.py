@@ -4,7 +4,10 @@ Capability parity with reference dataset.py:7-49, redesigned for a TPU
 training loop:
 
 - file list from ``glob(image_path/*.image_ext)`` (dataset.py:11), sorted for
-  determinism across hosts,
+  determinism across hosts — or, when ``image_path`` points at a ``.zip``
+  file, the sorted member list of the archive (the official
+  img_align_celeba.zip ingests directly: member bytes are read through
+  thread-local ZipFile handles and decoded in memory — no extraction),
 - CelebA attribute parsing filtered to ``cfg.attr`` indices (dataset.py:35-46).
   The reference pairs raw attr-file lines with glob order; we join on
   FILENAME when the file has the standard CelebA header (count line + header
@@ -87,10 +90,13 @@ def parse_attr_file(attr_path: str, attr_filter: Optional[Sequence[int]]) -> Tup
     return by_name, by_line
 
 
-def _decode_pil(path: str, dim: int, channels: int) -> np.ndarray:
+def _decode_pil(src, dim: int, channels: int) -> np.ndarray:
+    """Decode a JPEG path OR raw byte string (zip-member mode) via PIL."""
+    import io
+
     from PIL import Image
 
-    img = Image.open(path)
+    img = Image.open(io.BytesIO(src) if isinstance(src, (bytes, bytearray)) else src)
     img = img.convert("RGB" if channels == 3 else "L")
     if img.size != (dim, dim):
         # center-crop to square then resize (the reference assumes pre-cropped
@@ -110,11 +116,34 @@ class CelebA:
 
     def __init__(self, cfg: Config, shard_index: int = 0, shard_count: int = 1):
         self.cfg = cfg
-        files = sorted(glob(os.path.join(cfg.image_path, f"*.{cfg.image_ext}")))
-        if not files:
-            raise FileNotFoundError(
-                f"no *.{cfg.image_ext} under {cfg.image_path} (reference dataset.py:11)"
-            )
+        # Zip-archive ingestion: point image_path straight at the official
+        # img_align_celeba.zip — members are read per batch (thread-local
+        # handles) and decoded from memory; no 200k-file extraction step.
+        # A directory of JPEGs (the reference's layout, dataset.py:11) works
+        # exactly as before.
+        ext = f".{cfg.image_ext}".lower()
+        if os.path.isfile(cfg.image_path) and cfg.image_path.lower().endswith(".zip"):
+            import zipfile
+
+            self._zip_path = cfg.image_path
+            self._zip_local = threading.local()
+            with zipfile.ZipFile(cfg.image_path) as z:
+                files = sorted(
+                    n
+                    for n in z.namelist()
+                    if n.lower().endswith(ext) and not n.startswith("__MACOSX")
+                )
+            if not files:
+                raise FileNotFoundError(
+                    f"no *{ext} members inside {cfg.image_path}"
+                )
+        else:
+            self._zip_path = None
+            files = sorted(glob(os.path.join(cfg.image_path, f"*.{cfg.image_ext}")))
+            if not files:
+                raise FileNotFoundError(
+                    f"no *.{cfg.image_ext} under {cfg.image_path} (reference dataset.py:11)"
+                )
         by_name, by_line = parse_attr_file(cfg.attr_path, cfg.attr)
         # Join on FILENAME when the attr file covers the directory; gate on
         # real overlap, not just the first file — one stray alphabetically-
@@ -171,16 +200,36 @@ class CelebA:
         self.rows_per_batch = rows
         self.batches = (self._global_items // self._shard_count) // rows
 
+    def _zip_read(self, name: str) -> bytes:
+        """Read one member's bytes via a THREAD-LOCAL ZipFile handle — the
+        prefetch pool decodes batches concurrently, and sharing one handle
+        would serialize every read on ZipFile's internal lock."""
+        import zipfile
+
+        z = getattr(self._zip_local, "zf", None)
+        if z is None:
+            z = self._zip_local.zf = zipfile.ZipFile(self._zip_path)
+        return z.read(name)
+
     def _pick_decoder(self):
-        """Batch decoder: callable(list of paths) -> (N, dim, dim, C) uint8."""
+        """Batch decoder: callable(list of paths / zip member names)
+        -> (N, dim, dim, C) uint8."""
         dim, ch = self.cfg.image_dim, self.cfg.image_channel
+        native = None
         if self.cfg.use_native_loader and self.cfg.image_ext.lower() in ("jpg", "jpeg"):
             try:
                 from littlegan_tpu.data.native_loader import NativeBatchLoader
 
-                return NativeBatchLoader(dim, ch, threads=self.cfg.threads).load
+                native = NativeBatchLoader(dim, ch, threads=self.cfg.threads)
             except Exception as e:  # no toolchain / no libjpeg -> PIL
                 print(f"native loader unavailable ({type(e).__name__}); using PIL")
+        if self._zip_path is not None:
+            read = self._zip_read
+            if native is not None:
+                return lambda names: native.load_buffers([read(n) for n in names])
+            return lambda names: np.stack([_decode_pil(read(n), dim, ch) for n in names])
+        if native is not None:
+            return native.load
         return lambda paths: np.stack([_decode_pil(p, dim, ch) for p in paths])
 
     def _load_batch(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

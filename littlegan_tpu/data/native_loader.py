@@ -48,6 +48,16 @@ def _load_lib() -> ctypes.CDLL:
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.lg_loader_load_buffers.restype = ctypes.c_int
+    lib.lg_loader_load_buffers.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p),  # byte buffers (never NUL-terminated reads)
+        ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     return lib
 
 
@@ -76,6 +86,29 @@ class NativeBatchLoader:
         )
         if failures:
             raise IOError(f"native loader: {failures}/{n} images failed to decode")
+        return out
+
+    def load_buffers(self, buffers: Sequence[bytes]) -> np.ndarray:
+        """Parallel decode of in-memory JPEG byte strings (the zip-archive
+        ingestion path: Python pulls member bytes, the C++ pool decodes
+        without the GIL)."""
+        n = len(buffers)
+        out = np.empty((n, self.dim, self.dim, self.channels), np.uint8)
+        # c_char_p keeps each bytes object alive via the array; lengths ride
+        # alongside so embedded NULs in the JPEG stream are harmless
+        c_bufs = (ctypes.c_char_p * n)(*buffers)
+        c_lens = (ctypes.c_size_t * n)(*[len(b) for b in buffers])
+        failures = self._lib.lg_loader_load_buffers(
+            self._handle,
+            c_bufs,
+            c_lens,
+            n,
+            self.dim,
+            self.channels,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if failures:
+            raise IOError(f"native loader: {failures}/{n} buffers failed to decode")
         return out
 
     def __del__(self):

@@ -312,6 +312,49 @@ int lg_loader_load(void* handle, const char** paths, int n, int dim,
   return failures.load();
 }
 
+// Decode `n` in-memory JPEG buffers in parallel into `out` (same layout and
+// failure contract as lg_loader_load). This is the zip-archive ingestion
+// path: Python reads member bytes out of the archive (cheap, IO-bound) and
+// the pool decodes them without the GIL — no extraction to 200k files
+// needed for the official img_align_celeba.zip.
+int lg_loader_load_buffers(void* handle, const uint8_t** bufs,
+                           const size_t* lens, int n, int dim, int channels,
+                           uint8_t* out) {
+  Loader* loader = static_cast<Loader*>(handle);
+  std::atomic<int> failures(0);
+  std::atomic<int> done(0);
+  std::mutex mu;
+  std::condition_variable cv;
+  const size_t item = static_cast<size_t>(dim) * dim * channels;
+  for (int i = 0; i < n; ++i) {
+    loader->pool.Submit([&, i] {
+      uint8_t* dst = out + item * i;
+      bool ok = false;
+      try {
+        std::vector<uint8_t> pixels;
+        int w = 0, h = 0;
+        if (decode_jpeg(bufs[i], lens[i], channels, &pixels, &w, &h)) {
+          crop_resize(pixels.data(), w, h, channels, dim, dst);
+          ok = true;
+        }
+      } catch (const std::exception&) {
+        ok = false;  // bad_alloc from a corrupt gigapixel header
+      }
+      if (!ok) {
+        std::memset(dst, 0, item);
+        failures.fetch_add(1);
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (done.fetch_add(1) + 1 == n) cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == n; });
+  return failures.load();
+}
+
 // Single-image decode (no pool) — handy for tools/tests.
 int lg_decode_file(const char* path, int dim, int channels, uint8_t* out) {
   return load_one(path, dim, channels, out) ? 0 : 1;

@@ -304,3 +304,85 @@ def test_synthetic_rows_per_batch_and_shards(tiny_cfg):
     img, cond = next(ds1.epoch_iterator(0))
     assert img.shape[0] == 2 and cond.shape[0] == 2
     assert ds1.batches == ds0.batches  # dispatch counts agree across hosts
+
+
+@pytest.fixture(scope="module")
+def celeba_zip(celeba_tree, tmp_path_factory):
+    """The celeba_tree images packed as the official archive layout:
+    a deflate-compressed zip with members under a directory prefix
+    (img_align_celeba/NNNNNN.jpg)."""
+    import zipfile
+
+    img_dir, attr_file, attrs = celeba_tree
+    zpath = tmp_path_factory.mktemp("zip") / "img_align_celeba.zip"
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for name in sorted(os.listdir(img_dir)):
+            z.write(os.path.join(img_dir, name), f"img_align_celeba/{name}")
+    return str(zpath), attr_file
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_zip_archive_matches_directory(tiny_cfg, celeba_tree, celeba_zip, native):
+    """image_path pointed at a .zip yields byte-identical batches to the
+    extracted directory, on both the native (load_buffers) and PIL decode
+    paths — no extraction step needed for the official archive."""
+    img_dir, attr_file, _ = celeba_tree
+    zpath, _ = celeba_zip
+    ds_dir = CelebA(_cfg(tiny_cfg, img_dir, attr_file, use_native_loader=native))
+    ds_zip = CelebA(_cfg(tiny_cfg, zpath, attr_file, use_native_loader=native))
+    assert ds_zip.batches == ds_dir.batches
+    assert ds_zip.label == ds_dir.label
+    for (zi, zc), (di, dc) in zip(ds_zip.epoch_iterator(1), ds_dir.epoch_iterator(1)):
+        np.testing.assert_array_equal(zi, di)
+        np.testing.assert_array_equal(zc, dc)
+
+
+def test_zip_native_buffers_match_pil(tiny_cfg, celeba_zip):
+    """The native in-memory decoder (lg_loader_load_buffers) is byte-identical
+    to PIL on zip members, including through the prefetch pool's thread-local
+    ZipFile handles (same contract as test_native_matches_pil_decode)."""
+    zpath, attr_file = celeba_zip
+    nat = CelebA(_cfg(tiny_cfg, zpath, attr_file, use_native_loader=True))
+    pil = CelebA(_cfg(tiny_cfg, zpath, attr_file, use_native_loader=False))
+    for (ni, _), (pi, _) in zip(nat.epoch_iterator(0), pil.epoch_iterator(0)):
+        np.testing.assert_array_equal(ni, pi)
+
+
+def test_zip_without_members_refused(tiny_cfg, tmp_path, celeba_tree):
+    import zipfile
+
+    _, attr_file, _ = celeba_tree
+    zpath = tmp_path / "empty.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("readme.txt", "nothing here")
+    with pytest.raises(FileNotFoundError):
+        CelebA(_cfg(tiny_cfg, str(zpath), attr_file))
+
+
+def test_zip_nonsquare_crop_resize_parity(tiny_cfg, tmp_path):
+    """Non-square members (the aligned 178x218 geometry, scaled down) decode
+    through the zip buffers path with the same center-crop + byte-exact
+    bilinear resize as the directory path — native and PIL agree."""
+    import zipfile
+
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    zpath = tmp_path / "arch.zip"
+    lines = ["4", " ".join(f"A{i}" for i in range(40))]
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for i in range(4):
+            arr = rng.integers(0, 255, (44, 36, 3), dtype=np.uint8)  # H, W
+            import io as _io
+
+            buf = _io.BytesIO()
+            Image.fromarray(arr).save(buf, "JPEG", quality=95)
+            z.writestr(f"d/{i:06d}.jpg", buf.getvalue())
+            lines.append(f"{i:06d}.jpg " + " ".join("1" for _ in range(40)))
+    attr = tmp_path / "attrs.txt"
+    attr.write_text("\n".join(lines))
+    nat = CelebA(_cfg(tiny_cfg, str(zpath), str(attr), use_native_loader=True))
+    pil = CelebA(_cfg(tiny_cfg, str(zpath), str(attr), use_native_loader=False))
+    (ni, _), (pi, _) = next(nat.epoch_iterator(0)), next(pil.epoch_iterator(0))
+    assert ni.shape == (4, 16, 16, 3)
+    np.testing.assert_array_equal(ni, pi)

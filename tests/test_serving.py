@@ -4,6 +4,7 @@ import base64
 import io
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -398,10 +399,21 @@ def test_http_metrics_endpoint(engine):
 
         with pytest.raises(urllib.error.HTTPError):  # 400 must be counted too
             _post(url + "/generate", {"wrong": 1})
-        with urllib.request.urlopen(url + "/metrics") as r:
-            assert r.status == 200
-            assert r.headers["Content-Type"].startswith("text/plain")
-            text = r.read().decode()
+        # request_finished lands in do_POST's finally AFTER the reply bytes
+        # hit the socket, so a scrape racing the handler thread can run a
+        # beat early — poll until both counters are visible (bounded)
+        deadline = time.monotonic() + 5.0
+        while True:
+            with urllib.request.urlopen(url + "/metrics") as r:
+                assert r.status == 200
+                assert r.headers["Content-Type"].startswith("text/plain")
+                text = r.read().decode()
+            if (
+                'littlegan_request_latency_ms_count{endpoint="generate"} 2' in text
+                or time.monotonic() > deadline
+            ):
+                break
+            time.sleep(0.01)
         assert 'littlegan_requests_total{endpoint="generate",code="200"} 1' in text
         assert 'littlegan_requests_total{endpoint="generate",code="400"} 1' in text
         assert 'littlegan_request_latency_ms_count{endpoint="generate"} 2' in text

@@ -44,6 +44,10 @@ def build_parser() -> ArgumentParser:
         "--reload-every", type=float, default=0.0, dest="reload_every",
         help="serve mode: poll + hot-swap new checkpoints every N seconds",
     )
+    p.add_argument(
+        "--devices", type=int, default=None, dest="serve_devices",
+        help="serve mode: shard each device call over N local chips (0 = all)",
+    )
     return p
 
 
@@ -62,7 +66,8 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     overrides = {
         k: v
         for k, v in vars(args).items()
-        if v is not None and k not in ("synthetic_data", "gpu", "port", "reload_every")
+        if v is not None
+        and k not in ("synthetic_data", "gpu", "port", "reload_every", "serve_devices")
     }
     overrides.pop("debug", None)
     cfg = load_config(args.env, overrides)
@@ -73,6 +78,8 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     if cfg.mode == "serve":  # serve-only knobs ride in extra (not Config fields)
         cfg.extra.setdefault("serve_port", args.port)
         cfg.extra.setdefault("serve_reload_every", args.reload_every)
+        if args.serve_devices is not None:
+            cfg.extra.setdefault("serve_devices", args.serve_devices)
     return cfg
 
 
@@ -345,6 +352,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             port=int(cfg.extra.get("serve_port", 8600)),
             batch_size=cfg.batch_size,
             reload_every_s=float(cfg.extra.get("serve_reload_every", 0.0)),
+            devices=cfg.extra.get("serve_devices"),
         )
 
     else:

@@ -57,12 +57,27 @@ class InferenceEngine:
         cfg: Config,
         params=None,
         batch_size: Optional[int] = None,
+        devices: Optional[int] = None,
     ):
+        """``devices``: None (default) = single-device AOT programs (today's
+        latency-optimal path); 0 = shard each call over ALL local chips;
+        N>1 = exactly N chips. Sharding splits the engine batch row-wise
+        (``P('data')``) — per-sample outputs are independent, so results are
+        value-equivalent; the win is throughput at large ``--batch`` on a
+        multi-chip host (each chip runs batch/N rows per call)."""
         self.cfg = cfg
         self.batch = batch_size or cfg.batch_size
         if params is None:
             params = self._load_params(cfg)
-        self.params = jax.device_put(params)
+
+        if devices is None:
+            self.n_devices = 1
+        elif devices == 0:  # auto: every local chip (single-process only)
+            from littlegan_tpu.parallel.infer import infer_mesh_devices
+
+            self.n_devices = infer_mesh_devices()
+        else:
+            self.n_devices = int(devices)
 
         # hot-reload bookkeeping: remember which checkpoint the served
         # weights came from (or would have come from, for explicit params)
@@ -76,13 +91,36 @@ class InferenceEngine:
         gen = lambda p, n, c: generator_apply(p, n, c, cfg).astype(jnp.float32)
         adj = lambda p, i, c: adjuster_apply(p, i, c, cfg).astype(jnp.float32)
         disc = lambda p, i: discriminator_apply(p, i, cfg)
-        zeros = jnp.zeros
-        # AOT-compile all three entry points at the fixed batch
-        self._gen = (
-            jax.jit(gen).lower(self.params, zeros((b, nd)), zeros((b, cd))).compile()
-        )
-        self._adj = jax.jit(adj).lower(self.params, zeros(img_shape), zeros((b, cd))).compile()
-        self._disc = jax.jit(disc).lower(self.params, zeros(img_shape)).compile()
+        if self.n_devices > 1:
+            if self.batch % self.n_devices:
+                raise ValueError(
+                    f"engine batch {self.batch} must be divisible by "
+                    f"devices {self.n_devices} (each chip runs batch/N rows)"
+                )
+            from littlegan_tpu.parallel.infer import data_parallel_infer
+            from littlegan_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(num_devices=self.n_devices, axis_names=("data",))
+            # the DP wrapper owns replication (single-slot device_put cache
+            # keyed by tree identity — a hot reload's NEW tree re-replicates)
+            self.params = params
+            self._gen = data_parallel_infer(gen, 2, mesh=mesh, cfg=cfg)
+            self._adj = data_parallel_infer(adj, 2, mesh=mesh, cfg=cfg)
+            self._disc = data_parallel_infer(disc, 1, mesh=mesh, cfg=cfg)
+            # warm-compile: the first request must not pay the trace+compile
+            z = np.zeros
+            self._gen(self.params, z((b, nd), np.float32), z((b, cd), np.float32))
+            self._adj(self.params, z(img_shape, np.float32), z((b, cd), np.float32))
+            self._disc(self.params, z(img_shape, np.float32))
+        else:
+            self.params = jax.device_put(params)
+            zeros = jnp.zeros
+            # AOT-compile all three entry points at the fixed batch
+            self._gen = (
+                jax.jit(gen).lower(self.params, zeros((b, nd)), zeros((b, cd))).compile()
+            )
+            self._adj = jax.jit(adj).lower(self.params, zeros(img_shape), zeros((b, cd))).compile()
+            self._disc = jax.jit(disc).lower(self.params, zeros(img_shape)).compile()
 
     @staticmethod
     def _latest_checkpoint(cfg: Config):
@@ -113,7 +151,10 @@ class InferenceEngine:
         token = self._latest_checkpoint(self.cfg)
         if token is None or token == self._ckpt_token:
             return None
-        self.params = jax.device_put(self._load_params(self.cfg))
+        new = self._load_params(self.cfg)
+        # DP engines keep the host tree — the wrapper's identity-keyed cache
+        # replicates the NEW tree on first use and evicts the old one
+        self.params = new if self.n_devices > 1 else jax.device_put(new)
         self._ckpt_token = token
         return f"{token[0]}/{token[1]}"
 
@@ -737,6 +778,7 @@ def serve(
     batch_size: int = 8,
     max_wait_ms: float = 3.0,
     reload_every_s: float = 0.0,
+    devices: Optional[int] = None,
 ):
     """Threaded HTTP server with cross-request dynamic batching on all three
     entry points (``max_wait_ms <= 0`` disables the batchers: serial
@@ -750,7 +792,9 @@ def serve(
     import signal
     from http.server import ThreadingHTTPServer
 
-    engine = InferenceEngine(cfg, batch_size=batch_size)
+    engine = InferenceEngine(cfg, batch_size=batch_size, devices=devices)
+    if engine.n_devices > 1:
+        print(f"littlegan-tpu-serve: sharding each call over {engine.n_devices} chips")
     metrics = ServerMetrics(engine.batch)
     if engine._ckpt_token is not None:
         metrics.checkpoint_loaded(
@@ -781,9 +825,15 @@ def serve(
         # the handler would deadlock the main thread against itself
         threading.Thread(target=server.shutdown, daemon=True).start()
 
-    old_handlers = {
-        s: signal.signal(s, _drain) for s in (signal.SIGTERM, signal.SIGINT)
-    }
+    # CPython only allows signal() from the main thread — an embedded serve()
+    # (tests, notebooks, a caller's worker thread) still works, it just
+    # relies on the caller's shutdown() instead of signal-driven drain
+    if threading.current_thread() is threading.main_thread():
+        old_handlers = {
+            s: signal.signal(s, _drain) for s in (signal.SIGTERM, signal.SIGINT)
+        }
+    else:
+        old_handlers = {}
     print(
         f"littlegan-tpu serving on {host}:{port} (batch {batch_size}, "
         f"dynamic batching {'on' if batchers else 'off'}, /metrics on)"
@@ -816,6 +866,11 @@ def main(argv=None) -> int:
         help="poll the checkpoint dirs and hot-swap newly saved weights "
         "(0 disables; serve next to a training run to track epochs)",
     )
+    p.add_argument(
+        "--devices", type=int, default=None, metavar="N",
+        help="shard each device call over N local chips (0 = all; "
+        "default single-device; --batch must divide evenly)",
+    )
     args = p.parse_args(argv)
     from littlegan_tpu.config import load_config
     from littlegan_tpu.utils.backend_probe import ensure_live_backend_or_exit
@@ -831,6 +886,7 @@ def main(argv=None) -> int:
         batch_size=args.batch,
         max_wait_ms=args.max_wait_ms,
         reload_every_s=args.reload_every,
+        devices=args.devices,
     )
     return 0
 

@@ -609,3 +609,52 @@ def test_demo_page_served(http_server, engine):
 
     assert html.count('class="attr"') == engine.cfg.cond_dim
     assert CELEBA_ATTR_NAMES[engine.cfg.attr[0]] in html
+
+
+# ------------------------------------------------------- multi-chip engine ----
+
+
+def test_engine_dp_matches_single_device(tiny_cfg):
+    """devices=N shards every engine call row-wise over the local mesh with
+    value-equivalent results (per-sample outputs are independent): generate /
+    adjust / discriminate agree with the single-device AOT engine on the
+    same params."""
+    import jax
+
+    from littlegan_tpu.models import init_params
+
+    cfg = tiny_cfg.replace(restore=False, batch_size=8)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    single = InferenceEngine(cfg, params=params, batch_size=8)
+    dp = InferenceEngine(cfg, params=params, batch_size=8, devices=jax.device_count())
+    assert dp.n_devices == jax.device_count() > 1
+
+    rng = np.random.default_rng(5)
+    noise = rng.normal(size=(8, cfg.noise_dim)).astype(np.float32)
+    cond = rng.choice([-0.94, 0.98], size=(8, cfg.cond_dim)).astype(np.float32)
+    img = rng.uniform(-1, 1, (8, 16, 16, 3)).astype(np.float32)
+
+    np.testing.assert_allclose(
+        dp.generate(cond, noise), single.generate(cond, noise), atol=2e-6
+    )
+    np.testing.assert_allclose(dp.adjust(img, cond), single.adjust(img, cond), atol=2e-6)
+    ds, dd = single.discriminate(img), dp.discriminate(img)
+    np.testing.assert_allclose(dd["pr"], ds["pr"], atol=2e-6)
+    np.testing.assert_allclose(dd["cond"], ds["cond"], atol=2e-6)
+
+    # ragged request rows still pad/slice through the sharded call
+    np.testing.assert_allclose(
+        dp.generate(cond[:3], noise[:3]), single.generate(cond[:3], noise[:3]), atol=2e-6
+    )
+
+
+def test_engine_dp_auto_and_divisibility(tiny_cfg):
+    """devices=0 resolves to every local chip; an indivisible batch is
+    refused at construction with remediation text."""
+    import jax
+
+    cfg = tiny_cfg.replace(restore=False, batch_size=8)
+    auto = InferenceEngine(cfg, batch_size=8, devices=0)
+    assert auto.n_devices == jax.device_count()
+    with pytest.raises(ValueError, match="divisible"):
+        InferenceEngine(cfg, batch_size=6, devices=4)

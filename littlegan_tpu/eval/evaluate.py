@@ -29,12 +29,30 @@ from littlegan_tpu.eval.fid import activation_statistics, frechet_distance
 from littlegan_tpu.eval.inception import inception_features, init_inception_params
 
 
-def _load_images(paths: Iterable[str], dim: Optional[int] = None) -> np.ndarray:
+def _image_source(root: str, ext: str):
+    """(names, open_fn) over a directory of images OR a ``.zip`` archive —
+    the same ingestion contract as data/celeba.py, so ``pre-calculate`` runs
+    straight off the official img_align_celeba.zip too."""
+    if os.path.isfile(root) and root.lower().endswith(".zip"):
+        import io
+        import zipfile
+
+        zf = zipfile.ZipFile(root)  # single-threaded here: one reader is fine
+        names = sorted(
+            n
+            for n in zf.namelist()
+            if n.lower().endswith(f".{ext}".lower()) and not n.startswith("__MACOSX")
+        )
+        return names, lambda n: io.BytesIO(zf.read(n))
+    return sorted(glob(os.path.join(root, f"*.{ext}"))), lambda p: p
+
+
+def _load_images(paths: Iterable[str], dim: Optional[int] = None, open_fn=None) -> np.ndarray:
     from PIL import Image
 
     out = []
     for p in paths:
-        img = Image.open(p).convert("RGB")
+        img = Image.open(open_fn(p) if open_fn is not None else p).convert("RGB")
         if dim is not None and img.size != (dim, dim):
             w, h = img.size
             if w != h:  # center-crop to the short side FIRST — the same
@@ -175,7 +193,12 @@ def compute_features(
 
 
 def compute_features_from_files(
-    files, cfg: Config, batch_size: int = 100, params=None, dim: Optional[int] = None
+    files,
+    cfg: Config,
+    batch_size: int = 100,
+    params=None,
+    dim: Optional[int] = None,
+    open_fn=None,
 ) -> np.ndarray:
     """Streaming variant: decode + featurize ``batch_size`` files at a time.
 
@@ -189,7 +212,7 @@ def compute_features_from_files(
 
     def chunks():
         for i in range(0, len(files), batch_size):
-            arr = _load_images(files[i : i + batch_size], dim)
+            arr = _load_images(files[i : i + batch_size], dim, open_fn)
             if expected[0] is None:
                 expected[0] = arr.shape[1:]
             elif arr.shape[1:] != expected[0]:
@@ -216,12 +239,12 @@ def precalculate(
 
     ``save_features=N`` additionally embeds the first N raw feature rows
     (f16, ~4 KB each) — KID needs raw real features, not just (mu, sigma)."""
-    files = sorted(glob(os.path.join(image_dir, f"*.{cfg.image_ext}")))
+    files, open_fn = _image_source(image_dir, cfg.image_ext)
     if limit:
         files = files[:limit]
     if not files:
         raise FileNotFoundError(f"no images in {image_dir}")
-    feats = compute_features_from_files(files, cfg, batch_size, dim=dim)
+    feats = compute_features_from_files(files, cfg, batch_size, dim=dim, open_fn=open_fn)
     mu, sigma = activation_statistics(feats)
     extra = {"features": feats[:save_features].astype(np.float16)} if save_features else {}
     np.savez_compressed(out_npz, mu=mu, sigma=sigma, **extra)

@@ -728,3 +728,32 @@ def test_evaluate_with_prdc(tmp_path, tiny_cfg):
         evaluate_generated(
             cfg, str(gen_dir), str(bare), str(log), batch_size=6, with_prdc=True
         )
+
+
+def test_precalculate_from_zip_matches_directory(tmp_path, tiny_cfg):
+    """pre-calculate accepts a .zip archive of images (same ingestion
+    contract as training's data/celeba.py) and produces identical stats to
+    the extracted directory."""
+    import zipfile
+
+    from PIL import Image
+
+    from littlegan_tpu.eval.evaluate import precalculate
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(4)
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+            d / f"{i}.jpg", quality=95
+        )
+    zpath = tmp_path / "imgs.zip"
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for i in range(6):
+            z.write(d / f"{i}.jpg", f"imgs/{i}.jpg")
+    cfg = tiny_cfg.replace(allow_random_fid=True)
+    precalculate(cfg, str(d), str(tmp_path / "dir.npz"), batch_size=4)
+    precalculate(cfg, str(zpath), str(tmp_path / "zip.npz"), batch_size=4)
+    a, b = np.load(tmp_path / "dir.npz"), np.load(tmp_path / "zip.npz")
+    np.testing.assert_array_equal(a["mu"], b["mu"])
+    np.testing.assert_array_equal(a["sigma"], b["sigma"])

@@ -658,3 +658,30 @@ def test_engine_dp_auto_and_divisibility(tiny_cfg):
     assert auto.n_devices == jax.device_count()
     with pytest.raises(ValueError, match="divisible"):
         InferenceEngine(cfg, batch_size=6, devices=4)
+
+
+def test_hot_reload_under_dp_engine(tiny_cfg, tmp_path):
+    """devices=N engines reload too: the DP wrapper's identity-keyed cache
+    replicates the NEW tree on the next call (and the outputs change)."""
+    import os
+
+    import jax
+
+    from littlegan_tpu.models import init_params
+    from littlegan_tpu.training.checkpoint import make_checkpointer
+
+    cfg = _reload_cfg(tiny_cfg, tmp_path, batch_size=8)
+    ck = make_checkpointer(cfg, os.path.join(cfg.result_dir, "checkpoint"))
+    ck.save("1", init_params(cfg, jax.random.PRNGKey(1)))
+    engine = InferenceEngine(cfg, batch_size=8, devices=jax.device_count())
+    cond = np.zeros((1, cfg.cond_dim), np.float32)
+    out1 = engine.generate(cond, seed=0)
+
+    ck.save("2", init_params(cfg, jax.random.PRNGKey(2)))
+    assert engine.maybe_reload() == "checkpoint/2"
+    out2 = engine.generate(cond, seed=0)
+    assert not np.array_equal(out1, out2)  # same seed, new replicated weights
+
+    # and the reloaded DP engine matches a fresh single-device engine
+    single = InferenceEngine(cfg, batch_size=8)
+    np.testing.assert_allclose(out2, single.generate(cond, seed=0), atol=2e-6)

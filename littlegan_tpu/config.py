@@ -88,6 +88,8 @@ class Config:
     partition_interval: int = 4
 
     # --- cadences / output (reference: sample.config.json:38-50) ---
+    # 0 disables a cadence entirely (pure-throughput runs); the reference
+    # would modulo-by-zero on that, so the disable is a documented extension
     freq_gen: int = 100
     freq_test: int = 2000
     all_result_dir: str = "result"

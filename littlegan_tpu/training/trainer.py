@@ -833,7 +833,9 @@ class Trainer:
                         # if any step in the group crossed the cadence (the
                         # remainder group shares this path — a cadence inside
                         # the epoch tail still fires)
-                        if batch_no // cfg.freq_gen > prev_batch // cfg.freq_gen:
+                        if cfg.freq_gen > 0 and (
+                            batch_no // cfg.freq_gen > prev_batch // cfg.freq_gen
+                        ):
                             # fetch on EVERY host (the cross-host gather is a
                             # collective); only host 0 writes the file
                             fake_np = _fetch_artifact(out.fake_image)
@@ -848,7 +850,9 @@ class Trainer:
                                         adj_np,
                                         os.path.join(cfg.result_dir, "train", "adj", f"{epoch}-{batch_no}.jpg"),
                                     )
-                        if batch_no // cfg.freq_test > prev_batch // cfg.freq_test:
+                        if cfg.freq_test > 0 and (
+                            batch_no // cfg.freq_test > prev_batch // cfg.freq_test
+                        ):
                             self.predict(
                                 self.test_noise, self.test_cond, self.test_image,
                                 os.path.join(cfg.result_dir, "test", "gen", f"{epoch}-{batch_no}.jpg"),
@@ -921,7 +925,7 @@ class Trainer:
                     if len(metrics_buffer) >= flush_every:
                         self._flush_buffered()
 
-                    if batch_no % cfg.freq_gen == 0:  # eager_trainer.py:216-220
+                    if cfg.freq_gen > 0 and batch_no % cfg.freq_gen == 0:  # eager_trainer.py:216-220
                         # fetch on EVERY host (cross-host gather is a
                         # collective); only host 0 writes the file
                         fake_np = _fetch_artifact(out.fake_image)
@@ -936,7 +940,7 @@ class Trainer:
                                     adj_np,
                                     os.path.join(cfg.result_dir, "train", "adj", f"{epoch}-{batch_no}.jpg"),
                                 )
-                    if batch_no % cfg.freq_test == 0:  # eager_trainer.py:221-226
+                    if cfg.freq_test > 0 and batch_no % cfg.freq_test == 0:  # eager_trainer.py:221-226
                         self.predict(
                             self.test_noise,
                             self.test_cond,

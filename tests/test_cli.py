@@ -268,11 +268,14 @@ def test_mode_interpolate(workspace):
 def test_serve_mode_parses_knobs(workspace):
     """`serve` is a first-class CLI mode; its knobs ride in cfg.extra."""
     cfg = cli.parse_config(
-        ["serve", "exp", "--port", "1234", "--reload-every", "5"]
+        ["serve", "exp", "--port", "1234", "--reload-every", "5", "--devices", "0"]
     )
     assert cfg.mode == "serve"
     assert cfg.extra["serve_port"] == 1234
     assert cfg.extra["serve_reload_every"] == 5.0
+    assert cfg.extra["serve_devices"] == 0  # 0 = all local chips
+    # absent --devices -> key absent -> serve() default (single device)
+    assert "serve_devices" not in cli.parse_config(["serve", "exp"]).extra
 
 
 @pytest.mark.slow

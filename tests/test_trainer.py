@@ -1001,3 +1001,20 @@ def test_predict_logs_tb_images(run_cfg, tmp_path):
     log3 = os.path.join(cfg3.result_dir, "log")
     (f3,) = [f for f in os.listdir(log3) if f.startswith("events")]
     assert b"\x89PNG\r\n\x1a\n" not in open(os.path.join(log3, f3), "rb").read()
+
+
+def test_zero_cadence_disables_artifacts(run_cfg):
+    """freq_gen=0 / freq_test=0 disable the cadences instead of crashing
+    (ZeroDivisionError found driving a pure-throughput zip run on-chip) —
+    on BOTH the host-fed and the scan-dispatch paths."""
+    cfg = run_cfg.replace(exp_name="t_nocad", freq_gen=0, freq_test=0)
+    ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    Trainer(cfg, ds).train()
+    assert not os.listdir(os.path.join(cfg.result_dir, "train", "gen"))
+    assert not os.listdir(os.path.join(cfg.result_dir, "test", "disc"))
+    assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))
+
+    cfg2 = cfg.replace(exp_name="t_nocad_scan", device_data=True, steps_per_dispatch=2)
+    Trainer(cfg2, ds).train()
+    assert not os.listdir(os.path.join(cfg2.result_dir, "train", "gen"))
+    assert os.path.isfile(os.path.join(cfg2.result_dir, "checkpoint", "ckpt-1.npz"))

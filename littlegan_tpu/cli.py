@@ -126,9 +126,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     print("Application Params:", json.dumps(cfg.to_json_dict(), default=str)[:500])
     print("Running Mode:", cfg.mode)
 
-    if cfg.mode != "visual":  # visual only spawns tensorboard, no backend
-        # fail FAST with remediation text when the TPU tunnel would hang
-        # device discovery forever (utils/backend_probe.py)
+    if cfg.mode not in ("visual", "report"):  # these read artifacts only —
+        # no accelerator needed. Everything else: fail FAST with remediation
+        # text when the TPU tunnel would hang device discovery forever
+        # (utils/backend_probe.py)
         from littlegan_tpu.utils.backend_probe import ensure_live_backend_or_exit
 
         ensure_live_backend_or_exit()
@@ -354,6 +355,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             reload_every_s=float(cfg.extra.get("serve_reload_every", 0.0)),
             devices=cfg.extra.get("serve_devices"),
         )
+
+    elif cfg.mode == "report":  # beyond-reference: self-contained HTML report
+        from littlegan_tpu.report import generate_report
+
+        generate_report(cfg)
 
     else:
         print("Unknown mode:", cfg.mode)

@@ -42,6 +42,10 @@ MODES = (
     # beyond-reference: HTTP inference server (littlegan_tpu/serving.py);
     # also reachable directly as `python -m littlegan_tpu.serving`
     "serve",
+    # beyond-reference: self-contained HTML experiment report rendered from
+    # the run's own artifacts (littlegan_tpu/report.py — the reference links
+    # an external report site instead, README.md:2-7)
+    "report",
 )
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import struct
 import time
-from typing import Iterable, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 # ------------------------------------------------------------------ crc32c --
 
@@ -167,3 +167,136 @@ class SummaryWriter:
             self.flush()
         finally:
             self._f.close()
+
+
+# ------------------------------------------------------------------- reader --
+
+
+def _decode_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    out = shift = 0
+    while True:
+        b = buf[pos]
+        out |= (b & 0x7F) << shift
+        pos += 1
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _iter_proto_fields(payload: bytes):
+    """Yield (field_number, wire_type, value) over one proto message.
+
+    value: int for varint(0)/fixed64(1)/fixed32(5), bytes for len-delim(2).
+    Only the wire types the Event proto uses are implemented."""
+    pos = 0
+    while pos < len(payload):
+        key, pos = _decode_varint(payload, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val, pos = _decode_varint(payload, pos)
+        elif wire == 1:
+            val = struct.unpack_from("<Q", payload, pos)[0]
+            pos += 8
+        elif wire == 2:
+            n, pos = _decode_varint(payload, pos)
+            val = payload[pos : pos + n]
+            pos += n
+        elif wire == 5:
+            val = struct.unpack_from("<I", payload, pos)[0]
+            pos += 4
+        else:  # groups (3/4): never produced by TB writers
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def iter_event_records(path: str):
+    """Yield raw Event payloads from one TFRecord-framed event file.
+
+    CRCs are verified (a corrupt record raises); a TRAILING partial record —
+    a run killed mid-write — is tolerated and ends iteration."""
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 0
+    while pos < len(data):
+        if pos + 12 > len(data):
+            return  # trailing partial header
+        (length,) = struct.unpack_from("<Q", data, pos)
+        (len_crc,) = struct.unpack_from("<I", data, pos + 8)
+        if _masked_crc(data[pos : pos + 8]) != len_crc:
+            raise ValueError(f"corrupt record-length CRC at byte {pos} of {path}")
+        start = pos + 12
+        if start + length + 4 > len(data):
+            return  # trailing partial payload
+        payload = data[start : start + length]
+        (crc,) = struct.unpack_from("<I", data, start + length)
+        if _masked_crc(payload) != crc:
+            raise ValueError(f"corrupt record CRC at byte {pos} of {path}")
+        yield payload
+        pos = start + length + 4
+
+
+def read_scalars(logdir_or_file: str) -> Dict[str, List[Tuple[int, float]]]:
+    """Parse scalar summaries from event file(s): tag -> [(step, value), ...].
+
+    Dependency-free counterpart of the writer above (the TF-oracle suite
+    cross-checks both against TF's own summary_iterator). A directory reads
+    every ``events.out.tfevents.*`` file in filename order; image summaries
+    (Summary.Value field 4) are skipped."""
+    if os.path.isdir(logdir_or_file):
+        files = sorted(
+            os.path.join(logdir_or_file, n)
+            for n in os.listdir(logdir_or_file)
+            if n.startswith("events.out.tfevents")
+        )
+    else:
+        files = [logdir_or_file]
+    out: Dict[str, List[Tuple[int, float]]] = {}
+    for path in files:
+        for payload in iter_event_records(path):
+            step = 0
+            summary = None
+            for field, wire, val in _iter_proto_fields(payload):
+                if field == 2 and wire == 0:
+                    step = val
+                elif field == 5 and wire == 2:
+                    summary = val
+            if summary is None:
+                continue
+            for field, wire, val in _iter_proto_fields(summary):
+                if field != 1 or wire != 2:
+                    continue
+                tag, simple = None, None
+                for f2, w2, v2 in _iter_proto_fields(val):
+                    if f2 == 1 and w2 == 2:
+                        tag = v2.decode()
+                    elif f2 == 2 and w2 == 5:  # simple_value (TF1-style — ours)
+                        simple = struct.unpack("<f", struct.pack("<I", v2))[0]
+                    elif f2 == 8 and w2 == 2:  # tensor (TF2 tf.summary.scalar)
+                        simple = _scalar_from_tensor_proto(v2, simple)
+                if tag is not None and simple is not None:
+                    out.setdefault(tag, []).append((int(step), float(simple)))
+    return out
+
+
+def _scalar_from_tensor_proto(payload: bytes, default=None):
+    """Extract a scalar float from a TensorProto (TF2 writers store scalars
+    as DT_FLOAT tensors in Summary.Value.tensor instead of simple_value):
+    dtype(1)=DT_FLOAT(1), value in float_val(5) or tensor_content(4)."""
+    dtype = None
+    fval = content = None
+    for f, w, v in _iter_proto_fields(payload):
+        if f == 1 and w == 0:
+            dtype = v
+        elif f == 5 and w == 5:  # float_val, unpacked
+            fval = struct.unpack("<f", struct.pack("<I", v))[0]
+        elif f == 5 and w == 2 and len(v) >= 4:  # float_val, packed
+            fval = struct.unpack("<f", v[:4])[0]
+        elif f == 4 and w == 2:  # tensor_content
+            content = v
+    if dtype != 1:  # not DT_FLOAT: leave whatever simple_value said
+        return default
+    if fval is not None:
+        return fval
+    if content is not None and len(content) >= 4:
+        return struct.unpack("<f", content[:4])[0]
+    return default

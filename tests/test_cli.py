@@ -328,3 +328,17 @@ def test_serve_mode_end_to_end(workspace):
             proc.kill()
     assert "drained, socket closed" in out, out
     assert proc.returncode == 0
+
+
+def test_mode_report(workspace):
+    """`report` renders a self-contained HTML report from the run's own
+    artifacts: loss curves (read back from the from-scratch event files),
+    stat tiles, inlined sample grids, and the merged config table."""
+    assert cli.main(["report", "exp"]) == 0
+    doc = (workspace / "report.html").read_text()
+    assert '<svg id="losschart"' in doc
+    assert "polyline" in doc  # at least one loss series plotted
+    assert "data:image/jpeg;base64," in doc  # sample grid inlined
+    assert "optimizer steps" in doc
+    assert "<table class='cfg'>" in doc
+    assert "prefers-color-scheme: dark" in doc  # selected dark mode ships

@@ -701,3 +701,27 @@ def test_tb_image_summary_readable_by_tf(tmp_path, np_rng):
     assert step == 9 and (img.height, img.width, img.colorspace) == (8, 8, 1)
     decoded = tf.io.decode_png(img.encoded_image_string).numpy()
     np.testing.assert_array_equal(decoded[:, :, 0], grey[:, :, 0])
+
+
+def test_tb_reader_parses_tf_written_events(tmp_path):
+    """The reverse oracle direction: an event file written by TENSORFLOW's
+    own summary writer parses identically through the dependency-free reader
+    (utils/tensorboard.py::read_scalars) — framing, CRCs, varint steps,
+    Summary.Value simple_value floats."""
+    from littlegan_tpu.utils.tensorboard import read_scalars
+
+    d = str(tmp_path / "tflog")
+    w = tf.summary.create_file_writer(d)
+    with w.as_default():
+        for s in range(5):
+            tf.summary.scalar("loss/gen", 1.0 / (s + 1), step=s)
+            tf.summary.scalar("loss/disc", 2.0 + s, step=s)
+        tf.summary.scalar("big/step", 7.0, step=2**40)
+    w.close()
+
+    got = read_scalars(d)
+    assert [s for s, _ in got["loss/gen"]] == list(range(5))
+    np.testing.assert_allclose(
+        [v for _, v in got["loss/disc"]], [2.0, 3.0, 4.0, 5.0, 6.0], rtol=1e-6
+    )
+    assert got["big/step"] == [(2**40, 7.0)]

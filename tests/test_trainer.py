@@ -1018,3 +1018,45 @@ def test_zero_cadence_disables_artifacts(run_cfg):
     Trainer(cfg2, ds).train()
     assert not os.listdir(os.path.join(cfg2.result_dir, "train", "gen"))
     assert os.path.isfile(os.path.join(cfg2.result_dir, "checkpoint", "ckpt-1.npz"))
+
+
+def test_tb_reader_roundtrip_and_framing(tmp_path):
+    """The dependency-free event reader (utils/tensorboard.py::read_scalars)
+    inverts the from-scratch writer: scalars round-trip exactly (f32), image
+    summaries are skipped, a TRAILING partial record (run killed mid-write)
+    ends iteration cleanly, and a corrupt payload CRC raises."""
+    import struct
+
+    from littlegan_tpu.utils.tensorboard import SummaryWriter, read_scalars
+
+    d = tmp_path / "log"
+    w = SummaryWriter(str(d))
+    want = {}
+    for s in range(7):
+        g, dd = 1.0 / (s + 1), 2.0 + 0.5 * s
+        w.scalars([("loss/gen", g), ("loss/disc", dd)], s)
+        want[s] = (g, dd)
+    w.image("img/x", np.zeros((4, 4, 3), np.uint8), 3)  # must be skipped
+    w.close()
+
+    got = read_scalars(str(d))
+    assert set(got) == {"loss/gen", "loss/disc"}
+    for s, (g, dd) in want.items():
+        assert got["loss/gen"][s][0] == s
+        np.testing.assert_allclose(got["loss/gen"][s][1], np.float32(g), rtol=0)
+        np.testing.assert_allclose(got["loss/disc"][s][1], np.float32(dd), rtol=0)
+
+    fname = [f for f in os.listdir(d) if f.startswith("events")][0]
+    path = os.path.join(d, fname)
+    # trailing partial record: tolerated (iteration just ends)
+    with open(path, "ab") as f:
+        f.write(struct.pack("<Q", 1000) + b"\x00\x01\x02")
+    assert read_scalars(str(d)) == got
+    # corrupt a payload byte inside a full record: CRC must catch it
+    blob = bytearray(open(path, "rb").read())
+    blob[40] ^= 0xFF
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / fname).write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="CRC"):
+        read_scalars(str(bad))

@@ -183,6 +183,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dim", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument(
+        "--adj-half", action="store_true",
+        help="measure the opt-in adj_half_batch step (Config.adj_half_batch; "
+        "the metric name gains an _adjhalf suffix — NOT the parity step)",
+    )
     args = ap.parse_args()
     # CPU-fallback runs (tunnel hang, see _ensure_live_backend) measure a
     # SMALL config unless the caller pinned one: a CPU step at the 128²/b32
@@ -201,6 +206,7 @@ def main():
         compute_dtype="bfloat16",
         use_partition=True,
         train_adj=True,
+        adj_half_batch=args.adj_half,
         donate_state=True,
         debug=True,
     )
@@ -229,8 +235,9 @@ def main():
     peak = _peak_flops(dev)
     achieved = flops_per_step / step_s if step_s > 0 else 0.0
 
+    suffix = "_adjhalf" if args.adj_half else ""
     out = {
-        "metric": f"train_images_per_sec_per_chip_{args.dim}px_b{args.batch}",
+        "metric": f"train_images_per_sec_per_chip_{args.dim}px_b{args.batch}{suffix}",
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "step_ms": round(step_s * 1000, 3),

@@ -163,6 +163,14 @@ class Config:
     # composition table; training/step.py make_accum_train_step /
     # make_scan_accum_train_step).
     grad_accum: int = 1
+    # OPT-IN, beyond the reference: the adjuster trains on ONE N-row batch
+    # per step — the real-image task on even batch_no, the generated-image
+    # task on odd (exact reference pairings, equal frequency) — instead of
+    # the reference's concat([real, fake]) 2N pass (eager_trainer.py:152-164,
+    # ~40% of step FLOPs at 128²/b32). Measured v5e b32: 10.43 -> 8.60 ms
+    # (6,134 -> 7,446 img/s, 1.21x); conditioning validated by a 100-epoch
+    # campaign (CAMPAIGN.md). False = exact reference math (golden-tested).
+    adj_half_batch: bool = False
     # XLA scoped-VMEM budget for the train-step compiles on TPU backends
     # (passed as a per-jit compiler option; XLA's default on v5e is 16 MiB).
     # Swept on v5e at reference scale (2026-08): 32768 KiB is the optimum

@@ -86,7 +86,10 @@ def gradient_penalty(params, real: jnp.ndarray, fake: jnp.ndarray, rng: jax.Arra
     return jnp.mean(jnp.square(norms - 1.0))
 
 
-def total_loss_fn(params, batch1, batch2, noise, new_image, gp_rng, cfg: Config, inputs_s2d: bool = False):
+def total_loss_fn(
+    params, batch1, batch2, noise, new_image, gp_rng, cfg: Config,
+    inputs_s2d: bool = False, adj_sel=None,
+):
     """Single differentiable scalar; stop_gradient routes each loss's grads.
 
     With cfg.use_s2d every image tensor is carried in 2x2-block space end to
@@ -94,6 +97,16 @@ def total_loss_fn(params, batch1, batch2, noise, new_image, gp_rng, cfg: Config,
     are elementwise/reduce-all, so they are rearrangement-invariant.
     ``inputs_s2d`` marks batches that ALREADY arrive in block space (the
     s2d-layout device store) — no per-step conversion at all.
+
+    ``adj_sel`` (cfg.adj_half_batch only): traced ``batch_no % 2``. The
+    adjuster then consumes ONE N-row batch per step — the real-image task
+    (img1 -> img2 targets, reference row 1) on even steps, the generated-
+    image task (fake -> img1) on odd — instead of the reference's
+    concat([real, fake]) 2N pass (eager_trainer.py:152-164). Both tasks
+    keep their exact reference pairings and appear with equal frequency;
+    each optimizer apply just sees one of them. ~40% of step FLOPs are the
+    adjuster's 2N pass at reference scale (ROADMAP #3), so this is the
+    measured step-time lever past the 10.4 ms parity plateau.
     """
     sg = jax.lax.stop_gradient
     img1, cond1 = batch1
@@ -139,10 +152,20 @@ def total_loss_fn(params, batch1, batch2, noise, new_image, gp_rng, cfg: Config,
     if cfg.train_adj:
         # reference eager_trainer.py:152-164: input conds remapped to ~[0,1],
         # targets stay soft ±1; input images are [real_1, fake] (fake as DATA)
-        adj_in_cond = (jnp.concatenate([cond2, cond1], axis=0) + 1.0) * 0.5
-        adj_tgt_cond = jnp.concatenate([cond2, cond1], axis=0)
-        adj_in_img = jnp.concatenate([img1, sg(fake)], axis=0)
-        adj_tgt_img = jnp.concatenate([img2, img1], axis=0)
+        if cfg.adj_half_batch:
+            if adj_sel is None:
+                raise ValueError("adj_half_batch requires adj_sel (= batch_no % 2)")
+            even = (adj_sel == 0)
+            # one N-row task per step: even -> reference row 1 (real),
+            # odd -> reference row 2 (generated); exact same pairings
+            adj_tgt_cond = jnp.where(even, cond2, cond1)
+            adj_in_img = jnp.where(even, img1, sg(fake))
+            adj_tgt_img = jnp.where(even, img2, img1)
+        else:
+            adj_tgt_cond = jnp.concatenate([cond2, cond1], axis=0)
+            adj_in_img = jnp.concatenate([img1, sg(fake)], axis=0)
+            adj_tgt_img = jnp.concatenate([img2, img1], axis=0)
+        adj_in_cond = (adj_tgt_cond + 1.0) * 0.5
         adj_params = _freeze(params, A_KEYS)
         adj_image = adjuster_apply(
             adj_params, adj_in_img, adj_in_cond, cfg, s2d_in=s2, s2d_out=s2
@@ -180,7 +203,7 @@ def _prep_images(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _micro_grads(state, batch1, batch2, rng, cfg: Config, inputs_s2d: bool):
+def _micro_grads(state, batch1, batch2, rng, cfg: Config, inputs_s2d: bool, adj_sel=None):
     """One micro-batch's (grads, aux): data prep, noise, augmentation, and
     the fused backward — everything in train_step up to the optimizer."""
     batch1 = (_prep_images(batch1[0]), batch1[1])
@@ -193,7 +216,7 @@ def _micro_grads(state, batch1, batch2, rng, cfg: Config, inputs_s2d: bool):
     aug = augment_s2d if inputs_s2d else augment
     new_image = aug(k_aug, img1)
     return jax.grad(total_loss_fn, has_aux=True)(
-        state.params, batch1, batch2, noise, new_image, k_gp, cfg, inputs_s2d
+        state.params, batch1, batch2, noise, new_image, k_gp, cfg, inputs_s2d, adj_sel
     )
 
 
@@ -275,7 +298,8 @@ def train_step(
     part_masks: Any,
     inputs_s2d: bool = False,
 ) -> StepOutput:
-    grads, aux = _micro_grads(state, batch1, batch2, rng, cfg, inputs_s2d)
+    adj_sel = (batch_no % 2) if cfg.adj_half_batch else None
+    grads, aux = _micro_grads(state, batch1, batch2, rng, cfg, inputs_s2d, adj_sel)
     return apply_updates(state, grads, aux, batch_no, cfg, part_masks)
 
 
@@ -300,12 +324,14 @@ def accum_train_step(
     clipping applies to the mean gradient, matching a single big batch, not
     per-micro-batch. Metrics and artifact images are the last micro-step's.
     """
-    grads, aux = accum_grads(state, batch1s, batch2s, rng, cfg)
+    adj_sel = (batch_no % 2) if cfg.adj_half_batch else None
+    grads, aux = accum_grads(state, batch1s, batch2s, rng, cfg, adj_sel=adj_sel)
     return apply_updates(state, grads, aux, batch_no, cfg, part_masks)
 
 
 def accum_grads(
-    state: TrainState, batch1s, batch2s, rng: jax.Array, cfg: Config, inputs_s2d: bool = False
+    state: TrainState, batch1s, batch2s, rng: jax.Array, cfg: Config,
+    inputs_s2d: bool = False, adj_sel=None,
 ):
     """(mean grads over the M stacked micro-pairs, last micro-step's aux).
 
@@ -319,7 +345,7 @@ def accum_grads(
         acc, _ = carry
         b1 = jax.tree_util.tree_map(lambda x: x[i], batch1s)
         b2 = jax.tree_util.tree_map(lambda x: x[i], batch2s)
-        grads, aux = _micro_grads(state, b1, b2, jax.random.fold_in(rng, i), cfg, inputs_s2d)
+        grads, aux = _micro_grads(state, b1, b2, jax.random.fold_in(rng, i), cfg, inputs_s2d, adj_sel)
         acc = jax.tree_util.tree_map(lambda a, g: a + g.astype(jnp.float32), acc, grads)
         return (acc, aux), None
 
@@ -329,7 +355,7 @@ def accum_grads(
     b1_0 = jax.tree_util.tree_map(lambda x: x[0], batch1s)
     b2_0 = jax.tree_util.tree_map(lambda x: x[0], batch2s)
     aux0_sd = jax.eval_shape(
-        lambda st: _micro_grads(st, b1_0, b2_0, rng, cfg, inputs_s2d)[1], state
+        lambda st: _micro_grads(st, b1_0, b2_0, rng, cfg, inputs_s2d, adj_sel)[1], state
     )
     aux0 = jax.tree_util.tree_map(lambda sd: jnp.zeros(sd.shape, sd.dtype), aux0_sd)
     (acc, aux), _ = jax.lax.scan(body, (zeros, aux0), jnp.arange(m, dtype=jnp.int32))

@@ -48,6 +48,11 @@ def main() -> int:
         "batch = grad_accum * batch_size)",
     )
     p.add_argument(
+        "--adj-half", action="store_true",
+        help="train the adjuster on one alternating N-row batch per step "
+        "(Config.adj_half_batch) instead of the reference 2N concat",
+    )
+    p.add_argument(
         "--fid-n", type=int, default=1024,
         help="generated images per FID/IS/KID trend eval (smaller = cheaper "
         "smoke runs; trend values are only comparable at equal --fid-n)",
@@ -112,6 +117,7 @@ def main() -> int:
         # heads scale with init_dim²); 100 unpruned epochs filled the disk
         cond_bias=args.cond_bias,
         ema_decay=args.ema,
+        adj_half_batch=args.adj_half,
         allow_random_fid=True,
     )
 

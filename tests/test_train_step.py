@@ -661,3 +661,94 @@ def test_lr_schedule_through_train_step(tiny_cfg, rng):
     # first apply: t=1 -> schedule already at the 0.1 floor
     assert deltas["sched"] < 0.5 * deltas["const"]
     assert np.isfinite(deltas["sched"]) and deltas["sched"] > 0
+
+
+# ---------------------------------------------------- adj_half_batch mode ----
+
+
+def test_adj_half_batch_task_exactness(setup, rng):
+    """cfg.adj_half_batch: even steps run EXACTLY the reference's real-image
+    adjuster row (img1 -> img2 targets, cond2), odd steps exactly the
+    generated-image row (fake -> img1, cond1) — verified by computing each
+    task's loss manually through the same apply fns."""
+    import jax.numpy as jnp
+
+    from littlegan_tpu.models import adjuster_apply, discriminator_apply, generator_apply
+    from littlegan_tpu.ops.losses import adjuster_loss
+
+    cfg, state = setup
+    hcfg = cfg.replace(adj_half_batch=True)
+    b1, b2 = _batches(cfg, rng)
+    noise = jax.random.normal(rng, (cfg.batch_size, cfg.noise_dim))
+    params = state.params
+    (img1, cond1), (img2, cond2) = b1, b2
+    fake = generator_apply(params, noise, cond2, cfg)
+
+    def manual(in_img, tgt_cond, tgt_img):
+        out = adjuster_apply(params, in_img, (tgt_cond + 1.0) * 0.5, cfg)
+        pr, c = discriminator_apply(params, out, cfg)
+        return adjuster_loss(tgt_cond, c, pr, tgt_img, out, cfg.l1_lambda)
+
+    for sel, (in_img, tc, ti) in (
+        (0, (img1, cond2, img2)),
+        (1, (np.asarray(fake), cond1, img1)),
+    ):
+        _, aux = total_loss_fn(
+            params, b1, b2, noise, b1[0], rng, hcfg, False, jnp.int32(sel)
+        )
+        np.testing.assert_allclose(
+            np.asarray(aux["loss/adj"]), np.asarray(manual(in_img, tc, ti)),
+            rtol=2e-5, err_msg=f"sel={sel}",
+        )
+        assert aux["adj"].shape[0] == cfg.batch_size  # N rows, not 2N
+    # flag off: bitwise-unchanged reference math (2N concat)
+    _, aux_ref = total_loss_fn(params, b1, b2, noise, b1[0], rng, cfg)
+    assert aux_ref["adj"].shape[0] == 2 * cfg.batch_size
+
+
+def test_adj_half_batch_trains_through_all_dispatch_paths(tiny_cfg, tmp_path):
+    """adj_half_batch compiles and trains through the plain jit, the K-step
+    scan (device_data), and gradient accumulation — one traced program
+    handles both parities — and the adjuster still learns (params change
+    after the warm-up gate)."""
+    import jax.numpy as jnp
+
+    from littlegan_tpu.training.step import (
+        make_accum_train_step,
+        make_scan_train_step,
+        make_train_step,
+    )
+
+    cfg = tiny_cfg.replace(adj_half_batch=True, use_partition=False, donate_state=False)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+    b1, b2 = _batches(cfg, rng)
+    step = make_train_step(cfg, state.params)
+    before = jax.device_get(state.params["adj_head"])
+    out = step(state, b1, b2, rng, jnp.int32(11))   # even, past warm-up
+    out = step(out.state, b2, b1, rng, jnp.int32(12))  # odd
+    assert all(np.isfinite(np.asarray(v)).all() for v in out.metrics.values())
+    after = jax.device_get(out.state.params["adj_head"])
+    assert any(
+        np.any(np.asarray(a) != np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after))
+    )
+
+    # scan path: K=2 steps per dispatch over a 4-batch store
+    store_img = jnp.stack([b1[0], b2[0], b1[0], b2[0]])
+    store_cond = jnp.stack([b1[1], b2[1], b1[1], b2[1]])
+    scan = make_scan_train_step(cfg, state.params, 2)
+    sout = scan(
+        state, store_img, store_cond,
+        jnp.array([0, 1], jnp.int32), jnp.array([2, 3], jnp.int32),
+        rng, jnp.int32(0), jnp.int32(11),
+    )
+    assert sout.metrics["loss/adj"].shape == (2,)
+    assert np.isfinite(np.asarray(sout.metrics["loss/adj"])).all()
+
+    # accumulation path: M=2 micro-pairs, one apply
+    acc = make_accum_train_step(cfg.replace(grad_accum=2), state.params)
+    b1s = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), b1, b2)
+    b2s = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), b2, b1)
+    aout = acc(state, b1s, b2s, rng, jnp.int32(11))
+    assert np.isfinite(np.asarray(aout.metrics["loss/adj"])).all()

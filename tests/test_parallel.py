@@ -244,3 +244,27 @@ def test_accum_step_dp_matches_single_device(dp_cfg):
         )
     for k in ("loss/gen", "loss/disc", "loss/adj"):
         assert abs(float(out_single.metrics[k]) - float(out_dp.metrics[k])) < 1e-3, k
+
+
+def test_dp_adj_half_batch_matches_single_device(dp_cfg):
+    """adj_half_batch composes with the DP mesh: the sharded step's updates
+    match single-device training at both batch_no parities."""
+    cfg = dp_cfg.replace(adj_half_batch=True)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    b1, b2 = _global_batches(cfg)
+    mesh = make_mesh(8)
+    dp = make_parallel_train_step(cfg, state.params, mesh, donate=False)
+    single = make_train_step(cfg, state.params, donate=False)
+    for bn in (20, 21):  # even (real task) and odd (generated task)
+        out_s = single(state, b1, b2, jax.random.PRNGKey(3), jnp.int32(bn))
+        out_d = dp(
+            replicate_state(state, mesh),
+            shard_batch(b1, mesh), shard_batch(b2, mesh),
+            jax.random.PRNGKey(3), jnp.int32(bn),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s.state.params["adj_head"]["dense"]["kernel"]),
+            np.asarray(out_d.state.params["adj_head"]["dense"]["kernel"]),
+            rtol=2e-4, atol=2e-5, err_msg=f"batch_no={bn}",
+        )
+        assert out_d.adj_image.shape[0] == cfg.batch_size  # N rows, sharded

@@ -119,6 +119,16 @@ class Config:
     param_dtype: str = "float32"  # params + optimizer state stay f32
     mesh_shape: Optional[List[int]] = None  # None -> 1D data mesh over all devices
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])
+    # OPT-IN, beyond the reference: ZeRO-1 optimizer-state sharding — the
+    # Adam mu/nu moment trees are sharded over the mesh instead of
+    # replicated per chip (params stay replicated; parallel/zero.py). XLA's
+    # SPMD partitioner turns the optimizer tail into reduce-scatter(grads)
+    # -> 1/n local Adam -> all-gather(params): same collective volume as
+    # plain DP's all-reduce, n x less optimizer HBM. Matters at 512²+ where
+    # the init_dim²-scaled dense heads dominate state size (docs/SCALING.md
+    # table). Needs a mesh; single-host for now (the npz checkpoint gathers
+    # the full state). Update-equivalence tested on the virtual 8-dev mesh.
+    shard_opt_state: bool = False
     donate_state: bool = True  # donate train-state buffers into the jitted step
     # Fused Pallas norm+activation kernel (ops/pallas/norm_lrelu.py).
     # Default OFF: measured on v5e (2026-08), XLA's own conv-epilogue fusion

@@ -5,3 +5,8 @@ from littlegan_tpu.parallel.train import (  # noqa: F401
     shard_local_batch,
     replicate_state,
 )
+from littlegan_tpu.parallel.zero import (  # noqa: F401
+    check_shard_opt_state,
+    place_state,
+    train_state_shardings,
+)

@@ -62,14 +62,17 @@ def make_spatial_train_step(cfg: Config, params, mesh: Mesh, donate: bool | None
     cond_sh = NamedSharding(mesh, P("data"))
     batch_sh = (img_sh, cond_sh)
 
+    from littlegan_tpu.parallel.zero import train_state_shardings
+
     part_masks = build_partition_masks(params)
     fn = partial(train_step, cfg=cfg, part_masks=part_masks)
     donate = cfg.donate_state if donate is None else donate
     adj_sh = img_sh if cfg.train_adj else rep
+    state_sh = train_state_shardings(cfg, params, mesh)  # ZeRO-1 when opted in
     return jax.jit(
         fn,
-        in_shardings=(rep, batch_sh, batch_sh, rep, rep),
-        out_shardings=StepOutput(state=rep, metrics=rep, fake_image=img_sh, adj_image=adj_sh),
+        in_shardings=(state_sh, batch_sh, batch_sh, rep, rep),
+        out_shardings=StepOutput(state=state_sh, metrics=rep, fake_image=img_sh, adj_image=adj_sh),
         donate_argnums=(0,) if donate else (),
         compiler_options=tpu_compiler_options(cfg),
     )

@@ -78,9 +78,14 @@ def make_parallel_train_step(cfg: Config, params, mesh: Mesh, donate: bool | Non
     ``step(state, batch1, batch2, rng, batch_no) -> StepOutput``.
     The global batch (both batches) must be divisible by the data-axis size.
     """
+    from littlegan_tpu.parallel.zero import train_state_shardings
+
     part_masks = build_partition_masks(params)
     rep = _replicated(mesh)
     bsh = _batch_sharding(mesh)
+    # replicated everything unless cfg.shard_opt_state (ZeRO-1: Adam moments
+    # sharded over the mesh, parallel/zero.py)
+    state_sh = train_state_shardings(cfg, params, mesh)
 
     if cfg.use_pallas or cfg.use_pallas_boundary:
         # Mosaic kernels are not auto-partitionable by the SPMD partitioner;
@@ -92,8 +97,8 @@ def make_parallel_train_step(cfg: Config, params, mesh: Mesh, donate: bool | Non
     adj_sh = bsh if cfg.train_adj else rep  # placeholder adj output is tiny
     return jax.jit(
         fn,
-        in_shardings=(rep, (bsh, bsh), (bsh, bsh), rep, rep),
-        out_shardings=StepOutput(state=rep, metrics=rep, fake_image=bsh, adj_image=adj_sh),
+        in_shardings=(state_sh, (bsh, bsh), (bsh, bsh), rep, rep),
+        out_shardings=StepOutput(state=state_sh, metrics=rep, fake_image=bsh, adj_image=adj_sh),
         donate_argnums=(0,) if donate else (),
         compiler_options=tpu_compiler_options(cfg),
     )

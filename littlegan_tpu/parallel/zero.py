@@ -1,0 +1,132 @@
+"""ZeRO-1 optimizer-state sharding over the device mesh (opt-in).
+
+The reference replicates nothing because it has no distributed backend at
+all (SURVEY §2 #23-24); plain DP here replicates params AND the three Adam
+states on every chip (parallel/train.py). That is fine at 128² (~9.6M
+params), but the generator/adjuster dense heads scale with init_dim² — at
+1024² (init_dim 64) the two 100x(64·64·384) kernels alone are ~2.4 GB f32
+and the full train state ~5 GB, most of it Adam moments that each chip
+keeps an identical copy of.
+
+``Config.shard_opt_state`` shards the Adam ``mu``/``nu`` moment trees over
+the mesh instead (per-leaf, largest divisible axis), annotation-only in the
+idiomatic-JAX way: the SAME train step is jitted with these shardings and
+XLA's SPMD partitioner turns the optimizer tail into the canonical ZeRO-1
+schedule — gradients reduce-scatter into the moment shards, each chip
+applies 1/n of the Adam update, and the updated params all-gather back to
+replicated. Same collective volume as plain DP's all-reduce (a
+reduce-scatter + all-gather IS an all-reduce), n× less optimizer HBM.
+
+Params (and the optional EMA tree) stay replicated: they are read by every
+conv in fwd/bwd, so gathering them once per step is the right trade at GAN
+scale (full ZeRO-3 param sharding would re-gather per layer for no memory
+win that matters here). Per-leaf int32 ``count`` scalars stay replicated.
+
+Update-equivalence with unsharded DP is asserted on the virtual 8-device
+CPU mesh in tests/test_zero.py; the driver's ``dryrun_multichip`` compiles
+and runs this regime every round.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from littlegan_tpu.config import Config
+from littlegan_tpu.training.optimizer import AdamState
+from littlegan_tpu.training.state import A_KEYS, D_KEYS, G_KEYS, TrainState, subtree
+
+
+# leaves below this element count stay replicated: a sharded leaf swaps its
+# grad all-reduce for reduce-scatter + all-gather (same volume, one more
+# collective launch) — worth it only where the HBM saving is real
+_MIN_SHARD_ELEMS = 32768
+
+
+def _moment_spec(shape, mesh: Mesh) -> P:
+    """PartitionSpec for one moment leaf: pick the LARGEST axis divisible by
+    the whole mesh (ties -> last such axis, keeping conv kernels sharded on
+    channels-out); fall back to the 'data' axis alone, else replicate.
+    Leaves smaller than _MIN_SHARD_ELEMS replicate.
+
+    Deterministic by construction — the same leaf always shards the same
+    way, so checkpoints restore onto identical layouts.
+    """
+    total = 1
+    for d in shape:
+        total *= d
+    if total < _MIN_SHARD_ELEMS:
+        return P()
+    candidates = [tuple(mesh.axis_names)]
+    if len(mesh.axis_names) > 1 and "data" in mesh.axis_names:
+        candidates.append(("data",))  # e.g. H=odd multiples on spatial meshes
+    for axes in candidates:
+        n = 1
+        for a in axes:
+            n *= mesh.shape[a]
+        if n <= 1:
+            continue
+        best = None
+        for i, d in enumerate(shape):
+            if d % n == 0 and d > 1 and (best is None or d >= shape[best]):
+                best = i
+        if best is not None:
+            spec = [None] * len(shape)
+            spec[best] = axes if len(axes) > 1 else axes[0]
+            return P(*spec)
+    return P()
+
+
+def train_state_shardings(cfg: Config, params, mesh: Mesh) -> TrainState:
+    """TrainState-shaped pytree of NamedShardings for ``jax.jit``'s
+    in/out_shardings: params/EMA/counts replicated, Adam moments sharded
+    per ``_moment_spec``. With ``cfg.shard_opt_state`` False everything is
+    replicated (exactly the historical DP layout)."""
+    rep = NamedSharding(mesh, P())
+    rep_tree = lambda t: jax.tree_util.tree_map(lambda _: rep, t)
+
+    def opt_sh(keys):
+        sub = subtree(params, keys)
+        if not cfg.shard_opt_state:
+            m = rep_tree(sub)
+            return AdamState(count=rep_tree(sub), mu=m, nu=m)
+        moments = jax.tree_util.tree_map(
+            lambda x: NamedSharding(mesh, _moment_spec(x.shape, mesh)), sub
+        )
+        return AdamState(count=rep_tree(sub), mu=moments, nu=moments)
+
+    return TrainState(
+        params=rep_tree(params),
+        opt_g=opt_sh(G_KEYS),
+        opt_d=opt_sh(D_KEYS),
+        opt_a=opt_sh(A_KEYS),
+        ema=rep_tree(subtree(params, G_KEYS)) if cfg.ema_decay > 0 else None,
+    )
+
+
+def place_state(state: TrainState, mesh: Mesh, cfg: Config) -> TrainState:
+    """Initial device placement matching ``train_state_shardings`` (the
+    sharding-aware successor of ``replicate_state``)."""
+    return jax.device_put(state, train_state_shardings(cfg, state.params, mesh))
+
+
+def check_shard_opt_state(cfg: Config, mesh: Optional[Mesh]) -> None:
+    """Build-time preconditions for ``cfg.shard_opt_state`` (clear errors
+    instead of opaque GSPMD/checkpoint failures at first dispatch)."""
+    if not cfg.shard_opt_state:
+        return
+    if mesh is None:
+        raise ValueError(
+            "shard_opt_state=true needs a device mesh (it shards the Adam "
+            "moments over mesh axes) — run with >1 device and a batch_size "
+            "divisible by the device count, or turn it off"
+        )
+    if jax.process_count() > 1:
+        raise ValueError(
+            "shard_opt_state=true is single-host for now: the npz checkpoint "
+            "backend gathers the full state with jax.device_get, which "
+            "cannot address other hosts' moment shards — run it on one "
+            "host's chips, or turn it off for multi-host training"
+        )

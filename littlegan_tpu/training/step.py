@@ -421,6 +421,8 @@ def make_accum_train_step(cfg: Config, params, donate: bool | None = None, mesh=
     if spatial and cfg.use_s2d:
         cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
         fn = partial(accum_train_step, cfg=cfg, part_masks=part_masks)
+    from littlegan_tpu.parallel.zero import train_state_shardings
+
     img_axes = ("data", "model") if spatial else ("data",)
     rep = NamedSharding(mesh, P())
     micro_img = NamedSharding(mesh, P(None, *img_axes))  # (M, B, H, ...)
@@ -428,10 +430,11 @@ def make_accum_train_step(cfg: Config, params, donate: bool | None = None, mesh=
     micro = (micro_img, micro_cond)
     bsh = NamedSharding(mesh, P(*img_axes))
     adj_sh = bsh if cfg.train_adj else rep  # placeholder adj output is tiny
+    state_sh = train_state_shardings(cfg, params, mesh)  # ZeRO-1 when opted in
     return jax.jit(
         fn,
-        in_shardings=(rep, micro, micro, rep, rep),
-        out_shardings=StepOutput(state=rep, metrics=rep, fake_image=bsh, adj_image=adj_sh),
+        in_shardings=(state_sh, micro, micro, rep, rep),
+        out_shardings=StepOutput(state=state_sh, metrics=rep, fake_image=bsh, adj_image=adj_sh),
         donate_argnums=(0,) if donate else (),
         compiler_options=tpu_compiler_options(cfg),
     )
@@ -448,19 +451,24 @@ def _take_batch(store, b):
     return jax.lax.dynamic_index_in_dim(store, b, axis=0, keepdims=False)
 
 
-def _device_data_shardings(cfg: Config, mesh):
-    """(in_shardings, out_shardings) for the device-store step under ``mesh``."""
+def _device_data_shardings(cfg: Config, mesh, params):
+    """(state/replicated/store shardings, out_shardings) for the
+    device-store step under ``mesh``. The state sharding is replicated
+    unless cfg.shard_opt_state (ZeRO-1, parallel/zero.py)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from littlegan_tpu.parallel.zero import train_state_shardings
+
     rep = NamedSharding(mesh, P())
+    state_sh = train_state_shardings(cfg, params, mesh)
     spatial = "model" in mesh.axis_names
     img_axes = ("data", "model") if spatial else ("data",)
     store_img = NamedSharding(mesh, P(None, *img_axes))
     store_cond = NamedSharding(mesh, P(None, "data"))
     out_img = NamedSharding(mesh, P(*img_axes))
     adj_sh = out_img if cfg.train_adj else rep
-    out = StepOutput(state=rep, metrics=rep, fake_image=out_img, adj_image=adj_sh)
-    return rep, store_img, store_cond, out
+    out = StepOutput(state=state_sh, metrics=rep, fake_image=out_img, adj_image=adj_sh)
+    return state_sh, rep, store_img, store_cond, out
 
 
 def _check_store_layout(cfg: Config, store_s2d: bool) -> None:
@@ -528,10 +536,10 @@ def _make_scan_dispatch(
 
     if mesh is None:
         return jax.jit(fn, donate_argnums=(0,) if donate else (), compiler_options=tpu_compiler_options(cfg))
-    rep, store_img, store_cond, out = _device_data_shardings(cfg, mesh)
+    state_sh, rep, store_img, store_cond, out = _device_data_shardings(cfg, mesh, params)
     return jax.jit(
         fn,
-        in_shardings=(rep, store_img, store_cond, rep, rep, rep, rep, rep),
+        in_shardings=(state_sh, store_img, store_cond, rep, rep, rep, rep, rep),
         out_shardings=out,
         donate_argnums=(0,) if donate else (),
         compiler_options=tpu_compiler_options(cfg),
@@ -621,10 +629,10 @@ def make_gather_train_step(
 
     if mesh is None:
         return jax.jit(fn, donate_argnums=(0,) if donate else (), compiler_options=tpu_compiler_options(cfg))
-    rep, store_img, store_cond, out = _device_data_shardings(cfg, mesh)
+    state_sh, rep, store_img, store_cond, out = _device_data_shardings(cfg, mesh, params)
     return jax.jit(
         fn,
-        in_shardings=(rep, store_img, store_cond, rep, rep, rep, rep),
+        in_shardings=(state_sh, store_img, store_cond, rep, rep, rep, rep),
         out_shardings=out,
         donate_argnums=(0,) if donate else (),
         compiler_options=tpu_compiler_options(cfg),

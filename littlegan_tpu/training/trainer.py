@@ -203,8 +203,10 @@ class Trainer:
             )
         if self._spatial:
             from littlegan_tpu.parallel.spatial import make_spatial_train_step
+            from littlegan_tpu.parallel.zero import check_shard_opt_state, place_state
 
-            self.state = jax.device_put(self.state)
+            check_shard_opt_state(cfg, self.mesh)
+            self.state = place_state(self.state, self.mesh, cfg)
             if (
                 n_proc > 1
                 and self.dataset is not None  # dataset-less modes (plot,
@@ -239,10 +241,14 @@ class Trainer:
                 self._train_step = make_spatial_train_step(cfg, self.state.params, self.mesh, donate=False)
             print(f"Spatially-sharded training over a {dict(zip(axes, self.mesh.devices.shape))} mesh")
         elif n_dev > 1 and cfg.batch_size % n_dev == 0:
-            from littlegan_tpu.parallel import make_mesh, make_parallel_train_step, replicate_state
+            from littlegan_tpu.parallel import make_mesh, make_parallel_train_step
+            from littlegan_tpu.parallel.zero import check_shard_opt_state, place_state
 
             self.mesh = make_mesh(n_dev)
-            self.state = replicate_state(self.state, self.mesh)
+            check_shard_opt_state(cfg, self.mesh)
+            # replicates everything; with cfg.shard_opt_state the Adam
+            # moments land sharded over the mesh (ZeRO-1, parallel/zero.py)
+            self.state = place_state(self.state, self.mesh, cfg)
             if (
                 n_proc > 1
                 and self.dataset is not None
@@ -273,6 +279,10 @@ class Trainer:
                 print(f"Data-parallel training over {n_dev} devices")
         else:
             self.mesh = None
+            if cfg.shard_opt_state:
+                from littlegan_tpu.parallel.zero import check_shard_opt_state
+
+                check_shard_opt_state(cfg, None)  # raises: needs a mesh
             if n_proc > 1 and self.dataset is not None:
                 # without a global mesh there is NO cross-host all-reduce:
                 # each process would silently train its own independent model

@@ -129,6 +129,20 @@ class Config:
     # table). Needs a mesh; single-host for now (the npz checkpoint gathers
     # the full state). Update-equivalence tested on the virtual 8-dev mesh.
     shard_opt_state: bool = False
+    # OPT-IN, beyond the reference: tensor-parallel dense heads — the
+    # init_dim²-scaled dense kernels (g_head/adj_head dense: output dim;
+    # d_head pr/cond: input dim) are sharded over the spatial mesh's
+    # 'model' axis instead of replicated (parallel/zero.py). Output-dim
+    # sharding maps EXACTLY onto the H-sharded decoder activations (the
+    # row-major (B, H·W·C) -> (B, H, W, C) reshape keeps H major), so the
+    # forward pass needs no new collectives and the kernels' grads reduce
+    # over 'data' only, at 1/n_model volume each. Their Adam moments (and
+    # the EMA g_head) follow the param sharding. This is where the params
+    # live at 512²+: at 1024² the G dense kernel alone is 629 MB f32.
+    # Needs a ('data','model') mesh with init_dim % model-axis == 0;
+    # single-host for now (npz checkpoint gathers state). Update-
+    # equivalence tested on the virtual (4,2) mesh (tests/test_shard_dense.py).
+    shard_dense: bool = False
     donate_state: bool = True  # donate train-state buffers into the jitted step
     # Fused Pallas norm+activation kernel (ops/pallas/norm_lrelu.py).
     # Default OFF: measured on v5e (2026-08), XLA's own conv-epilogue fusion

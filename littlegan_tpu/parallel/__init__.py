@@ -6,6 +6,7 @@ from littlegan_tpu.parallel.train import (  # noqa: F401
     replicate_state,
 )
 from littlegan_tpu.parallel.zero import (  # noqa: F401
+    check_shard_dense,
     check_shard_opt_state,
     place_state,
     train_state_shardings,

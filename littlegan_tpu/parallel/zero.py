@@ -1,4 +1,5 @@
-"""ZeRO-1 optimizer-state sharding over the device mesh (opt-in).
+"""Train-state sharding over the device mesh: ZeRO-1 optimizer-state
+sharding and tensor-parallel dense heads (both opt-in).
 
 The reference replicates nothing because it has no distributed backend at
 all (SURVEY §2 #23-24); plain DP here replicates params AND the three Adam
@@ -22,6 +23,20 @@ conv in fwd/bwd, so gathering them once per step is the right trade at GAN
 scale (full ZeRO-3 param sharding would re-gather per layer for no memory
 win that matters here). Per-leaf int32 ``count`` scalars stay replicated.
 
+``Config.shard_dense`` goes one step further for the ONE place param
+replication actually hurts: the init_dim²-scaled dense heads. The
+g_head/adj_head dense kernels shard their OUTPUT dim and the d_head
+pr/cond kernels their INPUT dim over the spatial mesh's ``'model'`` axis
+(``_DENSE_HEAD_SPECS``). Because the (B, H·W·C) <-> (B, H, W, C) reshapes
+are row-major with H major, an output-dim shard boundary aligned to whole
+H-rows (guaranteed by init_dim % n_model == 0) IS the H-sharding the
+spatial mesh already uses for every activation — the forward needs no new
+collectives, and each kernel's gradient reduces over 'data' only at
+1/n_model volume. The moments (and the EMA g_head) follow the param
+sharding regardless of ``shard_opt_state``: moments of a sharded param
+that stayed replicated would force a gather in the optimizer tail and
+defeat the memory win.
+
 Update-equivalence with unsharded DP is asserted on the virtual 8-device
 CPU mesh in tests/test_zero.py; the driver's ``dryrun_multichip`` compiles
 and runs this regime every round.
@@ -43,6 +58,29 @@ from littlegan_tpu.training.state import A_KEYS, D_KEYS, G_KEYS, TrainState, sub
 # grad all-reduce for reduce-scatter + all-gather (same volume, one more
 # collective launch) — worth it only where the HBM saving is real
 _MIN_SHARD_ELEMS = 32768
+
+# Config.shard_dense param shardings, keyed by pytree path. The dense-embed
+# kernels/biases shard the feature (output) dim — H-major, so the shards ARE
+# the spatial mesh's H-slabs — and the D heads shard the flattened-feature
+# (input) dim, which is the same H-major layout on the other side of the
+# matmul (a local partial product + one psum over 'model' for a (B, 1|7)
+# result). d_head biases are 1-8 floats: replicated.
+_DENSE_HEAD_SPECS = {
+    ("g_head", "dense", "kernel"): P(None, "model"),
+    ("g_head", "dense", "bias"): P("model"),
+    ("adj_head", "dense", "kernel"): P(None, "model"),
+    ("adj_head", "dense", "bias"): P("model"),
+    ("d_head", "pr", "kernel"): P("model", None),
+    ("d_head", "cond", "kernel"): P("model", None),
+}
+
+
+def _path_key(path) -> tuple:
+    return tuple(str(getattr(p, "key", p)) for p in path)
+
+
+def _dense_spec(path) -> Optional[P]:
+    return _DENSE_HEAD_SPECS.get(_path_key(path))
 
 
 def _moment_spec(shape, mesh: Mesh) -> P:
@@ -81,28 +119,40 @@ def _moment_spec(shape, mesh: Mesh) -> P:
 
 def train_state_shardings(cfg: Config, params, mesh: Mesh) -> TrainState:
     """TrainState-shaped pytree of NamedShardings for ``jax.jit``'s
-    in/out_shardings: params/EMA/counts replicated, Adam moments sharded
-    per ``_moment_spec``. With ``cfg.shard_opt_state`` False everything is
-    replicated (exactly the historical DP layout)."""
+    in/out_shardings. Default (both flags off): everything replicated —
+    exactly the historical DP layout. ``shard_opt_state``: Adam moments
+    sharded per ``_moment_spec``. ``shard_dense``: the dense-head params
+    (+ their moments and the EMA g_head) sharded per ``_DENSE_HEAD_SPECS``."""
+    if cfg.shard_dense:
+        check_shard_dense(cfg, mesh)
     rep = NamedSharding(mesh, P())
     rep_tree = lambda t: jax.tree_util.tree_map(lambda _: rep, t)
 
+    def param_sh(t):
+        if not cfg.shard_dense:
+            return rep_tree(t)
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: NamedSharding(mesh, _dense_spec(p) or P()), t
+        )
+
     def opt_sh(keys):
         sub = subtree(params, keys)
-        if not cfg.shard_opt_state:
-            m = rep_tree(sub)
-            return AdamState(count=rep_tree(sub), mu=m, nu=m)
-        moments = jax.tree_util.tree_map(
-            lambda x: NamedSharding(mesh, _moment_spec(x.shape, mesh)), sub
-        )
+
+        def moment(path, x):
+            spec = _dense_spec(path) if cfg.shard_dense else None
+            if spec is None and cfg.shard_opt_state:
+                spec = _moment_spec(x.shape, mesh)
+            return NamedSharding(mesh, spec or P())
+
+        moments = jax.tree_util.tree_map_with_path(moment, sub)
         return AdamState(count=rep_tree(sub), mu=moments, nu=moments)
 
     return TrainState(
-        params=rep_tree(params),
+        params=param_sh(params),
         opt_g=opt_sh(G_KEYS),
         opt_d=opt_sh(D_KEYS),
         opt_a=opt_sh(A_KEYS),
-        ema=rep_tree(subtree(params, G_KEYS)) if cfg.ema_decay > 0 else None,
+        ema=param_sh(subtree(params, G_KEYS)) if cfg.ema_decay > 0 else None,
     )
 
 
@@ -128,5 +178,36 @@ def check_shard_opt_state(cfg: Config, mesh: Optional[Mesh]) -> None:
             "shard_opt_state=true is single-host for now: the npz checkpoint "
             "backend gathers the full state with jax.device_get, which "
             "cannot address other hosts' moment shards — run it on one "
+            "host's chips, or turn it off for multi-host training"
+        )
+
+
+def check_shard_dense(cfg: Config, mesh: Optional[Mesh]) -> None:
+    """Build-time preconditions for ``cfg.shard_dense`` (clear errors
+    instead of opaque GSPMD/checkpoint failures at first dispatch)."""
+    if not cfg.shard_dense:
+        return
+    if mesh is None or "model" not in mesh.axis_names:
+        raise ValueError(
+            "shard_dense=true needs a ('data','model') mesh: the dense-head "
+            "kernels shard over the spatial mesh's 'model' axis so their "
+            "shards align with the H-sharded activations — set "
+            "mesh_axes=['data','model'] (parallel/spatial.py), or turn "
+            "shard_dense off"
+        )
+    n_model = mesh.shape["model"]
+    if cfg.init_dim % n_model != 0:
+        raise ValueError(
+            f"shard_dense=true needs init_dim ({cfg.init_dim}) divisible by "
+            f"the model-axis size ({n_model}): dense-head shard boundaries "
+            "must fall on whole H-rows of the reshaped feature map so they "
+            "coincide with the spatial H-sharding — shrink the model axis "
+            "or turn shard_dense off"
+        )
+    if jax.process_count() > 1:
+        raise ValueError(
+            "shard_dense=true is single-host for now: the npz checkpoint "
+            "backend gathers the full state with jax.device_get, which "
+            "cannot address other hosts' param shards — run it on one "
             "host's chips, or turn it off for multi-host training"
         )

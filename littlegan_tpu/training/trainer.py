@@ -203,9 +203,14 @@ class Trainer:
             )
         if self._spatial:
             from littlegan_tpu.parallel.spatial import make_spatial_train_step
-            from littlegan_tpu.parallel.zero import check_shard_opt_state, place_state
+            from littlegan_tpu.parallel.zero import (
+                check_shard_dense,
+                check_shard_opt_state,
+                place_state,
+            )
 
             check_shard_opt_state(cfg, self.mesh)
+            check_shard_dense(cfg, self.mesh)
             self.state = place_state(self.state, self.mesh, cfg)
             if (
                 n_proc > 1
@@ -242,10 +247,15 @@ class Trainer:
             print(f"Spatially-sharded training over a {dict(zip(axes, self.mesh.devices.shape))} mesh")
         elif n_dev > 1 and cfg.batch_size % n_dev == 0:
             from littlegan_tpu.parallel import make_mesh, make_parallel_train_step
-            from littlegan_tpu.parallel.zero import check_shard_opt_state, place_state
+            from littlegan_tpu.parallel.zero import (
+                check_shard_dense,
+                check_shard_opt_state,
+                place_state,
+            )
 
             self.mesh = make_mesh(n_dev)
             check_shard_opt_state(cfg, self.mesh)
+            check_shard_dense(cfg, self.mesh)  # raises: DP mesh has no 'model' axis
             # replicates everything; with cfg.shard_opt_state the Adam
             # moments land sharded over the mesh (ZeRO-1, parallel/zero.py)
             self.state = place_state(self.state, self.mesh, cfg)
@@ -283,6 +293,10 @@ class Trainer:
                 from littlegan_tpu.parallel.zero import check_shard_opt_state
 
                 check_shard_opt_state(cfg, None)  # raises: needs a mesh
+            if cfg.shard_dense:
+                from littlegan_tpu.parallel.zero import check_shard_dense
+
+                check_shard_dense(cfg, None)  # raises: needs a ('data','model') mesh
             if n_proc > 1 and self.dataset is not None:
                 # without a global mesh there is NO cross-host all-reduce:
                 # each process would silently train its own independent model

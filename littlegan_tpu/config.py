@@ -126,8 +126,10 @@ class Config:
     # -> 1/n local Adam -> all-gather(params): same collective volume as
     # plain DP's all-reduce, n x less optimizer HBM. Matters at 512²+ where
     # the init_dim²-scaled dense heads dominate state size (docs/SCALING.md
-    # table). Needs a mesh; single-host for now (the npz checkpoint gathers
-    # the full state). Update-equivalence tested on the virtual 8-dev mesh.
+    # table). Needs a mesh; across HOSTS additionally needs
+    # extra.checkpoint_backend='orbax' (the npz backend gathers the full
+    # state, which cannot see other hosts' shards — 2-process orbax
+    # round-trip tested). Update-equivalence tested on the virtual 8-dev mesh.
     shard_opt_state: bool = False
     # OPT-IN, beyond the reference: tensor-parallel dense heads — the
     # init_dim²-scaled dense kernels (g_head/adj_head dense: output dim;
@@ -139,8 +141,8 @@ class Config:
     # over 'data' only, at 1/n_model volume each. Their Adam moments (and
     # the EMA g_head) follow the param sharding. This is where the params
     # live at 512²+: at 1024² the G dense kernel alone is 629 MB f32.
-    # Needs a ('data','model') mesh with init_dim % model-axis == 0;
-    # single-host for now (npz checkpoint gathers state). Update-
+    # Needs a ('data','model') mesh with init_dim % model-axis == 0; across
+    # HOSTS additionally needs extra.checkpoint_backend='orbax'. Update-
     # equivalence tested on the virtual (4,2) mesh (tests/test_shard_dense.py).
     shard_dense: bool = False
     donate_state: bool = True  # donate train-state buffers into the jitted step

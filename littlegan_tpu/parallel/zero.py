@@ -39,7 +39,10 @@ defeat the memory win.
 
 Update-equivalence with unsharded DP is asserted on the virtual 8-device
 CPU mesh in tests/test_zero.py; the driver's ``dryrun_multichip`` compiles
-and runs this regime every round.
+and runs this regime every round. Across HOSTS both flags require the
+orbax checkpoint backend (coordinated cross-host sharded save/restore —
+2-process round-trip test in tests/test_multihost.py); the default npz
+backend gathers with jax.device_get and refuses at build time.
 """
 
 from __future__ import annotations
@@ -173,12 +176,22 @@ def check_shard_opt_state(cfg: Config, mesh: Optional[Mesh]) -> None:
             "moments over mesh axes) — run with >1 device and a batch_size "
             "divisible by the device count, or turn it off"
         )
-    if jax.process_count() > 1:
+    _check_multihost_backend(cfg, "shard_opt_state", "moment")
+
+
+def _check_multihost_backend(cfg: Config, flag: str, what: str) -> None:
+    """Sharded train state across HOSTS needs a checkpoint backend that can
+    write non-addressable shards: orbax coordinates a cross-host sharded
+    save/restore natively; the default npz backend gathers with
+    jax.device_get, which can only see this host's shards."""
+    if jax.process_count() > 1 and getattr(cfg, "extra", {}).get("checkpoint_backend") != "orbax":
         raise ValueError(
-            "shard_opt_state=true is single-host for now: the npz checkpoint "
-            "backend gathers the full state with jax.device_get, which "
-            "cannot address other hosts' moment shards — run it on one "
-            "host's chips, or turn it off for multi-host training"
+            f"{flag}=true across hosts needs the orbax checkpoint backend: "
+            f"the default npz backend gathers the full state with "
+            f"jax.device_get, which cannot address other hosts' {what} "
+            f"shards — set extra.checkpoint_backend='orbax' in the config "
+            f"(cross-host sharded save/restore, tests/test_multihost.py), "
+            f"run on one host's chips, or turn {flag} off"
         )
 
 
@@ -204,10 +217,4 @@ def check_shard_dense(cfg: Config, mesh: Optional[Mesh]) -> None:
             "coincide with the spatial H-sharding — shrink the model axis "
             "or turn shard_dense off"
         )
-    if jax.process_count() > 1:
-        raise ValueError(
-            "shard_dense=true is single-host for now: the npz checkpoint "
-            "backend gathers the full state with jax.device_get, which "
-            "cannot address other hosts' param shards — run it on one "
-            "host's chips, or turn it off for multi-host training"
-        )
+    _check_multihost_backend(cfg, "shard_dense", "param")

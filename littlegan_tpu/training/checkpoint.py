@@ -221,6 +221,19 @@ class OrbaxCheckpointer:
 
     def restore(self, tag: str, template):
         self.wait()
+        # Normalize fully-addressable template leaves to host numpy: restore
+        # then always yields host arrays (matching the npz backend), and a
+        # per-host SingleDeviceSharding template can never constrain a
+        # MULTI-HOST restore of cross-host sharded state (shard_opt_state /
+        # shard_dense save global sharded arrays; the trainer re-places the
+        # restored host tree with place_state). A non-addressable template
+        # leaf keeps its global sharding and restores straight into it.
+        template = jax.tree_util.tree_map(
+            lambda x: np.asarray(x)
+            if isinstance(x, jax.Array) and x.is_fully_addressable
+            else x,
+            template,
+        )
         return self._ckptr.restore(self._path(tag), args=self._ocp.args.StandardRestore(template))
 
     def latest_tag(self) -> Optional[str]:

@@ -189,6 +189,58 @@ if phase in ("hostfed_accum",):
         f"decoded={ds.decoded_rows}"
     )
 
+# ---- phase 7: cross-host SHARDED-STATE checkpointing (orbax backend) ----
+# shard_opt_state across 2 processes: the Adam moments span non-addressable
+# devices, so the npz backend cannot save them (check_shard_opt_state
+# refuses); the orbax backend writes/reads each host's shards in a
+# coordinated save into ONE shared directory. Asserts (a) the moments really
+# span both hosts, (b) a save -> restore round trip is shard-exact on every
+# host, (c) resuming from the restored tree trains on with identical losses
+# across processes.
+if phase in ("sharded_ckpt",):
+    import numpy as np
+
+    import littlegan_tpu.parallel.zero as zero_mod
+    from littlegan_tpu.training.checkpoint import OrbaxCheckpointer
+
+    out_root = sys.argv[4]
+    zero_mod._MIN_SHARD_ELEMS = 0  # tiny leaves must actually shard
+    zcfg = cfg.replace(shard_opt_state=True, extra={"checkpoint_backend": "orbax"})
+    zero_mod.check_shard_opt_state(zcfg, mesh)  # multi-host + orbax: allowed
+    zstate = zero_mod.place_state(create_train_state(zcfg, jax.random.PRNGKey(0)), mesh, zcfg)
+    step = make_parallel_train_step(zcfg, zstate.params, mesh, donate=False)
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    b1 = shard_batch(random_device_batch(zcfg, ks[0]), mesh)
+    b2 = shard_batch(random_device_batch(zcfg, ks[1]), mesh)
+    for i in range(2):
+        zstate = step(zstate, b1, b2, jax.random.PRNGKey(2), jnp.int32(i + 11)).state
+    cross_host = [
+        x
+        for x in jax.tree_util.tree_leaves(zstate.opt_d.mu)
+        if x.ndim and not x.sharding.is_fully_replicated and not x.is_fully_addressable
+    ]
+    assert cross_host, "no moment leaf spans both hosts"
+
+    ck = OrbaxCheckpointer(os.path.join(out_root, "ckpt"))  # SHARED directory
+    ck.save("1", zstate, {"epoch": 2, "step": 2})
+    ck.wait()
+    template = jax.device_get(create_train_state(zcfg, jax.random.PRNGKey(1)))
+    restored = ck.restore("1", template)
+    for (path, live), (_, rest) in zip(
+        jax.tree_util.tree_leaves_with_path(zstate),
+        jax.tree_util.tree_leaves_with_path(restored),
+    ):
+        rest = np.asarray(rest)
+        for s in live.addressable_shards:  # shard-exact on THIS host's shards
+            np.testing.assert_array_equal(rest[s.index], np.asarray(s.data)), path
+    rstate = zero_mod.place_state(restored, mesh, zcfg)
+    out7 = step(rstate, b1, b2, jax.random.PRNGKey(4), jnp.int32(13))
+    m7 = jax.device_get(out7.metrics)
+    print(
+        f"MULTIHOST_SHARDED_CKPT_OK proc={proc_id} "
+        + " ".join(f"{k}={float(v):.6f}" for k, v in sorted(m7.items()))
+    )
+
 # ---- phase 6: host-fed SPATIAL ('data','model') multi-host (round 3) ----
 # mesh (2, 4): one data-row per process, model (H) axis within each. Each
 # host decodes batch_size/2 rows per batch (set_rows_per_batch via the

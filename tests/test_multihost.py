@@ -218,6 +218,20 @@ def test_two_process_hostfed_grad_accum(tmp_path):
     assert loss_lines[0] == loss_lines[1], loss_lines
 
 
+@pytest.mark.slow
+def test_two_process_sharded_state_checkpoint(tmp_path):
+    """shard_opt_state ACROSS hosts with the orbax backend: cross-host
+    sharded Adam moments save into one shared directory, round-trip
+    shard-exact on every host, and training resumes from the restored tree
+    with identical losses on both processes. (The npz backend refuses this
+    config at build time — check_shard_opt_state.)"""
+    outs = _run_workers("sharded_ckpt", str(tmp_path / "shared"))
+    lines = [l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_SHARDED_CKPT_OK")]
+    assert len(lines) == 2, outs
+    metrics = [l.split(" ", 2)[2] for l in lines]
+    assert metrics[0] == metrics[1], lines
+
+
 def _jpeg_tree(tmp_path):
     import numpy as np
     from PIL import Image

@@ -24,6 +24,10 @@ import os
 import sys
 import time
 
+# runnable as `python scripts/doctor.py` without PYTHONPATH (same bootstrap
+# as every other script here)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 _RESULTS = []
 
 

@@ -141,6 +141,42 @@ def test_shard_dense_preconditions(sd_cfg, tiny_cfg):
     check_shard_dense(sd_cfg, smesh)  # init_dim=2: fine
 
 
+def test_shard_dense_trainer_e2e_with_resume(sd_cfg, tmp_path):
+    """Full Trainer over the ('data','model') mesh with shard_dense: the
+    predict cadence runs on sharded params, the npz checkpoint gathers the
+    (single-host-addressable) shards, and a resume re-places the restored
+    host tree back onto the sharded layout."""
+    import os
+
+    from littlegan_tpu.data.synthetic import SyntheticDataset
+    from littlegan_tpu.training.trainer import Trainer
+
+    cfg = sd_cfg.replace(
+        epoch=1,
+        freq_gen=2,
+        freq_test=2,
+        mesh_axes=["data", "model"],
+        mesh_shape=[4, 2],
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="sd",
+        restore=True,
+    )
+    ds = SyntheticDataset(cfg, num_items=4 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    assert tr._spatial
+    assert not tr.state.params["g_head"]["dense"]["kernel"].sharding.is_fully_replicated
+    tr.train()
+    assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))
+    assert os.listdir(os.path.join(cfg.result_dir, "test", "gen"))  # predict ran
+
+    tr2 = Trainer(cfg.replace(epoch=2), SyntheticDataset(cfg, num_items=4 * cfg.batch_size))
+    assert tr2.global_epoch == 2  # restored
+    assert not tr2.state.params["g_head"]["dense"]["kernel"].sharding.is_fully_replicated
+    tr2.train()
+    assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-2.npz"))
+
+
 def test_shard_dense_trainer_refuses_without_model_axis(tiny_cfg, tmp_path):
     """A DP-only (or mesh-less) run with shard_dense must fail at build time
     with remediation text, not deep in GSPMD."""

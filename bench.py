@@ -188,6 +188,11 @@ def main():
         help="measure the opt-in adj_half_batch step (Config.adj_half_batch; "
         "the metric name gains an _adjhalf suffix — NOT the parity step)",
     )
+    ap.add_argument(
+        "--moment-dtype", default="float32", choices=("float32", "bfloat16"),
+        help="Adam moment STORAGE dtype (Config.moment_dtype); bfloat16 adds "
+        "an _mbf16 suffix to the metric name",
+    )
     args = ap.parse_args()
     # CPU-fallback runs (tunnel hang, see _ensure_live_backend) measure a
     # SMALL config unless the caller pinned one: a CPU step at the 128²/b32
@@ -207,6 +212,7 @@ def main():
         use_partition=True,
         train_adj=True,
         adj_half_batch=args.adj_half,
+        moment_dtype=args.moment_dtype,
         donate_state=True,
         debug=True,
     )
@@ -236,6 +242,8 @@ def main():
     achieved = flops_per_step / step_s if step_s > 0 else 0.0
 
     suffix = "_adjhalf" if args.adj_half else ""
+    if args.moment_dtype == "bfloat16":
+        suffix += "_mbf16"
     out = {
         "metric": f"train_images_per_sec_per_chip_{args.dim}px_b{args.batch}{suffix}",
         "value": round(images_per_sec, 2),

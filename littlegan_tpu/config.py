@@ -117,6 +117,15 @@ class Config:
     seed: int = 0
     compute_dtype: str = "bfloat16"  # dtype of conv/matmul compute inside the step
     param_dtype: str = "float32"  # params + optimizer state stay f32
+    # OPT-IN, beyond the reference: storage dtype of the Adam mu/nu moment
+    # trees ('float32' | 'bfloat16'). bfloat16 halves optimizer-state HBM —
+    # the dominant train-state cost at 512²+ (docs/SCALING.md table) — and
+    # composes with shard_opt_state for another n_devices x on top. Update
+    # math stays f32 (upcast on load, round on store); with the G/D betas
+    # (0.5, 0.9) the moment increments are large relative to the running
+    # values, so bf16's ~0.4% rounding is far below gradient noise. Default
+    # keeps the historical update bit-identical (golden tests pin it).
+    moment_dtype: str = "float32"
     mesh_shape: Optional[List[int]] = None  # None -> 1D data mesh over all devices
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])
     # OPT-IN, beyond the reference: ZeRO-1 optimizer-state sharding — the

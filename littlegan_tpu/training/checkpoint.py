@@ -66,7 +66,12 @@ def _unflatten(template, flat: Dict[str, np.ndarray]):
             )
         # .dtype, not np.asarray(...).dtype: the template is the LIVE train
         # state — materializing it would pull params + 3 opt states to host
-        leaves.append(arr.astype(getattr(tmpl_leaf, "dtype", np.asarray(tmpl_leaf).dtype)))
+        tdt = np.dtype(getattr(tmpl_leaf, "dtype", np.asarray(tmpl_leaf).dtype))
+        if arr.dtype.kind == "V" and arr.dtype.itemsize == tdt.itemsize:
+            # np.savez stores ml_dtypes (bfloat16 moments, Config.moment_dtype)
+            # as raw void bytes; reinterpret against the template dtype
+            arr = arr.view(tdt)
+        leaves.append(arr.astype(tdt))
     treedef = jax.tree_util.tree_structure(template)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

@@ -99,8 +99,12 @@ class AdamState(NamedTuple):
     nu: Any  # second moments
 
 
-def adam_init(params) -> AdamState:
-    zeros_like = lambda t: jax.tree_util.tree_map(lambda x: jnp.zeros_like(x, dtype=jnp.float32), t)
+def adam_init(params, dtype=jnp.float32) -> AdamState:
+    """``dtype`` (Config.moment_dtype): storage dtype of mu/nu. bfloat16
+    halves optimizer-state HBM (the dominant train-state cost at 512²+,
+    docs/SCALING.md); the update math always runs in f32 — moments are
+    upcast on load and rounded back on store (masked_adam_update)."""
+    zeros_like = lambda t: jax.tree_util.tree_map(lambda x: jnp.zeros_like(x, dtype=dtype), t)
     counts = jax.tree_util.tree_map(lambda x: jnp.zeros((), jnp.int32), params)
     return AdamState(count=counts, mu=zeros_like(params), nu=zeros_like(params))
 
@@ -126,6 +130,12 @@ def masked_adam_update(
 
     def upd(g, c, m, v, p, msk):
         g = g.astype(jnp.float32)
+        # moment storage may be bfloat16 (Config.moment_dtype); the update
+        # math always runs in f32 — upcast on load, round back on store.
+        # f32 storage keeps the historical update BIT-identical (astype
+        # no-ops), which the golden-trajectory tests pin.
+        mdt = m.dtype
+        m, v = m.astype(jnp.float32), v.astype(jnp.float32)
         # select with where, NOT multiplicative blending: a non-finite
         # gradient on a masked-off leaf must leave moments/params untouched
         # (0 * inf = NaN would poison exactly the weights the reference's
@@ -140,7 +150,7 @@ def masked_adam_update(
             lr_t = lr_t * lr_scale(t)
         step = lr_t * m_new / (jnp.sqrt(v_new) + eps)
         p_new = jnp.where(on, p - step.astype(p.dtype), p)
-        return p_new, c_new, m_new, v_new
+        return p_new, c_new, m_new.astype(mdt), v_new.astype(mdt)
 
     flat_p, treedef = jax.tree_util.tree_flatten(params)
     flat_g = treedef.flatten_up_to(grads)

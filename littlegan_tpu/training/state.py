@@ -62,12 +62,19 @@ def create_train_state(cfg: Config, rng: jax.Array) -> TrainState:
             "the EMA at the random init (every eval/export would silently "
             "emit untrained weights) and >1 diverges"
         )
+    if cfg.moment_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"moment_dtype must be 'float32' or 'bfloat16', got "
+            f"{cfg.moment_dtype!r} (Adam math is always f32; this only "
+            "picks the mu/nu STORAGE dtype)"
+        )
     params = init_params(cfg, rng)
+    mdt = jnp.dtype(cfg.moment_dtype)
     return TrainState(
         params=params,
-        opt_g=adam_init(subtree(params, G_KEYS)),
-        opt_d=adam_init(subtree(params, D_KEYS)),
-        opt_a=adam_init(subtree(params, A_KEYS)),
+        opt_g=adam_init(subtree(params, G_KEYS), dtype=mdt),
+        opt_d=adam_init(subtree(params, D_KEYS), dtype=mdt),
+        opt_a=adam_init(subtree(params, A_KEYS), dtype=mdt),
         # EMA starts as a COPY of the init weights (no bias correction —
         # the standard copy-at-init form). jnp.copy, not aliasing: aliased
         # Arrays appear twice in a donated TrainState and XLA rejects

@@ -360,6 +360,58 @@ def test_bf16_tails_track_f32(tiny_cfg, rng):
         assert abs(a - b) < 0.05 * max(1.0, abs(a)), (k, a, b)
 
 
+def test_bf16_moments_track_f32(tiny_cfg, rng):
+    """Config.moment_dtype='bfloat16': mu/nu STORED in bf16 (half the
+    optimizer-state HBM), update math still f32. Three steps must track the
+    f32-moment run within a few Adam-step magnitudes, the moments must
+    actually be bf16 end to end, and an npz checkpoint round trip must be
+    bit-exact (V2 void reinterpretation in checkpoint._unflatten)."""
+    from littlegan_tpu.training import make_train_step
+    from littlegan_tpu.training.checkpoint import Checkpointer
+
+    b1, b2 = _batches(tiny_cfg, rng)
+    states = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = tiny_cfg.replace(moment_dtype=dt, use_partition=True, train_adj=True)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = make_train_step(cfg, state.params, donate=False)
+        for i, bno in enumerate((9, 10, 11, 12)):  # crosses the adj gate
+            state = step(state, b1, b2, jax.random.PRNGKey(50 + i), jnp.int32(bno)).state
+        states[dt] = state
+    bf = states["bfloat16"]
+    assert bf.opt_g.mu["g_head"]["dense"]["kernel"].dtype == jnp.bfloat16
+    assert bf.opt_a.nu["adj_head"]["dense"]["kernel"].dtype == jnp.bfloat16
+    assert bf.params["g_head"]["dense"]["kernel"].dtype == jnp.float32  # params untouched
+    # bounded drift: bf16 moment rounding perturbs m/sqrt(v) by O(2^-8)
+    # per step; after 4 steps the params stay within a few update magnitudes
+    max_step = 4 * 2.5 * tiny_cfg.lr
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(states["float32"].params),
+        jax.tree_util.tree_leaves_with_path(bf.params),
+    ):
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        diff = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert diff <= max_step, f"{key}: bf16-moment drift {diff} > {max_step}"
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ck = Checkpointer(d)
+        ck.save("1", bf)
+        restored = ck.restore("1", bf)
+    for (path, x), (_, y) in zip(
+        jax.tree_util.tree_leaves_with_path(bf),
+        jax.tree_util.tree_leaves_with_path(restored),
+    ):
+        assert np.asarray(y).dtype == np.asarray(x).dtype
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_moment_dtype_validated(tiny_cfg):
+    with pytest.raises(ValueError, match="moment_dtype"):
+        create_train_state(tiny_cfg.replace(moment_dtype="float16"), jax.random.PRNGKey(0))
+
+
 def test_accum_grads_mean_micro_grads(tiny_cfg, rng):
     """accum_grads must return the MEAN of the per-micro-batch gradients
     (same fold_in PRNG stream) and the LAST micro-step's aux. Gradients are

@@ -53,6 +53,10 @@ def main() -> int:
         "(Config.adj_half_batch) instead of the reference 2N concat",
     )
     p.add_argument(
+        "--moment-dtype", default="float32", choices=("float32", "bfloat16"),
+        help="Adam moment storage dtype (Config.moment_dtype)",
+    )
+    p.add_argument(
         "--fid-n", type=int, default=1024,
         help="generated images per FID/IS/KID trend eval (smaller = cheaper "
         "smoke runs; trend values are only comparable at equal --fid-n)",
@@ -118,6 +122,7 @@ def main() -> int:
         cond_bias=args.cond_bias,
         ema_decay=args.ema,
         adj_half_batch=args.adj_half,
+        moment_dtype=args.moment_dtype,
         allow_random_fid=True,
     )
 

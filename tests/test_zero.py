@@ -142,6 +142,45 @@ def test_zero1_scan_device_store_composes(zero_cfg):
         )
 
 
+def test_zero1_composes_with_bf16_moments(zero_cfg):
+    """shard_opt_state x moment_dtype='bfloat16': the sharded moment leaves
+    stay bf16 through a step (half HBM x 1/n chips), and the update still
+    tracks the replicated-f32-moment step within bf16 rounding of the
+    moment EMAs."""
+    cfg = zero_cfg.replace(moment_dtype="bfloat16")
+    mesh = make_mesh(8)
+    state0 = create_train_state(cfg, jax.random.PRNGKey(0))
+    z_state = place_state(state0, mesh, cfg)
+    step = make_parallel_train_step(cfg, state0.params, mesh, donate=False)
+
+    ref_cfg = zero_cfg.replace(shard_opt_state=False)
+    ref_state = place_state(create_train_state(ref_cfg, jax.random.PRNGKey(0)), mesh, ref_cfg)
+    ref_step = make_parallel_train_step(ref_cfg, ref_state.params, mesh, donate=False)
+
+    b1, b2 = _global_batches(cfg, seed=31)
+    sb1, sb2 = shard_batch(b1, mesh), shard_batch(b2, mesh)
+    for i, bno in enumerate((11, 12)):
+        rng = jax.random.PRNGKey(200 + i)
+        z_state = step(z_state, sb1, sb2, rng, jnp.int32(bno)).state
+        ref_state = ref_step(ref_state, sb1, sb2, rng, jnp.int32(bno)).state
+
+    sharded_bf16 = [
+        x
+        for x in jax.tree_util.tree_leaves(z_state.opt_d.mu)
+        if x.ndim and not x.sharding.is_fully_replicated
+    ]
+    assert sharded_bf16, "no moment leaf was sharded"
+    assert all(x.dtype == jnp.bfloat16 for x in sharded_bf16)
+    # params drift bounded by ~2 Adam steps of bf16 moment rounding
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(jax.device_get(ref_state.params)),
+        jax.tree_util.tree_leaves_with_path(jax.device_get(z_state.params)),
+    ):
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        diff = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert diff <= 2 * 2.5 * 5e-5, f"{key}: drift {diff}"
+
+
 def test_zero1_preconditions(tiny_cfg):
     cfg = tiny_cfg.replace(shard_opt_state=True)
     with pytest.raises(ValueError, match="needs a device mesh"):

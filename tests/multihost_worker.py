@@ -241,6 +241,50 @@ if phase in ("sharded_ckpt",):
         + " ".join(f"{k}={float(v):.6f}" for k, v in sorted(m7.items()))
     )
 
+# ---- phase 8: full Trainer x sharded state x orbax, SHARED result dir ----
+# The trainer-level closure of phase 7: device_data DP training with
+# shard_opt_state across 2 processes checkpoints per epoch through the
+# orbax backend into ONE shared result dir (every host joins the
+# coordinated save; host 0 alone writes fixtures/artifacts), then a second
+# Trainer RESUMES from the shared checkpoint and trains another epoch.
+# Harness asserts identical losses across processes and the resumed epoch.
+if phase in ("trainer_sharded",):
+    data_root, out_root = sys.argv[4], sys.argv[5]
+
+    import littlegan_tpu.parallel.zero as zero_mod
+    from littlegan_tpu.data.celeba import CelebA
+    from littlegan_tpu.training.trainer import Trainer
+
+    zero_mod._MIN_SHARD_ELEMS = 0  # tiny leaves must actually shard
+    tcfg = cfg.replace(
+        image_path=os.path.join(data_root, "img"),
+        attr_path=os.path.join(data_root, "attrs.txt"),
+        image_dim=16, attr=[0, 1, 2, 3, 4, 5, 6],
+        device_data=True, shard_opt_state=True,
+        extra={"checkpoint_backend": "orbax"},
+        epoch=1, freq_gen=1000, freq_test=1000, restore=True, reuse=True,
+        all_result_dir=os.path.join(out_root, "shared"),  # ONE dir, both procs
+        test_data_dir=os.path.join(out_root, "shared", "td"),
+        exp_name="mhz", debug=True, use_native_loader=False, train_adj=True,
+    )
+    ds = CelebA(tcfg, shard_index=proc_id, shard_count=2)
+    tr = Trainer(tcfg, ds)
+    assert tr.mesh is not None
+    sharded = [
+        x
+        for x in jax.tree_util.tree_leaves(tr.state.opt_d.mu)
+        if x.ndim and not x.sharding.is_fully_replicated
+    ]
+    assert sharded and not sharded[0].is_fully_addressable, "moments must span hosts"
+    tr.train()
+    assert os.path.isdir(os.path.join(tcfg.result_dir, "checkpoint", "ocp-1"))
+
+    tr2 = Trainer(tcfg.replace(epoch=2), CelebA(tcfg, shard_index=proc_id, shard_count=2))
+    assert tr2.global_epoch == 2, tr2.global_epoch  # resumed from shared orbax ckpt
+    tr2.train()
+    assert os.path.isdir(os.path.join(tcfg.result_dir, "checkpoint", "ocp-2"))
+    print(f"MULTIHOST_TRAINER_SHARDED_OK proc={proc_id} steps={tr2.global_step}")
+
 # ---- phase 6: host-fed SPATIAL ('data','model') multi-host (round 3) ----
 # mesh (2, 4): one data-row per process, model (H) axis within each. Each
 # host decodes batch_size/2 rows per batch (set_rows_per_batch via the

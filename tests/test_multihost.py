@@ -254,6 +254,23 @@ def _jpeg_tree(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_trainer_sharded_state_orbax_resume(tmp_path):
+    """Full Trainer: device_data DP x shard_opt_state x orbax backend into
+    ONE shared result dir across 2 processes — per-epoch coordinated sharded
+    saves, then a fresh Trainer resumes from the shared checkpoint and
+    trains a second epoch. Identical losses on both processes."""
+    _jpeg_tree(tmp_path)
+    outs = _run_workers("trainer_sharded", str(tmp_path), str(tmp_path / "out"))
+    ok = [l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_TRAINER_SHARDED_OK")]
+    assert len(ok) == 2, outs
+    for line in ok:
+        kv = dict(p.split("=") for p in line.split()[1:])
+        assert int(kv["steps"]) == 4  # 4 local batches -> 2 pairs/epoch x 2 epochs
+    loss_lines = [[l for l in o.splitlines() if "LossG" in l][-1] for o in outs]
+    assert loss_lines[0] == loss_lines[1], loss_lines
+
+
+@pytest.mark.slow
 def test_two_process_hostfed_spatial(tmp_path):
     """Host-fed SPATIAL ('data','model') mesh across processes (round 3,
     the last composition cell): mesh (2,4) — one data-row per host, H

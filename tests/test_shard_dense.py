@@ -177,6 +177,37 @@ def test_shard_dense_trainer_e2e_with_resume(sd_cfg, tmp_path):
     assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-2.npz"))
 
 
+def test_shard_dense_device_store_scan(sd_cfg, tmp_path):
+    """shard_dense x device_data x steps_per_dispatch: the K-step scan over
+    the H-sharded HBM store runs with model-sharded dense heads and keeps
+    them sharded in the carried-out state."""
+    import os
+
+    from littlegan_tpu.data.synthetic import SyntheticDataset
+    from littlegan_tpu.training.trainer import Trainer
+
+    cfg = sd_cfg.replace(
+        epoch=1,
+        freq_gen=0,
+        freq_test=0,
+        mesh_axes=["data", "model"],
+        mesh_shape=[4, 2],
+        device_data=True,
+        steps_per_dispatch=2,
+        all_result_dir=str(tmp_path / "result"),
+        test_data_dir=str(tmp_path / "test-data"),
+        exp_name="sd_scan",
+    )
+    ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    tr.train()
+    assert tr.global_step == 4  # 8 batches -> 4 pairs
+    k = tr.state.params["g_head"]["dense"]["kernel"]
+    assert not k.sharding.is_fully_replicated
+    assert not tr.state.opt_a.mu["adj_head"]["dense"]["kernel"].sharding.is_fully_replicated
+    assert os.path.isfile(os.path.join(cfg.result_dir, "checkpoint", "ckpt-1.npz"))
+
+
 def test_shard_dense_trainer_refuses_without_model_axis(tiny_cfg, tmp_path):
     """A DP-only (or mesh-less) run with shard_dense must fail at build time
     with remediation text, not deep in GSPMD."""

@@ -30,12 +30,16 @@ pr/cond kernels their INPUT dim over the spatial mesh's ``'model'`` axis
 (``_DENSE_HEAD_SPECS``). Because the (B, H·W·C) <-> (B, H, W, C) reshapes
 are row-major with H major, an output-dim shard boundary aligned to whole
 H-rows (guaranteed by init_dim % n_model == 0) IS the H-sharding the
-spatial mesh already uses for every activation — the forward needs no new
-collectives, and each kernel's gradient reduces over 'data' only at
-1/n_model volume. The moments (and the EMA g_head) follow the param
-sharding regardless of ``shard_opt_state``: moments of a sharded param
-that stayed replicated would force a gather in the optimizer tail and
-defeat the memory win.
+spatial mesh already uses for every activation — the embed side adds no
+gathers, the d_head side is a local partial product plus one tiny (B, 1|7)
+psum over 'model', and each kernel's gradient reduces over 'data' only at
+1/n_model volume. Verified on the compiled (4,2)-mesh HLO: shard_dense
+LOWERS the program's all-gather count (42 -> 30 on the 32² test config —
+the dense kernels are never re-gathered) and adds only small all-reduces
+(49 -> 61, the d_head psums + norm-stat terms). The moments (and the EMA
+g_head) follow the param sharding regardless of ``shard_opt_state``:
+moments of a sharded param that stayed replicated would force a gather in
+the optimizer tail and defeat the memory win.
 
 Update-equivalence with unsharded DP is asserted on the virtual 8-device
 CPU mesh in tests/test_zero.py; the driver's ``dryrun_multichip`` compiles

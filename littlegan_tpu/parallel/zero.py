@@ -4,10 +4,11 @@ sharding and tensor-parallel dense heads (both opt-in).
 The reference replicates nothing because it has no distributed backend at
 all (SURVEY §2 #23-24); plain DP here replicates params AND the three Adam
 states on every chip (parallel/train.py). That is fine at 128² (~9.6M
-params), but the generator/adjuster dense heads scale with init_dim² — at
-1024² (init_dim 64) the two 100x(64·64·384) kernels alone are ~2.4 GB f32
-and the full train state ~5 GB, most of it Adam moments that each chip
-keeps an identical copy of.
+params), but the dense heads scale with init_dim² — at
+1024² (init_dim 64) the G dense kernel alone is 100x(64·64·384) ≈ 629 MB f32
+and the full train state ≈ 2.1 GiB (params 729 MB + moments 1.42 GiB —
+scripts/memory_report.py), most of it Adam moments that each chip keeps an
+identical copy of.
 
 ``Config.shard_opt_state`` shards the Adam ``mu``/``nu`` moment trees over
 the mesh instead (per-leaf, largest divisible axis), annotation-only in the
@@ -161,6 +162,76 @@ def train_state_shardings(cfg: Config, params, mesh: Mesh) -> TrainState:
         opt_a=opt_sh(A_KEYS),
         ema=param_sh(subtree(params, G_KEYS)) if cfg.ema_decay > 0 else None,
     )
+
+
+class _MeshShape:
+    """Duck-typed stand-in for a Mesh in shape-only computations
+    (state_bytes_report): _moment_spec touches only .axis_names / .shape."""
+
+    def __init__(self, shape: dict):
+        self.axis_names = tuple(shape)
+        self.shape = dict(shape)
+
+
+def _spec_divisor(spec: P, mesh_shape: dict) -> int:
+    n = 1
+    for entry in spec:
+        if entry is None:
+            continue
+        for ax in (entry if isinstance(entry, tuple) else (entry,)):
+            n *= mesh_shape[ax]
+    return n
+
+
+def state_bytes_report(cfg: Config, mesh_shape: Optional[dict] = None) -> dict:
+    """Analytic train-state memory per chip under the config's sharding
+    flags, WITHOUT materializing anything (jax.eval_shape over
+    create_train_state). ``mesh_shape``: {'data': n} or
+    {'data': n, 'model': m}; None = single chip (everything local).
+
+    Mirrors ``train_state_shardings``' per-leaf decisions exactly — the
+    dense-head specs ignore the size threshold, _moment_spec applies it —
+    so the numbers are the real layout's, not an estimate. int32 count
+    scalars are omitted (4 bytes/leaf). Used by scripts/memory_report.py;
+    consistency with the live shardings is asserted in
+    tests/test_memory_report.py."""
+    import numpy as np
+
+    from littlegan_tpu.training.state import create_train_state
+
+    shapes = jax.eval_shape(lambda: create_train_state(cfg, jax.random.PRNGKey(0)))
+    mesh = _MeshShape(mesh_shape) if mesh_shape else None
+
+    def leaf_bytes(path, x, is_moment: bool):
+        total = int(np.prod(x.shape)) * x.dtype.itemsize
+        spec = None
+        if mesh is not None and cfg.shard_dense and "model" in mesh.shape:
+            spec = _dense_spec(path)
+        if spec is None and is_moment and mesh is not None and cfg.shard_opt_state:
+            spec = _moment_spec(x.shape, mesh)
+        div = _spec_divisor(spec, mesh.shape) if spec is not None else 1
+        return total, total // div
+
+    out = {}
+    for name, tree, is_moment in (
+        ("params", shapes.params, False),
+        ("opt_mu_nu", [(s.mu, s.nu) for s in (shapes.opt_g, shapes.opt_d, shapes.opt_a)], True),
+        ("ema", shapes.ema, False),
+    ):
+        g = p = 0
+        for path, x in jax.tree_util.tree_leaves_with_path(tree):
+            # moment paths carry a leading tuple index; strip non-key entries
+            key_path = tuple(
+                pp for pp in path if hasattr(pp, "key") or isinstance(pp, str)
+            )
+            gb, pb = leaf_bytes(key_path, x, is_moment)
+            g += gb
+            p += pb
+        out[name] = {"global_bytes": g, "per_chip_bytes": p}
+    sections = list(out.values())
+    out["total_per_chip_bytes"] = sum(v["per_chip_bytes"] for v in sections)
+    out["total_global_bytes"] = sum(v["global_bytes"] for v in sections)
+    return out
 
 
 def place_state(state: TrainState, mesh: Mesh, cfg: Config) -> TrainState:

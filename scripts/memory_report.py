@@ -1,0 +1,134 @@
+"""Train-state / step HBM report: what fits, and what each flag buys.
+
+Answers the 512²+ deployment questions BEFORE burning chip time:
+- how many bytes of params / Adam moments / EMA the config needs,
+- per chip, under any combination of `shard_opt_state`, `shard_dense`,
+  `moment_dtype`, `ema_decay`, and a mesh shape,
+- (--compile) XLA's own compiled memory analysis of the full train step —
+  argument + output + temp + peak bytes — on the current backend.
+
+The analytic part materializes NOTHING (jax.eval_shape); the sharding
+arithmetic mirrors parallel/zero.py::train_state_shardings leaf for leaf
+(consistency asserted in tests/test_memory_report.py).
+
+Usage:
+  python scripts/memory_report.py --dim 1024 --batch 8
+  python scripts/memory_report.py --dim 1024 --batch 32 \
+      --mesh data=4,model=2 --shard-opt-state --shard-dense \
+      --moment-dtype bfloat16 --ema 0.999
+  python scripts/memory_report.py --dim 512 --batch 32 --compile   # step peak
+Prints one JSON line (machine-readable) after a human-readable table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _fmt(n: int) -> str:
+    for unit in ("B", "KiB", "MiB", "GiB"):
+        if abs(n) < 1024 or unit == "GiB":
+            return f"{n:.2f} {unit}" if unit != "B" else f"{n} B"
+        n /= 1024
+    return f"{n:.2f} GiB"
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--mesh", default=None, help="e.g. 'data=8' or 'data=4,model=2'")
+    p.add_argument("--shard-opt-state", action="store_true")
+    p.add_argument("--shard-dense", action="store_true")
+    p.add_argument("--moment-dtype", default="float32", choices=("float32", "bfloat16"))
+    p.add_argument("--ema", type=float, default=0.0)
+    p.add_argument(
+        "--compile", action="store_true",
+        help="also compile the (single-device, plain) train step on the "
+        "current backend and report XLA's memory analysis — the 'does this "
+        "resolution/batch fit one chip' number",
+    )
+    args = p.parse_args()
+
+    mesh_shape = None
+    if args.mesh:
+        mesh_shape = {}
+        for part in args.mesh.split(","):
+            k, v = part.split("=")
+            mesh_shape[k.strip()] = int(v)
+
+    from littlegan_tpu.config import Config
+    from littlegan_tpu.parallel.zero import state_bytes_report
+
+    cfg = Config(
+        image_dim=args.dim,
+        init_dim=args.dim // 16,
+        batch_size=args.batch,
+        compute_dtype="bfloat16",
+        shard_opt_state=args.shard_opt_state,
+        shard_dense=args.shard_dense,
+        moment_dtype=args.moment_dtype,
+        ema_decay=args.ema,
+        debug=True,
+    )
+    rep = state_bytes_report(cfg, mesh_shape)
+
+    n_chips = 1
+    if mesh_shape:
+        for v in mesh_shape.values():
+            n_chips *= v
+    print(f"train-state memory @ {args.dim}² b{args.batch} "
+          f"(mesh={mesh_shape or 'single chip'}, moment_dtype={args.moment_dtype}, "
+          f"shard_opt_state={args.shard_opt_state}, shard_dense={args.shard_dense}, "
+          f"ema={args.ema}):")
+    for name in ("params", "opt_mu_nu", "ema"):
+        r = rep[name]
+        print(f"  {name:10s} global {_fmt(r['global_bytes']):>12s}   "
+              f"per-chip {_fmt(r['per_chip_bytes']):>12s}")
+    print(f"  {'TOTAL':10s} global {_fmt(rep['total_global_bytes']):>12s}   "
+          f"per-chip {_fmt(rep['total_per_chip_bytes']):>12s}")
+
+    out = {
+        "dim": args.dim, "batch": args.batch, "mesh": mesh_shape,
+        "moment_dtype": args.moment_dtype,
+        "shard_opt_state": args.shard_opt_state, "shard_dense": args.shard_dense,
+        "ema_decay": args.ema, **rep,
+    }
+
+    if args.compile:
+        import jax
+        import jax.numpy as jnp
+
+        from littlegan_tpu.training import create_train_state, make_train_step
+
+        state_sh = jax.eval_shape(lambda: create_train_state(cfg, jax.random.PRNGKey(0)))
+        img = jax.ShapeDtypeStruct((args.batch, args.dim, args.dim, 3), jnp.dtype("float32"))
+        cond = jax.ShapeDtypeStruct((args.batch, cfg.cond_dim), jnp.dtype("float32"))
+        b = (img, cond)
+        step = make_train_step(cfg, state_sh.params, donate=False)
+        ma = step.lower(
+            state_sh, b, b, jax.random.PRNGKey(0), jnp.int32(11)
+        ).compile().memory_analysis()
+        comp = {
+            "backend": jax.devices()[0].platform,
+            "argument_bytes": int(ma.argument_size_in_bytes),
+            "output_bytes": int(ma.output_size_in_bytes),
+            "temp_bytes": int(ma.temp_size_in_bytes),
+            "peak_bytes": int(ma.peak_memory_in_bytes),
+        }
+        print(f"  compiled step ({comp['backend']}): args {_fmt(comp['argument_bytes'])}, "
+              f"out {_fmt(comp['output_bytes'])}, temp {_fmt(comp['temp_bytes'])}, "
+              f"peak {_fmt(comp['peak_bytes'])}")
+        out["compiled"] = comp
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

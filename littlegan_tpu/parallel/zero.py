@@ -201,6 +201,18 @@ def state_bytes_report(cfg: Config, mesh_shape: Optional[dict] = None) -> dict:
 
     shapes = jax.eval_shape(lambda: create_train_state(cfg, jax.random.PRNGKey(0)))
     mesh = _MeshShape(mesh_shape) if mesh_shape else None
+    if (
+        mesh is not None
+        and cfg.shard_dense
+        and "model" in mesh.shape
+        and cfg.init_dim % mesh.shape["model"] != 0
+    ):
+        # mirror check_shard_dense: a non-divisible model axis would
+        # silently truncate the per-chip division below
+        raise ValueError(
+            f"shard_dense needs init_dim ({cfg.init_dim}) divisible by the "
+            f"model-axis size ({mesh.shape['model']})"
+        )
 
     def leaf_bytes(path, x, is_moment: bool):
         total = int(np.prod(x.shape)) * x.dtype.itemsize

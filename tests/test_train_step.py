@@ -229,6 +229,19 @@ def test_gp_enabled_runs(tiny_cfg, rng):
     assert np.isfinite(float(out.metrics["loss/disc"]))
 
 
+def test_gp_enabled_runs_bf16(tiny_cfg, rng):
+    """GP differentiates the D forward to SECOND order; the bf16 instance-norm
+    custom VJP cannot be jvp'd, so use_gp must route every norm through plain
+    autodiff (littlegan.py::_norm_lrelu gate) — this step would raise a
+    custom_vjp jvp TypeError if the gate regressed."""
+    cfg = tiny_cfg.replace(use_gp=True, use_partition=False, compute_dtype="bfloat16")
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, state.params, donate=False)
+    b1, b2 = _batches(cfg, rng)
+    out = step(state, b1, b2, rng, jnp.int32(1))
+    assert np.isfinite(float(out.metrics["loss/disc"]))
+
+
 def test_train_adj_disabled(tiny_cfg, rng):
     """train_adj=False: adjuster params never move, no adj loss in metrics
     (reference gates the whole branch, eager_trainer.py:152)."""

@@ -168,11 +168,7 @@ def _norm_lrelu(x: jnp.ndarray, norm_params: Params, cfg: Config) -> jnp.ndarray
             return fused_instance_norm_lrelu(
                 x, norm_params["gamma"], norm_params["beta"], cfg.leaky_alpha
             )
-    # use_gp differentiates the D forward to SECOND order (grad-of-grad on
-    # interpolates) — custom_vjp cannot be jvp'd, so GP runs plain autodiff
-    x = instance_norm(
-        x, norm_params["gamma"], norm_params["beta"], allow_custom_vjp=not cfg.use_gp
-    )
+    x = instance_norm(x, norm_params["gamma"], norm_params["beta"])
     return leaky_relu(x, cfg.leaky_alpha)
 
 

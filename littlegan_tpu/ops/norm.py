@@ -23,9 +23,6 @@ bitwise f32 comparisons.
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 
 
@@ -35,7 +32,6 @@ def instance_norm(
     beta: jnp.ndarray,
     eps: float = 1e-3,
     two_pass: bool = False,
-    allow_custom_vjp: bool = True,
 ) -> jnp.ndarray:
     """Normalize each batch element over all its axes (reference: instance.py:105-129).
 
@@ -45,15 +41,7 @@ def instance_norm(
       eps: added to the standard deviation (NOT the variance).
       two_pass: evaluate the std exactly as Keras does (mean first, then
         mean of squared deviations) instead of the fused one-pass form.
-      allow_custom_vjp: under bf16 compute, use the hand-derived backward
-        (``_instance_norm_cvjp``) whose stat reductions read the bf16
-        activation/cotangent instead of materialized f32 buffers. Same math
-        to f32 rounding; callers must pass False on any path that is
-        differentiated to SECOND order (``custom_vjp`` does not support
-        grad-of-grad — the WGAN-GP step, training/step.py).
     """
-    if allow_custom_vjp and not two_pass and x.dtype == jnp.bfloat16:
-        return _instance_norm_cvjp(x, gamma, beta, eps)
     red = tuple(range(1, x.ndim))
     dtype = x.dtype
     xf = x.astype(jnp.float32)  # stats in f32 even under bf16 compute
@@ -66,67 +54,6 @@ def instance_norm(
     normed = (xf - mean) / (std + eps)
     out = normed * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     return out.astype(dtype)
-
-
-# --------------------------------------------------------------- custom VJP --
-#
-# Autodiff of the form above saves/consumes f32 intermediates: the xplane
-# profile attributes ~0.84 ms of the 10.4 ms b32 train step to f32 norm-stat
-# backward reductions (ROADMAP #3). The hand-derived backward below keeps the
-# residual at (x bf16, mean, denom) and recomputes ``normed`` from the bf16
-# activation inside the reduction consumers, so every backward pass over the
-# activation reads bf16 from HBM with f32 accumulation in registers — the
-# same rounding class as the one-pass forward stats (deltas ~1e-7 relative,
-# five orders below bf16 activation resolution).
-#
-# Derivation (per sample; m = prod(non-batch dims), c = x - mean,
-# D = std + eps, normed = c/D, G1 = sum(g), G2 = sum(g * normed)):
-#   dL/dx_i  = gamma/D * (g_i - G1/m) - gamma * G2 * normed_i / (m * std)
-#   dL/dgamma = sum_batch(G2),   dL/dbeta = sum_batch(G1)
-# (the mean-term simplification uses sum(normed) = 0 exactly.)
-
-
-def _in_fwd_impl(x, gamma, beta, eps):
-    red = tuple(range(1, x.ndim))
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=red, keepdims=True)
-    var = jnp.maximum(jnp.mean(jnp.square(xf), axis=red, keepdims=True) - jnp.square(mean), 0.0)
-    denom = jnp.sqrt(var) + eps
-    normed = (xf - mean) / denom
-    out = (normed * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(x.dtype)
-    return out, (x, gamma, mean, denom)
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _instance_norm_cvjp(x, gamma, beta, eps):
-    return _in_fwd_impl(x, gamma, beta, eps)[0]
-
-
-def _in_fwd(x, gamma, beta, eps):
-    return _in_fwd_impl(x, gamma, beta, eps)
-
-
-def _in_bwd(eps, res, g):
-    x, gamma, mean, denom = res
-    red = tuple(range(1, x.ndim))
-    m = 1.0
-    for d in x.shape[1:]:
-        m *= d
-    gf = g.astype(jnp.float32)
-    normed = (x.astype(jnp.float32) - mean) / denom  # recomputed, not stored
-    g1 = jnp.sum(gf, axis=red, keepdims=True)
-    g2 = jnp.sum(gf * normed, axis=red, keepdims=True)
-    gamma_f = gamma.astype(jnp.float32)
-    std = denom - eps
-    inv_ms = jnp.where(std > 0, 1.0 / (m * std), 0.0)
-    dx = (gamma_f / denom) * (gf - g1 / m) - (gamma_f * inv_ms) * g2 * normed
-    # beta is not a residual: its cotangent has gamma's shape/dtype ((1,) f32)
-    dgamma = jnp.sum(g2).reshape(gamma.shape).astype(gamma.dtype)
-    dbeta = jnp.sum(g1).reshape(gamma.shape).astype(gamma.dtype)
-    return dx.astype(x.dtype), dgamma, dbeta
-
-
-_instance_norm_cvjp.defvjp(_in_fwd, _in_bwd)
 
 
 def instance_norm_from_stats(

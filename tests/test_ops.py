@@ -269,65 +269,6 @@ def test_brightness_contrast_golden():
         np.testing.assert_allclose(got_c, (x - mean) * 0.75 + mean, atol=1e-6)
 
 
-def test_instance_norm_custom_vjp_matches_autodiff(np_rng):
-    """The bf16 fast path (_instance_norm_cvjp) hand-derives the backward so
-    the stat reductions read the bf16 activation instead of materialized f32
-    buffers (ROADMAP #3: ~0.84 ms of the b32 step). Same math: forward must
-    be BITWISE identical and every gradient must match plain autodiff of the
-    identical one-pass form to f32 rounding."""
-    x = jnp.asarray(np_rng.normal(size=(3, 8, 8, 6)).astype(np.float32) * 2 + 0.5).astype(
-        jnp.bfloat16
-    )
-    g = jnp.asarray(np.array([1.3], np.float32))
-    b = jnp.asarray(np.array([0.2], np.float32))
-    ct = jnp.asarray(np_rng.normal(size=(3, 8, 8, 6)).astype(np.float32))
-
-    def make(allow):
-        def f(x, g, b):
-            out = instance_norm(x, g, b, allow_custom_vjp=allow)
-            return jnp.sum(out.astype(jnp.float32) * ct), out
-
-        return f
-
-    (val_c, out_c), grads_c = jax.value_and_grad(make(True), argnums=(0, 1, 2), has_aux=True)(
-        x, g, b
-    )
-    (val_p, out_p), grads_p = jax.value_and_grad(make(False), argnums=(0, 1, 2), has_aux=True)(
-        x, g, b
-    )
-    # the custom path must actually be a different trace (sanity: bf16 + one-pass)
-    np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_p))  # forward bitwise
-    np.testing.assert_allclose(float(val_c), float(val_p), rtol=0, atol=0)
-    dx_c, dg_c, db_c = grads_c
-    dx_p, dg_p, db_p = grads_p
-    assert dx_c.dtype == jnp.bfloat16 and dx_p.dtype == jnp.bfloat16
-    # dx: both are f32-exact values rounded to bf16 -> within 1-2 ulp
-    np.testing.assert_allclose(
-        np.asarray(dx_c, np.float32), np.asarray(dx_p, np.float32), rtol=2e-2, atol=1e-3
-    )
-    # scalar gamma/beta grads stay f32: tight
-    np.testing.assert_allclose(np.asarray(dg_c), np.asarray(dg_p), rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(db_c), np.asarray(db_p), rtol=1e-4, atol=1e-5)
-
-
-def test_instance_norm_custom_vjp_gating():
-    """The custom VJP must only engage where it is safe: bf16 + one-pass +
-    allow_custom_vjp. f32 inputs and two_pass take the plain trace (asserted
-    via trace structure: custom_vjp_call appears only in the gated jaxpr)."""
-    x32 = jnp.ones((2, 4, 4, 3), jnp.float32)
-    x16 = x32.astype(jnp.bfloat16)
-    g = jnp.ones((1,))
-    b = jnp.zeros((1,))
-
-    def has_custom(fn, *args):
-        return "custom_vjp_call" in str(jax.make_jaxpr(fn)(*args))
-
-    assert has_custom(lambda x: instance_norm(x, g, b), x16)
-    assert not has_custom(lambda x: instance_norm(x, g, b), x32)
-    assert not has_custom(lambda x: instance_norm(x, g, b, two_pass=True), x16)
-    assert not has_custom(lambda x: instance_norm(x, g, b, allow_custom_vjp=False), x16)
-
-
 def test_instance_norm_one_pass_matches_two_pass(np_rng):
     """Default one-pass stats (fused conv-epilogue form) vs the literal Keras
     two-pass evaluation: identical to f32 rounding."""

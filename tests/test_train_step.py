@@ -230,10 +230,11 @@ def test_gp_enabled_runs(tiny_cfg, rng):
 
 
 def test_gp_enabled_runs_bf16(tiny_cfg, rng):
-    """GP differentiates the D forward to SECOND order; the bf16 instance-norm
-    custom VJP cannot be jvp'd, so use_gp must route every norm through plain
-    autodiff (littlegan.py::_norm_lrelu gate) — this step would raise a
-    custom_vjp jvp TypeError if the gate regressed."""
+    """GP x bf16 compute: the penalty differentiates the D forward to SECOND
+    order (grad-of-grad on interpolates), so every op on that path must stay
+    jvp-able — any custom_vjp introduced into the bf16 norm/conv path without
+    a use_gp gate breaks exactly this composition (measured dead end,
+    ROADMAP #3: XLA already keeps the backward stat reductions bf16)."""
     cfg = tiny_cfg.replace(use_gp=True, use_partition=False, compute_dtype="bfloat16")
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, state.params, donate=False)

@@ -251,7 +251,7 @@ class CelebA:
         return imgs, conds
 
     def epoch_iterator(
-        self, epoch: int = 0, shuffle: bool = True
+        self, epoch: int = 0, shuffle: bool = True, start_batch: int = 0
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield ``batches`` prefetched (image, cond) pairs.
 
@@ -261,6 +261,9 @@ class CelebA:
         ``shuffle=False`` yields canonical (file-sorted) batch order — the
         device-store upload uses it so store row j == canonical batch j and
         the per-epoch permutation applies identically in every mode.
+        ``start_batch`` skips the first N batches of the epoch order WITHOUT
+        decoding them (mid-epoch resume, trainer.py) — the remaining stream
+        is bitwise-identical to the tail of the full epoch.
         """
         cfg = self.cfg
         if shuffle:
@@ -269,14 +272,16 @@ class CelebA:
             order = np.arange(self.batches)
         rows = self.rows_per_batch  # == batch_size unless multi-host host-fed
         batch_indices = [np.arange(b * rows, (b + 1) * rows) for b in order]
+        batch_indices = batch_indices[start_batch:]
+        n_yield = len(batch_indices)
         depth = max(2, cfg.prefetch_batch)
         pool = ThreadPoolExecutor(max_workers=cfg.threads)
         try:
             futures = [pool.submit(self._load_batch, bi) for bi in batch_indices[:depth]]
             next_submit = depth
-            for _ in range(self.batches):
+            for _ in range(n_yield):
                 fut = futures.pop(0)
-                if next_submit < self.batches:
+                if next_submit < n_yield:
                     futures.append(pool.submit(self._load_batch, batch_indices[next_submit]))
                     next_submit += 1
                 yield fut.result()

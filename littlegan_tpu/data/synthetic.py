@@ -56,21 +56,24 @@ class SyntheticDataset:
         self.rows_per_batch = rows
 
     def epoch_iterator(
-        self, epoch: int = 0, shuffle: bool = True
+        self, epoch: int = 0, shuffle: bool = True, start_batch: int = 0
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         # ``shuffle`` is accepted for pipeline-mode API parity with CelebA
         # and ignored: batches are IID draws, so every order IS canonical.
+        # ``start_batch`` (mid-epoch resume) must DRAW the skipped batches
+        # to keep the sequential stream identical to the full epoch's tail.
         base = self.cfg.seed * 100003 + epoch
         # shard 0 keeps the historical scalar seed (golden trajectories,
         # campaign reproducibility); other shards get decorrelated substreams
         rng = np.random.default_rng(base if self._shard_index == 0 else (base, self._shard_index))
         c = self.cfg
         rows = self.rows_per_batch
-        for _ in range(self.batches):
+        for i in range(self.batches):
             img = rng.uniform(-1.0, 1.0, (rows, c.image_dim, c.image_dim, c.image_channel)).astype(
                 np.float32
             )
             cond = soft(np.where(rng.random((rows, c.cond_dim)) < 0.5, -1.0, 1.0)).astype(
                 np.float32
             )
-            yield img, cond
+            if i >= start_batch:
+                yield img, cond

@@ -184,7 +184,10 @@ class Checkpointer:
                 f"checkpoint rename and status write); resuming at epoch "
                 f"{int(tag) + 1} with the stale global_step {status.get('step', 0)}"
             )
-            status = {**status, "epoch": int(tag) + 1}
+            # "batch" (mid-epoch resume point) belongs to the stale status'
+            # epoch — carrying it into the re-derived epoch would silently
+            # skip that epoch's first batches
+            status = {**status, "epoch": int(tag) + 1, "batch": 0}
         return state, status
 
 
@@ -281,7 +284,9 @@ class OrbaxCheckpointer:
                 f"async commit and status write); resuming at epoch "
                 f"{int(tag) + 1} with the stale global_step {status.get('step', 0)}"
             )
-            status = {**status, "epoch": int(tag) + 1}
+            # stale-status "batch" must not leak into the re-derived epoch
+            # (see the npz backend's reconcile above)
+            status = {**status, "epoch": int(tag) + 1, "batch": 0}
         return state, status
 
     def epoch_tags(self) -> list:

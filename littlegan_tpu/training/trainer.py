@@ -106,6 +106,14 @@ class Trainer:
         self.state: TrainState = create_train_state(cfg, init_key)
         self.global_epoch = 1
         self.global_step = 0
+        # mid-epoch resume point: only interrupt checkpoints carry "batch"
+        # (per-epoch saves resume at batch 0 of the NEXT epoch). Every
+        # pipeline mode shares one deterministic (seed, epoch) batch order
+        # and the step RNG keys off the restored global_step, so resuming at
+        # the exact batch is bitwise-identical to never having stopped
+        # (tests/test_trainer.py::test_mid_epoch_resume_*).
+        self._resume_batch = 0
+        self._cur_batch_no = 0  # batches completed in the CURRENT epoch
 
         self.checkpointer = make_checkpointer(cfg, os.path.join(cfg.result_dir, "checkpoint"))
         if cfg.restore:
@@ -115,6 +123,7 @@ class Trainer:
                 self.state = restored
                 self.global_epoch = int(status.get("epoch", 1))
                 self.global_step = int(status.get("step", 0))
+                self._resume_batch = int(status.get("batch", 0))
 
         self._writer: Optional[SummaryWriter] = None  # created lazily (train only)
         self._device_store = None  # device-resident dataset (cfg.device_data)
@@ -683,8 +692,19 @@ class Trainer:
         process dies."""
         self._flush_buffered()
         self.writer.flush()
+        # "batch" = batches already completed in the in-flight epoch: resume
+        # continues at the NEXT batch instead of restarting the epoch. After
+        # an interrupt that lands during the end-of-epoch save, batch equals
+        # the full epoch count — resume then skips the (finished) epoch
+        # instead of double-training it on its own weights.
         self.checkpointer.save(
-            "interrupt", self.state, {"epoch": self.global_epoch, "step": self.global_step}
+            "interrupt",
+            self.state,
+            {
+                "epoch": self.global_epoch,
+                "step": self.global_step,
+                "batch": self._cur_batch_no,
+            },
         )
         self.checkpointer.wait()
         print("\nCheckpoint has been saved (interrupt)")
@@ -773,7 +793,17 @@ class Trainer:
                     # (M = grad_accum micro-pairs per applied update)
                     ids_per_update = 2 * accum_m
                     idx_stream = self._device_epoch(epoch)
-                    batch_no = 0
+                    resume_b = self._resume_batch if epoch == first_epoch else 0
+                    if resume_b:
+                        print(
+                            f"mid-epoch resume: continuing epoch {epoch} at "
+                            f"batch {resume_b + 1} (skipping {resume_b} "
+                            "already-trained batches)"
+                        )
+                        for _ in range(ids_per_update * resume_b):
+                            next(idx_stream, None)
+                    batch_no = resume_b
+                    self._cur_batch_no = batch_no
                     images_done = 0
                     dropped = 0
                     while True:
@@ -849,6 +879,7 @@ class Trainer:
                         )
                         prev_batch = batch_no
                         batch_no += k_r
+                        self._cur_batch_no = batch_no
                         self.global_step += k_r
                         images_done += 2 * cfg.batch_size * k_r * accum_m
                         if len(metrics_buffer) >= flush_every:
@@ -916,16 +947,35 @@ class Trainer:
                         epoch_callback(epoch)
                     continue
 
+                resume_b = self._resume_batch if epoch == first_epoch else 0
+                if resume_b:
+                    print(
+                        f"mid-epoch resume: continuing epoch {epoch} at batch "
+                        f"{resume_b + 1} (skipping {resume_b} already-trained "
+                        "batches)"
+                    )
                 if cfg.grad_accum > 1:  # host-fed (device_data rides use_scan)
-                    pairs = self._accum_prefetch(self.dataset.epoch_iterator(epoch))
+                    # each applied update consumes 2*M dataset batches
+                    pairs = self._accum_prefetch(
+                        self.dataset.epoch_iterator(
+                            epoch, start_batch=2 * cfg.grad_accum * resume_b
+                        )
+                    )
                 elif cfg.device_data:
-                    pairs = _pairwise(self._device_epoch(epoch))
+                    ids = self._device_epoch(epoch)
+                    for _ in range(2 * resume_b):
+                        next(ids, None)
+                    pairs = _pairwise(ids)
                 else:
-                    pairs = self._device_prefetch(self.dataset.epoch_iterator(epoch))
-                batch_no = 0
+                    pairs = self._device_prefetch(
+                        self.dataset.epoch_iterator(epoch, start_batch=2 * resume_b)
+                    )
+                batch_no = resume_b
+                self._cur_batch_no = batch_no
                 images_done = 0
                 for b1, b2 in pairs:
                     batch_no += 1
+                    self._cur_batch_no = batch_no
                     self.global_step += 1
                     if cfg.profile_steps > 0 and epoch == first_epoch:
                         if batch_no == 10 and not profiling:

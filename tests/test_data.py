@@ -110,6 +110,29 @@ def test_epoch_shuffle_is_seeded(tiny_cfg, celeba_tree):
     assert e0 != e1  # ...different order (batch-level shuffle)
 
 
+def test_epoch_iterator_start_batch_is_exact_tail(tiny_cfg, celeba_tree):
+    """start_batch (mid-epoch resume) yields the bitwise tail of the full
+    epoch stream — CelebA skips the decode entirely, the synthetic dataset
+    draws-and-discards to keep its sequential RNG stream aligned."""
+    img_dir, attr_file, _ = celeba_tree
+    ds = CelebA(_cfg(tiny_cfg, img_dir, attr_file))
+    full = list(ds.epoch_iterator(2))
+    tail = list(ds.epoch_iterator(2, start_batch=2))
+    assert len(tail) == len(full) - 2
+    for (fi, fc), (ti, tc) in zip(full[2:], tail):
+        np.testing.assert_array_equal(fi, ti)
+        np.testing.assert_array_equal(fc, tc)
+    assert list(ds.epoch_iterator(2, start_batch=len(full))) == []
+
+    syn = SyntheticDataset(tiny_cfg, num_items=6 * tiny_cfg.batch_size)
+    full_s = list(syn.epoch_iterator(1))
+    tail_s = list(syn.epoch_iterator(1, start_batch=4))
+    assert len(tail_s) == 2
+    for (fi, fc), (ti, tc) in zip(full_s[4:], tail_s):
+        np.testing.assert_array_equal(fi, ti)
+        np.testing.assert_array_equal(fc, tc)
+
+
 def test_host_sharding(tiny_cfg, celeba_tree):
     img_dir, attr_file, _ = celeba_tree
     full = CelebA(_cfg(tiny_cfg, img_dir, attr_file))

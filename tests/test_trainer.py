@@ -109,6 +109,148 @@ def test_interrupt_checkpoint(run_cfg):
     assert tr3.checkpointer.latest_tag() == "interrupt"
 
 
+def _params_equal(a, b) -> bool:
+    return all(
+        np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+    )
+
+
+def _interrupt_after_steps(tr, n: int):
+    """Set the deferred-SIGINT flag right after the n-th completed step —
+    the train loop then saves the interrupt checkpoint at exactly that
+    batch boundary (host-fed paths: step_fn == tr._train_step)."""
+    orig = tr._train_step
+    count = {"n": 0}
+
+    def wrapped(*args, **kwargs):
+        out = orig(*args, **kwargs)
+        count["n"] += 1
+        if count["n"] == n:
+            tr._interrupt_requested = True
+        return out
+
+    tr._train_step = wrapped
+
+
+def test_mid_epoch_resume_host_fed(run_cfg):
+    """Interrupt at epoch 2 batch 3 (of 6) -> resume -> final params BITWISE
+    equal to the uninterrupted run: the deterministic (seed, epoch) batch
+    order + the step RNG keyed off the restored global_step make mid-epoch
+    resume exact (beyond reference, which restarts the epoch)."""
+    ds = SyntheticDataset(run_cfg, num_items=12 * run_cfg.batch_size)
+    cfg_a = run_cfg.replace(epoch=2, exp_name="mid_a")
+    tr_a = Trainer(cfg_a, ds)
+    tr_a.train()
+
+    cfg_b = run_cfg.replace(epoch=2, exp_name="mid_b")
+    tr_b = Trainer(cfg_b, ds)
+    _interrupt_after_steps(tr_b, 9)  # 6 pairs/epoch -> epoch 2, batch 3
+    with pytest.raises(SystemExit):
+        tr_b.train()
+    status = json.load(open(os.path.join(cfg_b.result_dir, "checkpoint", "status.json")))
+    assert (status["epoch"], status["step"], status["batch"]) == (2, 9, 3)
+
+    tr_b2 = Trainer(cfg_b, ds)  # restore=True picks up the interrupt ckpt
+    assert tr_b2._resume_batch == 3 and tr_b2.global_step == 9
+    tr_b2.train()
+    assert tr_b2.global_step == tr_a.global_step
+    assert _params_equal(tr_a.state.params, tr_b2.state.params)
+
+
+def test_mid_epoch_resume_scan_path(run_cfg):
+    """Same exactness through the device_data K-step scan dispatch: the
+    interrupt lands at a group boundary and resume skips whole groups."""
+    base = run_cfg.replace(
+        epoch=2, device_data=True, steps_per_dispatch=2, freq_gen=0, freq_test=2
+    )
+    ds = SyntheticDataset(base, num_items=12 * base.batch_size)
+    cfg_a = base.replace(exp_name="scan_a")
+    tr_a = Trainer(cfg_a, ds)
+    tr_a.train()
+
+    cfg_b = base.replace(exp_name="scan_b")
+    tr_b = Trainer(cfg_b, ds)
+    # 3 groups/epoch (12 ids, 4 per group), predict fires at every group
+    # (freq_test=2, batch_no 2/4/6); flag after call 4 = epoch 2, batch 2
+    orig_predict = tr_b.predict
+    count = {"n": 0}
+
+    def predict_and_flag(*a, **k):
+        out = orig_predict(*a, **k)
+        count["n"] += 1
+        if count["n"] == 4:
+            tr_b._interrupt_requested = True
+        return out
+
+    tr_b.predict = predict_and_flag
+    with pytest.raises(SystemExit):
+        tr_b.train()
+    status = json.load(open(os.path.join(cfg_b.result_dir, "checkpoint", "status.json")))
+    assert (status["epoch"], status["step"], status["batch"]) == (2, 8, 2)
+
+    tr_b2 = Trainer(cfg_b, ds)
+    assert tr_b2._resume_batch == 2
+    tr_b2.train()
+    assert tr_b2.global_step == tr_a.global_step
+    assert _params_equal(tr_a.state.params, tr_b2.state.params)
+
+
+def test_mid_epoch_resume_grad_accum(run_cfg):
+    """The host-fed accumulation path skips 2*M dataset batches per already-
+    applied update on resume."""
+    base = run_cfg.replace(epoch=2, grad_accum=2, freq_gen=0, freq_test=0)
+    ds = SyntheticDataset(base, num_items=12 * base.batch_size)
+    cfg_a = base.replace(exp_name="accum_a")
+    tr_a = Trainer(cfg_a, ds)
+    tr_a.train()
+
+    cfg_b = base.replace(exp_name="accum_b")
+    tr_b = Trainer(cfg_b, ds)
+    _interrupt_after_steps(tr_b, 4)  # 3 updates/epoch -> epoch 2, update 1
+    with pytest.raises(SystemExit):
+        tr_b.train()
+    status = json.load(open(os.path.join(cfg_b.result_dir, "checkpoint", "status.json")))
+    assert (status["epoch"], status["step"], status["batch"]) == (2, 4, 1)
+
+    tr_b2 = Trainer(cfg_b, ds)
+    tr_b2.train()
+    assert _params_equal(tr_a.state.params, tr_b2.state.params)
+
+
+def test_interrupt_during_epoch_save_does_not_double_train(run_cfg):
+    """A SIGINT landing during the end-of-epoch checkpoint used to write an
+    interrupt status pointing at the epoch that JUST finished — resume then
+    re-trained the whole epoch on its own weights. With "batch" in the
+    status the resumed run skips the finished epoch's batches instead."""
+    ds = SyntheticDataset(run_cfg, num_items=8 * run_cfg.batch_size)
+    cfg_a = run_cfg.replace(epoch=2, exp_name="win_a")
+    tr_a = Trainer(cfg_a, ds)
+    tr_a.train()
+
+    cfg_b = run_cfg.replace(epoch=2, exp_name="win_b")
+    tr_b = Trainer(cfg_b, ds)
+    orig_save = tr_b.checkpointer.save
+
+    def save_then_flag(tag, tree, status=None):
+        out = orig_save(tag, tree, status)
+        if tag == "1":
+            tr_b._interrupt_requested = True
+        return out
+
+    tr_b.checkpointer.save = save_then_flag
+    with pytest.raises(SystemExit):
+        tr_b.train()
+    status = json.load(open(os.path.join(cfg_b.result_dir, "checkpoint", "status.json")))
+    # the in-flight epoch is 1 with ALL 4 of its batches complete
+    assert (status["epoch"], status["batch"]) == (1, 4)
+
+    tr_b2 = Trainer(cfg_b, ds)
+    tr_b2.train()  # epoch 1 resumes past its end (0 steps), epoch 2 trains
+    assert tr_b2.global_step == tr_a.global_step
+    assert _params_equal(tr_a.state.params, tr_b2.state.params)
+
+
 def test_predict_artifacts(run_cfg, tmp_path):
     ds = SyntheticDataset(run_cfg, num_items=4 * run_cfg.batch_size)
     tr = Trainer(run_cfg, ds)
@@ -919,12 +1061,15 @@ def test_restore_latest_reconciles_stale_status(tiny_cfg, tmp_path):
     reconcile)."""
     state = create_train_state(tiny_cfg, jax.random.PRNGKey(0))
     ck = Checkpointer(str(tmp_path))
-    ck.save("4", state, {"epoch": 5, "step": 20})
+    ck.save("4", state, {"epoch": 5, "step": 20, "batch": 3})  # from an interrupt
     ck.save("5", state, None)  # crash before _write_status: status stays 5
     with open(os.path.join(str(tmp_path), "status.json")) as f:
         assert json.load(f)["epoch"] == 5
     _, status = ck.restore_latest(state)
     assert status["epoch"] == 6  # re-derived from ckpt-5, not the stale file
+    # the stale mid-epoch resume point belongs to epoch 5 — carrying it into
+    # the re-derived epoch 6 would silently skip its first 3 batches
+    assert status["batch"] == 0
 
 
 def test_multihost_without_mesh_or_slicing_refused(tiny_cfg, tmp_path, monkeypatch):

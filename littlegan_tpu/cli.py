@@ -75,7 +75,7 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
         cfg = cfg.replace(debug=True)  # must not be clobbered by its absence
     if args.synthetic_data:
         cfg.extra["synthetic_data"] = True
-    if cfg.mode == "serve":  # serve-only knobs ride in extra (not Config fields)
+    if cfg.mode in ("serve", "visual"):  # port knob rides in extra (not a Config field)
         cfg.extra.setdefault("serve_port", args.port)
         cfg.extra.setdefault("serve_reload_every", args.reload_every)
         if args.serve_devices is not None:
@@ -159,7 +159,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             rc = 0
         except FileNotFoundError:  # tensorboard not installed
             rc = 127
-        if rc not in (0, 130, -2):  # 130 / -SIGINT: Ctrl-C on a working server
+        if rc == 127:
+            # no tensorboard binary: serve the built-in HTML report instead
+            # (regenerated per request — refresh tracks a live run). Scalars
+            # stay inspectable without installing anything.
+            from littlegan_tpu.report import serve_report
+
+            print(
+                "tensorboard unavailable; serving the built-in report instead "
+                f"(event files are TensorBoard-format at {logdir})"
+            )
+            serve_report(cfg, port=int(cfg.extra.get("serve_port", 8600)))
+        elif rc not in (0, 130, -2):  # 130 / -SIGINT: Ctrl-C on a working server
             print("tensorboard unavailable; event files are TensorBoard-format at", logdir)
 
     elif cfg.mode == "plot":  # main.py:37-40

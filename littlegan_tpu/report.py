@@ -310,3 +310,61 @@ pre{{background:none;border:1px solid var(--grid);border-radius:6px;padding:.6em
     os.replace(tmp, out_path)
     print(f"report: {out_path}")
     return out_path
+
+
+def serve_report(
+    cfg: Config,
+    port: int = 8600,
+    max_requests: Optional[int] = None,
+    on_bound=None,
+) -> int:
+    """Serve the experiment report over HTTP, REGENERATED on every request
+    (fresh event-file read), so a browser refresh tracks a live run.
+
+    This is the ``visual`` mode's fallback when the tensorboard binary is
+    absent (the reference spawns tensorboard unconditionally, main.py:34-36;
+    this container, for one, has no tensorboard executable). ``port=0``
+    binds an ephemeral port; the bound port is returned. ``max_requests``
+    (tests) serves N requests then returns instead of blocking forever;
+    ``on_bound`` (tests) is called with the bound port before serving.
+    """
+    import http.server
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (http.server API)
+            try:
+                path = generate_report(cfg)
+                with open(path, "rb") as f:
+                    body = f.read()
+                code, ctype = 200, "text/html; charset=utf-8"
+            except Exception as e:  # noqa: BLE001 — render the failure, keep serving
+                body = f"report generation failed: {type(e).__name__}: {e}".encode()
+                code, ctype = 500, "text/plain; charset=utf-8"
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet per-request stderr lines
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    bound = srv.server_address[1]
+    if on_bound is not None:
+        on_bound(bound)
+    print(
+        f"serving the experiment report at http://localhost:{bound}/ "
+        "(regenerated per request; Ctrl-C to stop)"
+    )
+    try:
+        if max_requests is None:
+            srv.serve_forever()
+        else:
+            for _ in range(max_requests):
+                srv.handle_request()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+    return bound

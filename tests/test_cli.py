@@ -73,14 +73,17 @@ def test_mode_plot(workspace, capsys):
 
 
 def test_mode_visual_fallback(workspace, capsys, monkeypatch):
-    """No tensorboard binary in-container: the visual branch must print the
-    logdir fallback instead of crashing (reference main.py:34-36 spawns
-    tensorboard unconditionally). The command runs as an ARGV LIST — a
-    shell-metacharacter exp_name must stay one --logdir value — and a
-    Ctrl-C'd working server (rc 130) is not 'unavailable'."""
+    """No tensorboard binary in-container: the visual branch must fall back
+    to serving the built-in HTML report instead of crashing (reference
+    main.py:34-36 spawns tensorboard unconditionally). The command runs as
+    an ARGV LIST — a shell-metacharacter exp_name must stay one --logdir
+    value — and a Ctrl-C'd working server (rc 130) is not 'unavailable'."""
     import subprocess
 
+    from littlegan_tpu import report
+
     calls = []
+    served = []
 
     class _RC:
         def __init__(self, rc):
@@ -89,16 +92,70 @@ def test_mode_visual_fallback(workspace, capsys, monkeypatch):
     monkeypatch.setattr(
         subprocess, "run", lambda argv, **kw: (calls.append(argv), _RC(127))[1]
     )
+    monkeypatch.setattr(
+        report, "serve_report", lambda cfg, port: served.append((cfg.exp_name, port))
+    )
     assert cli.main(["visual", "exp"]) == 0
     out = capsys.readouterr().out
     assert "tensorboard unavailable" in out
     assert len(calls) == 1 and calls[0][0] == "tensorboard"
     assert isinstance(calls[0], list) and calls[0][-1] == str(workspace / "log")
+    assert served == [("exp", 8600)]  # fell through to the report server
 
-    # user Ctrl-C on a WORKING server: no misleading fallback message
+    # user Ctrl-C on a WORKING server: no misleading fallback, no report server
     monkeypatch.setattr(subprocess, "run", lambda argv, **kw: _RC(130))
     assert cli.main(["visual", "exp"]) == 0
     assert "tensorboard unavailable" not in capsys.readouterr().out
+    assert len(served) == 1
+
+
+def test_serve_report_live(workspace):
+    """serve_report regenerates the report PER REQUEST (a refresh tracks a
+    live run) and keeps serving past a render failure (500, not a dropped
+    connection)."""
+    import queue
+    import threading
+    import urllib.request
+
+    from littlegan_tpu import report
+    from littlegan_tpu.config import load_config
+
+    cfg = load_config("sample", {"exp_name": "exp"})
+    ports = queue.Queue()
+    t = threading.Thread(
+        target=report.serve_report,
+        args=(cfg,),
+        kwargs=dict(port=0, max_requests=2, on_bound=ports.put),
+        daemon=True,
+    )
+    t.start()
+    port = ports.get(timeout=30)
+    for _ in range(2):  # per-request regeneration: both answers are full reports
+        with urllib.request.urlopen(f"http://localhost:{port}/", timeout=30) as r:
+            body = r.read().decode()
+        assert '<svg id="losschart"' in body
+        assert "optimizer steps" in body
+
+    # a render failure must answer 500 and keep the server alive
+    bad = cfg.replace(exp_name="no-such-exp")
+    t2_ports = queue.Queue()
+    t2 = threading.Thread(
+        target=report.serve_report,
+        args=(bad,),
+        kwargs=dict(port=0, max_requests=1, on_bound=t2_ports.put),
+        daemon=True,
+    )
+    t2.start()
+    p2 = t2_ports.get(timeout=30)
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"http://localhost:{p2}/", timeout=30)
+    assert ei.value.code == 500
+    assert "report generation failed" in ei.value.read().decode()
+    t.join(timeout=30)
+    t2.join(timeout=30)
+    assert not t.is_alive() and not t2.is_alive()
 
 
 def test_mode_random_sample(workspace):

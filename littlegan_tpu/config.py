@@ -275,6 +275,13 @@ class Config:
     # the reference's behavior — tf.train.Checkpoint.save never prunes).
     # 'interrupt' and weights-only exports are never pruned.
     keep_checkpoints: int = 0
+    # checkpoint cadence: save an epoch checkpoint every N epochs (1 = every
+    # epoch, the reference's behavior, eager_trainer.py:229). The FINAL epoch
+    # always saves, and SIGINT always writes 'interrupt' — a crash between
+    # cadence points resumes from the last saved epoch and deterministically
+    # retrains the gap. Matters at 512²+ where one full-state pull is
+    # gigabytes over this container's host<->chip tunnel.
+    ckpt_every: int = 1
     # FID standard: torchvision inception_v3 weights converted via
     # scripts/convert_inception.py (pytorch-FID "torchvision" flavor;
     # values are NOT bit-identical to the reference's 2015 GraphDef but

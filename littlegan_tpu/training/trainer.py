@@ -710,11 +710,30 @@ class Trainer:
         print("\nCheckpoint has been saved (interrupt)")
         sys.exit(1)
 
+    def _save_epoch_checkpoint(self, epoch: int) -> None:
+        """End-of-epoch checkpoint (eager_trainer.py:229), on the
+        ``ckpt_every`` cadence. The final epoch ALWAYS saves (training must
+        end durable); skipped epochs resume from the last saved one and
+        deterministically retrain the gap (the same (seed, epoch) batch
+        order that makes mid-epoch resume exact). One full-state pull is
+        gigabytes at 512²+ over this container's tunnel — the cadence is
+        the difference between checkpointing dominating an epoch and not."""
+        cfg = self.cfg
+        if cfg.ckpt_every > 1 and epoch % cfg.ckpt_every != 0 and epoch != cfg.epoch:
+            return
+        self.checkpointer.save(
+            str(epoch), self.state, {"epoch": epoch + 1, "step": self.global_step}
+        )
+        if cfg.keep_checkpoints > 0:
+            self._prune_checkpoints(cfg.keep_checkpoints)
+
     def train(self, epoch_callback=None) -> None:
         """Run the training loop from the restored epoch to ``cfg.epoch``.
 
         ``epoch_callback(epoch)``, when given, fires after each epoch's
-        checkpoint is written (post-prune, post-deferred-SIGINT handling) —
+        checkpoint is written (post-prune, post-deferred-SIGINT handling;
+        under ``ckpt_every > 1`` it still fires EVERY epoch — align the
+        cadences if the callback needs a checkpoint file for its epoch) —
         long-horizon harnesses (scripts/campaign.py) hook their periodic
         evals here instead of reconstructing a Trainer per eval chunk,
         which re-uploads the device store (~2.5 GB at 512²) every chunk.
@@ -933,11 +952,7 @@ class Trainer:
                         f"  [{dropped} trailing batch(es) dropped]" if dropped else ""
                     )
                     print(f"Time usage: {elapsed:.1f}s  ({rate:.1f} images/s){drop_note}")
-                    self.checkpointer.save(
-                        str(epoch), self.state, {"epoch": epoch + 1, "step": self.global_step}
-                    )
-                    if cfg.keep_checkpoints > 0:
-                        self._prune_checkpoints(cfg.keep_checkpoints)
+                    self._save_epoch_checkpoint(epoch)
                     if self._interrupt_requested:  # SIGINT during epoch save
                         self._save_interrupt()
                     if epoch_callback is not None:
@@ -1034,11 +1049,7 @@ class Trainer:
                 elapsed = time.time() - start
                 rate = images_done / elapsed if elapsed > 0 else 0.0
                 print(f"Time usage: {elapsed:.1f}s  ({rate:.1f} images/s)")
-                self.checkpointer.save(
-                    str(epoch), self.state, {"epoch": epoch + 1, "step": self.global_step}
-                )
-                if cfg.keep_checkpoints > 0:
-                    self._prune_checkpoints(cfg.keep_checkpoints)
+                self._save_epoch_checkpoint(epoch)
                 if self._interrupt_requested:  # SIGINT during epoch save
                     self._save_interrupt()
                 if epoch_callback is not None:

@@ -57,6 +57,12 @@ def main() -> int:
         help="Adam moment storage dtype (Config.moment_dtype)",
     )
     p.add_argument(
+        "--ckpt-every", type=int, default=1,
+        help="epoch-checkpoint cadence (Config.ckpt_every) — at 512²+ a "
+        "full-state pull is gigabytes over the tunnel; align with "
+        "--eval-every so evaluated epochs stay pinnable",
+    )
+    p.add_argument(
         "--fid-n", type=int, default=1024,
         help="generated images per FID/IS/KID trend eval (smaller = cheaper "
         "smoke runs; trend values are only comparable at equal --fid-n)",
@@ -117,6 +123,7 @@ def main() -> int:
         reuse=True,
         debug=True,
         donate_state=False,
+        ckpt_every=args.ckpt_every,
         keep_checkpoints=3,  # a 512² full-state ckpt is ~0.8 GB (the dense
         # heads scale with init_dim²); 100 unpruned epochs filled the disk
         cond_bias=args.cond_bias,

@@ -89,6 +89,42 @@ def test_epoch_callback_fires_after_each_checkpoint(run_cfg):
     assert seen3 == [1, 2]
 
 
+def test_ckpt_every_cadence(run_cfg):
+    """ckpt_every=2 over 5 epochs writes only epochs {2, 4} plus the FINAL
+    epoch (training must end durable); resume restores from the last saved
+    epoch and retrains the gap deterministically. Covers both dispatch
+    paths (host-fed and device_data scan)."""
+    cfg = run_cfg.replace(epoch=5, ckpt_every=2, freq_gen=0, freq_test=0)
+    ds = SyntheticDataset(cfg, num_items=8 * cfg.batch_size)
+    Trainer(cfg, ds).train()
+    ckdir = os.path.join(cfg.result_dir, "checkpoint")
+    tags = sorted(
+        int(f[len("ckpt-"):-len(".npz")])
+        for f in os.listdir(ckdir)
+        if f.startswith("ckpt-") and f[len("ckpt-"):-len(".npz")].isdigit()
+    )
+    assert tags == [2, 4, 5]
+    with open(os.path.join(ckdir, "status.json")) as f:
+        assert json.load(f)["epoch"] == 6
+
+    # a run killed between cadence points resumes from the last saved epoch
+    cfg2 = cfg.replace(exp_name="t_ck2", epoch=3)
+    Trainer(cfg2, ds).train()  # epochs 1-3: saves only {2, 3}
+    tr = Trainer(cfg2.replace(epoch=5), ds)
+    assert tr.global_epoch == 4  # resumes after epoch 3 (the final save)
+
+    # scan path honors the same cadence
+    cfg3 = cfg.replace(exp_name="t_ck_scan", device_data=True, steps_per_dispatch=2)
+    Trainer(cfg3, ds).train()
+    ckdir3 = os.path.join(cfg3.result_dir, "checkpoint")
+    tags3 = sorted(
+        int(f[len("ckpt-"):-len(".npz")])
+        for f in os.listdir(ckdir3)
+        if f.startswith("ckpt-") and f[len("ckpt-"):-len(".npz")].isdigit()
+    )
+    assert tags3 == [2, 4, 5]
+
+
 def test_resume_restores_state_and_epoch(run_cfg):
     ds = SyntheticDataset(run_cfg, num_items=8 * run_cfg.batch_size)
     Trainer(run_cfg, ds).train()

@@ -120,11 +120,16 @@ def _peak_flops(device) -> float | None:
     return None
 
 
-def build_scan_harness(cfg, k: int = STEPS_PER_DISPATCH, n_store: int = N_STORE_BATCHES):
+def build_scan_harness(cfg, k: int = STEPS_PER_DISPATCH, n_store: int | None = None):
     """The production-path measurement harness (HBM store + K-step scan),
-    shared with scripts/sweep_xla_options.py so the two scripts cannot
+    shared with scripts/{sweep_xla_options,autotune}.py so the scripts cannot
     drift apart. Returns ``(state, dispatch)``; the first ``dispatch`` call
-    compiles."""
+    compiles. One dispatch consumes batch ids [0, 2k), so the store holds at
+    least 2k batches (a smaller store would clamp the gather onto repeated
+    batches at large K — timing-identical, but not the production access
+    pattern)."""
+    if n_store is None:
+        n_store = max(N_STORE_BATCHES, 2 * k)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_scan_train_step(cfg, state.params, k)
     keys = jax.random.split(jax.random.PRNGKey(1), n_store)

@@ -67,6 +67,17 @@ def main() -> int:
         help="generated images per FID/IS/KID trend eval (smaller = cheaper "
         "smoke runs; trend values are only comparable at equal --fid-n)",
     )
+    p.add_argument(
+        "--eval-chunk", type=int, default=0,
+        help="generated images per device dispatch in the FID-trend eval "
+        "(0 = auto: 128 up to 512², 32 at 1024²+ — a 128-row decoder "
+        "forward at 1024² needs ~17 GB of activations, past v5e HBM)",
+    )
+    p.add_argument(
+        "--eval-rows", type=int, default=0,
+        help="rows per effect-size stat batch (0 = auto: 64 up to 512², "
+        "32 at 1024²+; same HBM reasoning as --eval-chunk)",
+    )
     p.add_argument("--data", default="/tmp/structured_celeba")
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--n", type=int, default=6400)
@@ -215,11 +226,18 @@ def main() -> int:
     def adj_stats(params, img, cond):
         return region_means(adjuster_apply(params, img, cond, cfg0))
 
+    eval_chunk = args.eval_chunk or (128 if args.dim <= 512 else 32)
+    eval_rows = args.eval_rows or (64 if args.dim <= 512 else 32)
+    if args.fid_n % eval_chunk:
+        raise SystemExit(
+            f"--fid-n {args.fid_n} must be a multiple of the eval chunk "
+            f"{eval_chunk} (one compiled generate->featurize dispatch shape)"
+        )
     rng = np.random.default_rng(0)
-    eval_noise = rng.normal(size=(64, cfg0.noise_dim)).astype(np.float32)
+    eval_noise = rng.normal(size=(eval_rows, cfg0.noise_dim)).astype(np.float32)
     fid_noise = rng.normal(size=(args.fid_n, cfg0.noise_dim)).astype(np.float32)
     fid_cond = soft(np.where(rng.random((args.fid_n, cfg0.cond_dim)) < 0.5, -1.0, 1.0)).astype(np.float32)
-    base_cond = np.full((64, cfg0.cond_dim), soft(-1.0), np.float32)
+    base_cond = np.full((eval_rows, cfg0.cond_dim), soft(-1.0), np.float32)
     real_img, real_cond = next(ds.epoch_iterator(1))
     real_pm1 = ensure_pm1(real_img)
 
@@ -274,7 +292,7 @@ def main() -> int:
         # adjuster effect sizes on real images (device-resident batch:
         # uploaded once per eval, stats come back as 7 floats per call)
         adj_fx = []
-        n64 = jax.device_put(real_pm1[:64])
+        n64 = jax.device_put(real_pm1[:eval_rows])
         rows = int(n64.shape[0])
         for j in range(cfg.cond_dim):
             on = np.full((rows, cfg.cond_dim), (soft(-1.0) + 1) / 2, np.float32)
@@ -297,8 +315,10 @@ def main() -> int:
         # transfer; same math as the previous host round-trip — the uint8
         # cast is the identical truncating quantization)
         feats = []
-        for i in range(0, len(fid_noise), 128):
-            f = np.asarray(gen_feat(params, fid_noise[i : i + 128], fid_cond[i : i + 128]))
+        for i in range(0, len(fid_noise), eval_chunk):
+            f = np.asarray(
+                gen_feat(params, fid_noise[i : i + eval_chunk], fid_cond[i : i + eval_chunk])
+            )
             feats.append(f)
         gen_feats = np.concatenate(feats)
         mu_g, sigma_g = activation_statistics(gen_feats)

@@ -92,7 +92,14 @@ from littlegan_tpu.data.synthetic import random_device_batch as make_batch
 from littlegan_tpu.training import create_train_state
 from littlegan_tpu.training.step import make_scan_train_step
 
-STEPS_PER_DISPATCH = 8  # trainer.py default for device_data runs
+# Scan K (steps per XLA dispatch): dispatch plumbing, identical math —
+# K-step scan == K sequential steps (tests/test_train_step.py). Swept on
+# v5e 128²/b32 with scripts/autotune.py (2026-08-19, fixed 2k-batch store):
+# K=8 10.36 ms, K=16 10.09, K=32 9.81, K=64 9.72 — the asymptote is the
+# ~9.7 ms device step time; K=8 was paying ~0.7 ms/step of host dispatch.
+# Default = the measured optimum; any long-epoch device_data run can use it
+# (cadences snap to dispatch groups, remainder groups cover short epochs).
+STEPS_PER_DISPATCH = 64
 WARMUP_DISPATCHES = 2
 MEASURE_DISPATCHES = 5
 N_STORE_BATCHES = 16
@@ -198,6 +205,20 @@ def main():
         help="Adam moment STORAGE dtype (Config.moment_dtype); bfloat16 adds "
         "an _mbf16 suffix to the metric name",
     )
+    ap.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize block internals in the backward (Config.remat; "
+        "identical math — needed to FIT 2048²+ on one chip; adds a _remat "
+        "suffix to the metric name)",
+    )
+    ap.add_argument(
+        "--k", type=int, default=0,
+        help="steps per dispatch (scan K — dispatch plumbing, identical "
+        "math; sweep with scripts/autotune.py). Default 0 = auto: the "
+        "measured 128² optimum (64), shrunk so the 2K-batch HBM store stays "
+        "under 1 GiB at high --dim (at 1024²/b32 K=64 would need a 12.6 GiB "
+        "store). A non-auto K adds a _kN suffix to the metric name",
+    )
     args = ap.parse_args()
     # CPU-fallback runs (tunnel hang, see _ensure_live_backend) measure a
     # SMALL config unless the caller pinned one: a CPU step at the 128²/b32
@@ -218,10 +239,18 @@ def main():
         train_adj=True,
         adj_half_batch=args.adj_half,
         moment_dtype=args.moment_dtype,
+        remat=args.remat,
         donate_state=True,
         debug=True,
     )
-    state, dispatch = build_scan_harness(cfg)
+    # auto-K: the measured 128² optimum, shrunk so the 2K-batch uint8 HBM
+    # store stays under 1 GiB — at 1024²/b32 a K=64 store would be 12.6 GiB
+    # (past v5e HBM by itself); K=8/10 there is already past the point of
+    # diminishing dispatch-amortization returns (see the K sweep above).
+    batch_bytes = 2 * args.batch * args.dim * args.dim * 3
+    auto_k = max(1, min(STEPS_PER_DISPATCH, (1 << 30) // max(1, batch_bytes)))
+    k = args.k or auto_k
+    state, dispatch = build_scan_harness(cfg, k=k)
 
     # analytic model FLOPs from XLA's cost model, on a SINGLE-step program:
     # cost_analysis counts a lax.scan body ONCE regardless of trip count
@@ -231,15 +260,29 @@ def main():
     from littlegan_tpu.training.step import make_train_step
 
     probe = make_batch(cfg, jax.random.PRNGKey(1))
-    one_step = make_train_step(cfg, state.params, donate=False)
-    ca = one_step.lower(
-        state, probe, probe, jax.random.PRNGKey(2), jnp.int32(11)
-    ).compile().cost_analysis()
+    # MODEL flops, not executed flops: under --remat the compiled program
+    # re-runs block forwards in the backward, which would inflate the flop
+    # count (and so "MFU") with recompute work. Probe the unremat program;
+    # if that cannot compile at this size, fall back to the remat program
+    # and say so in the JSON.
+    flops_cfg = cfg.replace(remat=False) if args.remat else cfg
+    flops_note = None
+    try:
+        one_step = make_train_step(flops_cfg, state.params, donate=False)
+        ca = one_step.lower(
+            state, probe, probe, jax.random.PRNGKey(2), jnp.int32(11)
+        ).compile().cost_analysis()
+    except Exception as e:  # noqa: BLE001 — compile-OOM at remat-only sizes
+        one_step = make_train_step(cfg, state.params, donate=False)
+        ca = one_step.lower(
+            state, probe, probe, jax.random.PRNGKey(2), jnp.int32(11)
+        ).compile().cost_analysis()
+        flops_note = f"includes remat recompute (unremat probe failed: {type(e).__name__})"
     if isinstance(ca, list):
         ca = ca[0]
     flops_per_step = float(ca.get("flops", 0.0))
 
-    step_s, _ = time_scan_dispatches(state, dispatch)
+    step_s, _ = time_scan_dispatches(state, dispatch, k=k)
     images_per_sec = 2 * cfg.batch_size / step_s
 
     dev = jax.devices()[0]
@@ -249,11 +292,16 @@ def main():
     suffix = "_adjhalf" if args.adj_half else ""
     if args.moment_dtype == "bfloat16":
         suffix += "_mbf16"
+    if args.remat:
+        suffix += "_remat"
+    if args.k and args.k != auto_k:
+        suffix += f"_k{args.k}"
     out = {
         "metric": f"train_images_per_sec_per_chip_{args.dim}px_b{args.batch}{suffix}",
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "step_ms": round(step_s * 1000, 3),
+        "steps_per_dispatch": k,
         "device_kind": dev.device_kind,
     }
     if os.environ.get("LITTLEGAN_BENCH_FALLBACK"):
@@ -266,6 +314,8 @@ def main():
         # keep tiny (CPU-fallback) ratios visible instead of rounding to 0.0
         out["vs_baseline"] = round(ratio, 3 if ratio >= 0.01 else 6)
         out["model_tflops_per_step"] = round(flops_per_step / 1e12, 4)
+        if flops_note:
+            out["flops_note"] = flops_note
         out["achieved_tflops"] = round(achieved / 1e12, 2)
         out["baseline_images_per_sec"] = round(baseline_img_s, 1)
         out["baseline_derivation"] = (

@@ -206,6 +206,22 @@ class Config:
     # (6,134 -> 7,446 img/s, 1.21x); conditioning validated by a 100-epoch
     # campaign (CAMPAIGN.md). False = exact reference math (golden-tested).
     adj_half_batch: bool = False
+    # OPT-IN, beyond the reference: rematerialize each NETWORK APPLICATION
+    # (the G forward, each of the 4 D forwards, the A forward) in the fused
+    # backward (jax.checkpoint in training/step.py::total_loss_fn).
+    # Identical math and gradients — each application's internals are
+    # replayed during its own backward segment instead of being stored
+    # until the reverse pass reaches it, so peak activation HBM drops from
+    # ~sum(all seven applications) toward ~max(one application), for ~one
+    # extra forward of FLOPs per network. Granularity matters and was
+    # measured: BLOCK-level checkpoints inside the networks were useless-
+    # to-harmful on v5e (1024² b32 donated step peak 20.4 -> 28.2 GB)
+    # because XLA's fused conv+norm-stat epilogues already recompute block
+    # internals; the real cost is cross-network liveness. Worth it only
+    # where activations, not FLOPs, bind (large image_dim / batch — see the
+    # README resolution table for measured fit/speed points). Composes with
+    # every step variant, mesh, and grad_accum.
+    remat: bool = False
     # XLA scoped-VMEM budget for the train-step compiles on TPU backends
     # (passed as a per-jit compiler option; XLA's default on v5e is 16 MiB).
     # Swept on v5e at reference scale (2026-08): 32768 KiB is the optimum

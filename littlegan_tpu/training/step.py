@@ -127,11 +127,32 @@ def total_loss_fn(
     if dt != jnp.float32:
         img1, img2, new_image = img1.astype(dt), img2.astype(dt), new_image.astype(dt)
 
-    fake = generator_apply(params, noise, cond2, cfg, s2d_out=s2)
+    # cfg.remat: rematerialize each NETWORK APPLICATION in the backward.
+    # The fused single backward otherwise keeps the activations of ALL
+    # seven applications (1 G + 4 D + 1 A's encoder+decoder) live at once —
+    # the backward traverses in reverse, so G's internals survive until the
+    # end. jax.checkpoint at this granularity stores only each call's
+    # inputs/outputs (boundary images + aliased params) and replays one
+    # forward during that call's own backward segment: peak activation HBM
+    # drops from ~sum(applications) toward ~max(one application) + images,
+    # for ~one extra forward of FLOPs per network. Block-level checkpoints
+    # INSIDE the networks were measured useless here (1024² b32 donated
+    # step: 20.4G -> 28.2G peak) because XLA's fused conv+norm-stat
+    # epilogues already recompute block internals instead of storing them —
+    # the win is cross-network liveness, not block internals. Identical
+    # math either way (tests/test_train_step.py::test_remat_step_equivalence).
+    ck = jax.checkpoint if cfg.remat else (lambda f: f)
+    d_apply = ck(lambda p, img: discriminator_apply(p, img, cfg, s2d_in=s2))
+    g_apply = ck(lambda p, nz, c: generator_apply(p, nz, c, cfg, s2d_out=s2))
+    a_apply = ck(
+        lambda p, img, c: adjuster_apply(p, img, c, cfg, s2d_in=s2, s2d_out=s2)
+    )
+
+    fake = g_apply(params, noise, cond2)
 
     # --- D loss: grads to encoder + d_head only (fake is data) ---
-    real_pr, real_c = discriminator_apply(params, new_image, cfg, s2d_in=s2)
-    fake_pr_d, _ = discriminator_apply(params, sg(fake), cfg, s2d_in=s2)
+    real_pr, real_c = d_apply(params, new_image)
+    fake_pr_d, _ = d_apply(params, sg(fake))
     d_loss = discriminator_loss(cond1, real_c, real_pr, fake_pr_d)
     if cfg.use_gp:
         # interpolate from the AUGMENTED real (new_image) — the sample D is
@@ -141,7 +162,7 @@ def total_loss_fn(
 
     # --- G loss: D queried with frozen params -> grads to G subtrees only ---
     d_frozen = _freeze(params, G_KEYS)
-    fake_pr_g, fake_c_g = discriminator_apply(d_frozen, fake, cfg, s2d_in=s2)
+    fake_pr_g, fake_c_g = d_apply(d_frozen, fake)
     g_loss = generator_loss(cond2, fake_c_g, fake_pr_g, img2, fake, cfg.l1_lambda)
 
     total = g_loss + d_loss
@@ -167,10 +188,8 @@ def total_loss_fn(
             adj_tgt_img = jnp.concatenate([img2, img1], axis=0)
         adj_in_cond = (adj_tgt_cond + 1.0) * 0.5
         adj_params = _freeze(params, A_KEYS)
-        adj_image = adjuster_apply(
-            adj_params, adj_in_img, adj_in_cond, cfg, s2d_in=s2, s2d_out=s2
-        )
-        adj_pr, adj_c = discriminator_apply(_freeze(params, ()), adj_image, cfg, s2d_in=s2)
+        adj_image = a_apply(adj_params, adj_in_img, adj_in_cond)
+        adj_pr, adj_c = d_apply(_freeze(params, ()), adj_image)
         a_loss = adjuster_loss(adj_tgt_cond, adj_c, adj_pr, adj_tgt_img, adj_image, cfg.l1_lambda)
         total = total + a_loss
 

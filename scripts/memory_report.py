@@ -48,6 +48,16 @@ def main() -> int:
     p.add_argument("--moment-dtype", default="float32", choices=("float32", "bfloat16"))
     p.add_argument("--ema", type=float, default=0.0)
     p.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize block internals in the backward (Config.remat) — "
+        "affects only the --compile peak/temp numbers, not train-state bytes",
+    )
+    p.add_argument(
+        "--adj-half", action="store_true",
+        help="adjuster on one alternating N-row batch (Config.adj_half_batch) — "
+        "affects only the --compile numbers",
+    )
+    p.add_argument(
         "--compile", action="store_true",
         help="also compile the (single-device, plain) train step on the "
         "current backend and report XLA's memory analysis — the 'does this "
@@ -74,6 +84,8 @@ def main() -> int:
         shard_dense=args.shard_dense,
         moment_dtype=args.moment_dtype,
         ema_decay=args.ema,
+        remat=args.remat,
+        adj_half_batch=args.adj_half,
         debug=True,
     )
     rep = state_bytes_report(cfg, mesh_shape)
@@ -97,7 +109,8 @@ def main() -> int:
         "dim": args.dim, "batch": args.batch, "mesh": mesh_shape,
         "moment_dtype": args.moment_dtype,
         "shard_opt_state": args.shard_opt_state, "shard_dense": args.shard_dense,
-        "ema_decay": args.ema, **rep,
+        "ema_decay": args.ema, "remat": args.remat, "adj_half_batch": args.adj_half,
+        **rep,
     }
 
     if args.compile:
@@ -110,7 +123,12 @@ def main() -> int:
         img = jax.ShapeDtypeStruct((args.batch, args.dim, args.dim, 3), jnp.dtype("float32"))
         cond = jax.ShapeDtypeStruct((args.batch, cfg.cond_dim), jnp.dtype("float32"))
         b = (img, cond)
-        step = make_train_step(cfg, state_sh.params, donate=False)
+        # donate=True matches the production step (trainer/bench donate the
+        # input state); donate=False would double-count the train state in
+        # the peak (input + output both live) and report an OOM for configs
+        # that actually fit — measured at 1024² b32: 20.0 GB undonated vs
+        # fitting donated.
+        step = make_train_step(cfg, state_sh.params, donate=True)
         ma = step.lower(
             state_sh, b, b, jax.random.PRNGKey(0), jnp.int32(11)
         ).compile().memory_analysis()

@@ -82,7 +82,7 @@ def test_report_script_prints_json(tmp_path, capsys):
     argv = sys.argv
     sys.argv = ["memory_report.py", "--dim", "32", "--batch", "4",
                 "--mesh", "data=4,model=2", "--shard-opt-state", "--shard-dense",
-                "--moment-dtype", "bfloat16"]
+                "--moment-dtype", "bfloat16", "--remat", "--adj-half"]
     try:
         assert mod.main() == 0
     finally:
@@ -90,3 +90,6 @@ def test_report_script_prints_json(tmp_path, capsys):
     out = capsys.readouterr().out
     rec = json.loads(out.strip().splitlines()[-1])
     assert rec["total_per_chip_bytes"] < rec["total_global_bytes"]
+    # remat/adj_half are step-compile knobs: echoed in the JSON, no effect
+    # on train-state bytes
+    assert rec["remat"] is True and rec["adj_half_batch"] is True

@@ -818,3 +818,56 @@ def test_adj_half_batch_trains_through_all_dispatch_paths(tiny_cfg, tmp_path):
     b2s = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), b2, b1)
     aout = acc(state, b1s, b2s, rng, jnp.int32(11))
     assert np.isfinite(np.asarray(aout.metrics["loss/adj"])).all()
+
+
+def test_remat_step_equivalence(tiny_cfg, rng):
+    """Config.remat replays each network application's forward inside its
+    own backward segment (jax.checkpoint in step.py::total_loss_fn) — the
+    same ops, so the step must match the stored-activation step to f32
+    rounding: losses AND every updated parameter across a 3-step trajectory
+    (partition schedule on, s2d boundary on). Tolerances allow the fusion-
+    order rounding drift the replayed forwards introduce, amplified through
+    Adam's sqrt(nu) normalization (observed max ~4e-5 relative after 3
+    steps); a wrong-gradient bug is orders of magnitude larger."""
+    b1, b2 = _batches(tiny_cfg, rng)
+    results = {}
+    for remat in (False, True):
+        cfg = tiny_cfg.replace(remat=remat, use_partition=True, train_adj=True)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = make_train_step(cfg, state.params, donate=False)
+        out = None
+        for i, bno in enumerate((10, 11, 12)):
+            out = step(state, b1, b2, jax.random.PRNGKey(60 + i), jnp.int32(bno))
+            state = out.state
+        results[remat] = (state, out.metrics)
+    for k in ("loss/gen", "loss/disc", "loss/adj"):
+        np.testing.assert_allclose(
+            float(results[False][1][k]), float(results[True][1][k]), rtol=1e-4, err_msg=k
+        )
+    base = jax.tree_util.tree_leaves_with_path(results[False][0].params)
+    rem = jax.tree_util.tree_leaves_with_path(results[True][0].params)
+    for (path, xa), (_, xb) in zip(base, rem):
+        np.testing.assert_allclose(
+            np.asarray(xa), np.asarray(xb), rtol=2e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_remat_composes_with_gp_and_bf16(tiny_cfg, rng):
+    """remat must compose with the gradient penalty (grad-of-grad THROUGH
+    jax.checkpoint) and bf16 compute: the step runs, losses stay finite and
+    within bf16 rounding of the unremat bf16 step."""
+    b1, b2 = _batches(tiny_cfg, rng)
+    vals = {}
+    for remat in (False, True):
+        cfg = tiny_cfg.replace(
+            remat=remat, use_gp=True, use_partition=False, compute_dtype="bfloat16"
+        )
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = make_train_step(cfg, state.params, donate=False)
+        out = step(state, b1, b2, jax.random.PRNGKey(5), jnp.int32(11))
+        vals[remat] = {k: float(out.metrics[k]) for k in ("loss/gen", "loss/disc", "loss/adj")}
+    for k, a in vals[False].items():
+        b = vals[True][k]
+        assert np.isfinite(b), k
+        assert abs(a - b) < 0.05 * max(1.0, abs(a)), (k, a, b)

@@ -137,11 +137,23 @@ def build_scan_harness(cfg, k: int = STEPS_PER_DISPATCH, n_store: int | None = N
     pattern)."""
     if n_store is None:
         n_store = max(N_STORE_BATCHES, 2 * k)
+        # Cap the store at 2 GiB so large --dim points measure the step
+        # instead of OOMing on the fixture. Ids past the store clamp onto
+        # the last batch (lax.dynamic_index_in_dim semantics) —
+        # timing-identical.
+        batch_bytes = cfg.batch_size * cfg.image_dim**2 * cfg.image_channel
+        n_store = max(2, min(n_store, (2 << 30) // max(1, batch_bytes)))
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_scan_train_step(cfg, state.params, k)
     keys = jax.random.split(jax.random.PRNGKey(1), n_store)
     pairs = [make_batch(cfg, key) for key in keys]
-    images = jnp.stack([p[0] for p in pairs])
+    # uint8 store, exactly like the production device_data pipeline (the
+    # step rescales on-chip, step.py — the rescale fuses into the first
+    # conv); an f32 store would cost 4x the fixture HBM and skip an op the
+    # production path pays.
+    images = jnp.stack(
+        [jnp.round((p[0] + 1.0) * 127.5).astype(jnp.uint8) for p in pairs]
+    )
     conds = jnp.stack([p[1] for p in pairs])
     rng = jax.random.PRNGKey(2)
     b1s = jnp.arange(k, dtype=jnp.int32)
@@ -207,17 +219,19 @@ def main():
     )
     ap.add_argument(
         "--remat", action="store_true",
-        help="rematerialize block internals in the backward (Config.remat; "
-        "identical math — needed to FIT 2048²+ on one chip; adds a _remat "
-        "suffix to the metric name)",
+        help="rematerialize network-application internals in the backward "
+        "(Config.remat; identical math, trades recompute FLOPs for "
+        "activation HBM — measured 1024²/b32: 20.0 → 17.5 GiB; adds a "
+        "_remat suffix to the metric name)",
     )
     ap.add_argument(
         "--k", type=int, default=0,
         help="steps per dispatch (scan K — dispatch plumbing, identical "
         "math; sweep with scripts/autotune.py). Default 0 = auto: the "
-        "measured 128² optimum (64), shrunk so the 2K-batch HBM store stays "
-        "under 1 GiB at high --dim (at 1024²/b32 K=64 would need a 12.6 GiB "
-        "store). A non-auto K adds a _kN suffix to the metric name",
+        "measured 128² optimum (64), shrunk so one dispatch's f32 "
+        "batch-pair traffic stays under 1 GiB at high --dim (the harness "
+        "store itself is capped at 2 GiB separately). A non-auto K adds a "
+        "_kN suffix to the metric name",
     )
     args = ap.parse_args()
     # CPU-fallback runs (tunnel hang, see _ensure_live_backend) measure a
@@ -243,47 +257,53 @@ def main():
         donate_state=True,
         debug=True,
     )
-    # auto-K: the measured 128² optimum, shrunk so the 2K-batch uint8 HBM
-    # store stays under 1 GiB — at 1024²/b32 a K=64 store would be 12.6 GiB
-    # (past v5e HBM by itself); K=8/10 there is already past the point of
-    # diminishing dispatch-amortization returns (see the K sweep above).
-    batch_bytes = 2 * args.batch * args.dim * args.dim * 3
-    auto_k = max(1, min(STEPS_PER_DISPATCH, (1 << 30) // max(1, batch_bytes)))
+    # auto-K: the measured 128² optimum, shrunk as batch-pair bytes grow so
+    # the measurement schedule's wall-clock stays bounded at high --dim
+    # (step time scales ~B*dim²; at 1024²+ K shrinks toward 1, where the
+    # ~1 s step dwarfs the 30-90 ms dispatch RTT anyway — the K sweep's
+    # win is specific to ~10 ms steps).
+    pair_bytes = 2 * 4 * args.batch * args.dim * args.dim * 3
+    auto_k = max(1, min(STEPS_PER_DISPATCH, (1 << 30) // max(1, pair_bytes)))
     k = args.k or auto_k
     state, dispatch = build_scan_harness(cfg, k=k)
+
+    step_s, state = time_scan_dispatches(state, dispatch, k=k)
+    images_per_sec = 2 * cfg.batch_size / step_s
 
     # analytic model FLOPs from XLA's cost model, on a SINGLE-step program:
     # cost_analysis counts a lax.scan body ONCE regardless of trip count
     # (measured: the K=8 scan program reports ~= one step's flops), so the
     # scan program cannot be divided by K. The single step is the same math
     # the scan body runs (equivalence-tested in tests/test_train_step.py).
+    # Probed AFTER timing, donated like the production step, and allowed to
+    # fail — at HBM-limit sizes (1024²/b32+) the probe program must not cost
+    # the measurement its memory headroom, and an OOM here should lose the
+    # MFU line, not the throughput line.
     from littlegan_tpu.training.step import make_train_step
 
     probe = make_batch(cfg, jax.random.PRNGKey(1))
     # MODEL flops, not executed flops: under --remat the compiled program
-    # re-runs block forwards in the backward, which would inflate the flop
-    # count (and so "MFU") with recompute work. Probe the unremat program;
-    # if that cannot compile at this size, fall back to the remat program
-    # and say so in the JSON.
-    flops_cfg = cfg.replace(remat=False) if args.remat else cfg
-    flops_note = None
-    try:
-        one_step = make_train_step(flops_cfg, state.params, donate=False)
-        ca = one_step.lower(
-            state, probe, probe, jax.random.PRNGKey(2), jnp.int32(11)
-        ).compile().cost_analysis()
-    except Exception as e:  # noqa: BLE001 — compile-OOM at remat-only sizes
-        one_step = make_train_step(cfg, state.params, donate=False)
-        ca = one_step.lower(
-            state, probe, probe, jax.random.PRNGKey(2), jnp.int32(11)
-        ).compile().cost_analysis()
-        flops_note = f"includes remat recompute (unremat probe failed: {type(e).__name__})"
-    if isinstance(ca, list):
-        ca = ca[0]
-    flops_per_step = float(ca.get("flops", 0.0))
-
-    step_s, _ = time_scan_dispatches(state, dispatch, k=k)
-    images_per_sec = 2 * cfg.batch_size / step_s
+    # re-runs application forwards in the backward, which would inflate the
+    # flop count (and so "MFU") with recompute work. Probe the unremat
+    # program; if that cannot compile at this size, fall back to the remat
+    # program and say so in the JSON.
+    attempts = [(cfg.replace(remat=False), None)] if args.remat else [(cfg, None)]
+    if args.remat:
+        attempts.append((cfg, "includes remat recompute (unremat probe failed)"))
+    flops_per_step, flops_note = 0.0, None
+    for probe_cfg, note in attempts:
+        try:
+            one_step = make_train_step(probe_cfg, state.params, donate=True)
+            ca = one_step.lower(
+                state, probe, probe, jax.random.PRNGKey(2), jnp.int32(11)
+            ).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops_per_step = float(ca.get("flops", 0.0))
+            flops_note = note
+            break
+        except Exception as e:  # noqa: BLE001 — compile-OOM at HBM-limit sizes
+            flops_note = f"flops probe failed ({type(e).__name__}); mfu omitted"
 
     dev = jax.devices()[0]
     peak = _peak_flops(dev)
@@ -325,9 +345,11 @@ def main():
         if peak is not None:
             out["mfu"] = round(achieved / peak, 4)
             out["peak_tflops_bf16"] = round(peak / 1e12, 1)
-    else:  # cost model exposed no flops: keep the JSON strictly valid
+    else:  # probe failed or cost model exposed no flops: keep JSON valid
         out["vs_baseline"] = 0.0
-        out["baseline_derivation"] = "unavailable (no 'flops' in cost_analysis)"
+        out["baseline_derivation"] = (
+            flops_note or "unavailable (no 'flops' in cost_analysis)"
+        )
     print(json.dumps(out))
 
 

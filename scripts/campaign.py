@@ -57,6 +57,11 @@ def main() -> int:
         help="Adam moment storage dtype (Config.moment_dtype)",
     )
     p.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize each network application in the backward "
+        "(Config.remat — identical math; needed to FIT 2048²+ on one chip)",
+    )
+    p.add_argument(
         "--ckpt-every", type=int, default=1,
         help="epoch-checkpoint cadence (Config.ckpt_every) — at 512²+ a "
         "full-state pull is gigabytes over the tunnel; align with "
@@ -141,6 +146,7 @@ def main() -> int:
         ema_decay=args.ema,
         adj_half_batch=args.adj_half,
         moment_dtype=args.moment_dtype,
+        remat=args.remat,
         allow_random_fid=True,
     )
 

@@ -25,9 +25,64 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def compiled_step_report(cfg, donate: bool = True) -> dict:
+    """Compile (never execute) the single-device train step on the current
+    backend and return XLA's memory analysis — or a parsed OOM verdict.
+
+    On the tunneled TPU backend compilation is AOT (chipless), so this is a
+    cheap, chip-accurate "does one training step fit" probe: a config past
+    the HBM capacity fails at COMPILE time with the backend's
+    "Ran out of memory in memory space hbm. Used X of Y" diagnosis (the
+    detail rides the plugin's stderr tracing; the Python exception carries
+    only the HTTP 500 — scripts/fit_frontier.py captures both). NOTE: this
+    is the step alone — the production scan pipeline adds the device store
+    (`device_data`) on top; budget that separately (uint8 dataset bytes).
+
+    ``donate=True`` matches the production step (trainer/bench donate the
+    input state); donate=False double-counts the train state in the peak
+    (input + output both live)."""
+    import jax
+    import jax.numpy as jnp
+
+    from littlegan_tpu.training import create_train_state, make_train_step
+
+    state_sh = jax.eval_shape(lambda: create_train_state(cfg, jax.random.PRNGKey(0)))
+    img = jax.ShapeDtypeStruct(
+        (cfg.batch_size, cfg.image_dim, cfg.image_dim, 3), jnp.dtype("float32")
+    )
+    cond = jax.ShapeDtypeStruct((cfg.batch_size, cfg.cond_dim), jnp.dtype("float32"))
+    b = (img, cond)
+    step = make_train_step(cfg, state_sh.params, donate=donate)
+    lowered = step.lower(state_sh, b, b, jax.random.PRNGKey(0), jnp.int32(11))
+    comp = {"backend": jax.devices()[0].platform, "donate": donate}
+    try:
+        ma = lowered.compile().memory_analysis()
+    except Exception as e:  # noqa: BLE001 — compile-OOM is a RESULT here
+        msg = str(e)
+        comp["fits"] = False
+        comp["compile_error"] = msg[:500]
+        m = re.search(
+            r"Used ([0-9.]+)([MG]) of ([0-9.]+)([MG]) hbm", msg
+        )
+        if m:  # some backends put the OOM detail in the exception itself
+            scale = {"M": 1 << 20, "G": 1 << 30}
+            comp["oom_used_bytes"] = int(float(m.group(1)) * scale[m.group(2)])
+            comp["hbm_capacity_bytes"] = int(float(m.group(3)) * scale[m.group(4)])
+        return comp
+    comp["fits"] = True
+    comp.update(
+        argument_bytes=int(ma.argument_size_in_bytes),
+        output_bytes=int(ma.output_size_in_bytes),
+        temp_bytes=int(ma.temp_size_in_bytes),
+        peak_bytes=int(ma.peak_memory_in_bytes),
+    )
+    return comp
 
 
 def _fmt(n: int) -> str:
@@ -114,34 +169,15 @@ def main() -> int:
     }
 
     if args.compile:
-        import jax
-        import jax.numpy as jnp
-
-        from littlegan_tpu.training import create_train_state, make_train_step
-
-        state_sh = jax.eval_shape(lambda: create_train_state(cfg, jax.random.PRNGKey(0)))
-        img = jax.ShapeDtypeStruct((args.batch, args.dim, args.dim, 3), jnp.dtype("float32"))
-        cond = jax.ShapeDtypeStruct((args.batch, cfg.cond_dim), jnp.dtype("float32"))
-        b = (img, cond)
-        # donate=True matches the production step (trainer/bench donate the
-        # input state); donate=False would double-count the train state in
-        # the peak (input + output both live) and report an OOM for configs
-        # that actually fit — measured at 1024² b32: 20.0 GB undonated vs
-        # fitting donated.
-        step = make_train_step(cfg, state_sh.params, donate=True)
-        ma = step.lower(
-            state_sh, b, b, jax.random.PRNGKey(0), jnp.int32(11)
-        ).compile().memory_analysis()
-        comp = {
-            "backend": jax.devices()[0].platform,
-            "argument_bytes": int(ma.argument_size_in_bytes),
-            "output_bytes": int(ma.output_size_in_bytes),
-            "temp_bytes": int(ma.temp_size_in_bytes),
-            "peak_bytes": int(ma.peak_memory_in_bytes),
-        }
-        print(f"  compiled step ({comp['backend']}): args {_fmt(comp['argument_bytes'])}, "
-              f"out {_fmt(comp['output_bytes'])}, temp {_fmt(comp['temp_bytes'])}, "
-              f"peak {_fmt(comp['peak_bytes'])}")
+        comp = compiled_step_report(cfg)
+        if comp["fits"]:
+            print(f"  compiled step ({comp['backend']}): args {_fmt(comp['argument_bytes'])}, "
+                  f"out {_fmt(comp['output_bytes'])}, temp {_fmt(comp['temp_bytes'])}, "
+                  f"peak {_fmt(comp['peak_bytes'])}")
+        else:
+            used = comp.get("oom_used_bytes")
+            print(f"  compiled step ({comp['backend']}): DOES NOT FIT"
+                  + (f" — needs {_fmt(used)}" if used else " (compile OOM)"))
         out["compiled"] = comp
 
     print(json.dumps(out))

@@ -782,9 +782,17 @@ class Trainer:
             make_scan = (
                 make_scan_accum_train_step if accum_m > 1 else make_scan_train_step
             )
+            # donate=None: honor cfg.donate_state (default True). Donation
+            # aliases the output state onto the input — at 1024² that is
+            # ~2.3 GB of peak HBM the un-donated step double-counts (the
+            # r3_1024 campaign OOM showed "Output ... shares 0B with
+            # arguments"). Safe here: the trainer replaces self.state with
+            # the dispatch output before anything else reads it, and every
+            # between-dispatch consumer (predict cadence, epoch callback,
+            # checkpoint, deferred SIGINT save) sees the NEW buffers.
             if use_scan:
                 scan_step = make_scan(
-                    cfg, self.state.params, scan_k, donate=False, mesh=self.mesh,
+                    cfg, self.state.params, scan_k, donate=None, mesh=self.mesh,
                     store_s2d=self._store_s2d,
                 )
                 if accum_m > 1:
@@ -795,7 +803,7 @@ class Trainer:
                     )
             else:
                 gather_step = make_gather_train_step(
-                    cfg, self.state.params, donate=False, mesh=self.mesh,
+                    cfg, self.state.params, donate=None, mesh=self.mesh,
                     store_s2d=self._store_s2d,
                 )
                 step_fn = lambda s, i1, i2, rng, bno: gather_step(
@@ -850,7 +858,7 @@ class Trainer:
                             step = rem_steps.get(rem)
                             if step is None:
                                 step = make_scan(
-                                    cfg, self.state.params, rem, donate=False,
+                                    cfg, self.state.params, rem, donate=None,
                                     mesh=self.mesh, store_s2d=self._store_s2d,
                                 )
                                 rem_steps[rem] = step

@@ -83,6 +83,12 @@ def main() -> int:
         help="rows per effect-size stat batch (0 = auto: 64 up to 512², "
         "32 at 1024²+; same HBM reasoning as --eval-chunk)",
     )
+    p.add_argument(
+        "--no-donate", action="store_true",
+        help="disable train-state buffer donation in the dispatch (donation "
+        "aliases the output state onto the input — ~2.3 GB of peak HBM at "
+        "1024²; math is identical either way, tested)",
+    )
     p.add_argument("--data", default="/tmp/structured_celeba")
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--n", type=int, default=6400)
@@ -138,7 +144,7 @@ def main() -> int:
         restore=True,
         reuse=True,
         debug=True,
-        donate_state=False,
+        donate_state=not args.no_donate,
         ckpt_every=args.ckpt_every,
         keep_checkpoints=3,  # a 512² full-state ckpt is ~0.8 GB (the dense
         # heads scale with init_dim²); 100 unpruned epochs filled the disk

@@ -569,6 +569,32 @@ def test_ema_composes_with_donated_state(tiny_cfg, rng):
         create_train_state(tiny_cfg.replace(ema_decay=1.0), jax.random.PRNGKey(0))
 
 
+def test_scan_step_donation_matches_undonated(tiny_cfg):
+    """The device-store scan path honors cfg.donate_state (donate=None):
+    donation aliases the output state onto the input (~2.3 GB of peak HBM
+    at 1024² — the r3_1024 campaign OOM's 'Output shares 0B with
+    arguments') and must be bit-identical to the un-donated dispatch."""
+    from littlegan_tpu.training.step import make_scan_train_step
+
+    outs = {}
+    for donate in (False, True):
+        cfg = tiny_cfg.replace(device_data=True, steps_per_dispatch=2, donate_state=donate)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = make_scan_train_step(cfg, state.params, 2)  # donate=None -> cfg
+        r = np.random.RandomState(0)
+        imgs = jnp.asarray(r.uniform(-1, 1, (4, cfg.batch_size, cfg.image_dim, cfg.image_dim, 3)).astype(np.float32))
+        conds = jnp.asarray(np.where(r.rand(4, cfg.batch_size, cfg.cond_dim) < 0.5, 0.98, -0.94).astype(np.float32))
+        out = step(
+            state, imgs, conds,
+            jnp.asarray([0, 2], jnp.int32), jnp.asarray([1, 3], jnp.int32),
+            jax.random.PRNGKey(7), jnp.int32(1), jnp.int32(1),
+        )
+        outs[donate] = jax.tree.map(np.asarray, (out.metrics, out.state.params))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, b), outs[False], outs[True]
+    )
+
+
 def test_accum_dp_mesh_divisibility_validated(tiny_cfg):
     """A pure-DP mesh with a non-divisible batch must be a clear build-time
     ValueError in make_accum_train_step, not an opaque GSPMD dispatch error

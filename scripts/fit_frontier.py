@@ -99,6 +99,12 @@ def probe(dim: int, batch: int, flagset: str, timeout_s: int) -> dict:
         if used is not None:
             out["peak_bytes"] = used
             out["hbm_capacity_bytes"] = cap
+        else:
+            # no "Used X of Y" anywhere: the compile failed for some OTHER
+            # reason (helper crash, serialization limit, …) — surface the
+            # error text instead of letting it masquerade as a plain OOM
+            out["verdict"] = "compile_error"
+            out["compile_error"] = comp.get("compile_error")
     return out
 
 

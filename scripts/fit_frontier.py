@@ -18,9 +18,15 @@ Usage:
   python scripts/fit_frontier.py --points 1024:16,1024:32,2048:4 \
       --flagsets parity,remat,remat+adjhalf [--out artifacts/fit_v5e.json]
   python scripts/fit_frontier.py --search 1024 --flagsets remat  # max batch
+  python scripts/fit_frontier.py --search 2048 --topology v5e:2x4 \
+      --mesh data=4,model=2 --flagsets remat+zero+sdense+mbf16   # 8-chip AOT
 
 Flags inside a flag-set (joined with '+'): parity (none), remat, adjhalf,
-mbf16, ema.
+mbf16, ema, zero (shard_opt_state), sdense (shard_dense).
+
+--topology compiles the MULTI-chip production step (DP, or the spatial
+('data','model') step when --mesh has a 'model' axis) for a TPU topology
+description — per-chip fit verdicts for a slice this host doesn't have.
 """
 
 from __future__ import annotations
@@ -43,6 +49,8 @@ FLAG_ARGS = {
     "adjhalf": ["--adj-half"],
     "mbf16": ["--moment-dtype", "bfloat16"],
     "ema": ["--ema", "0.999"],
+    "zero": ["--shard-opt-state"],
+    "sdense": ["--shard-dense"],
 }
 
 
@@ -55,7 +63,10 @@ def flagset_args(flagset: str) -> list[str]:
     return args
 
 
-def probe(dim: int, batch: int, flagset: str, timeout_s: int) -> dict:
+def probe(
+    dim: int, batch: int, flagset: str, timeout_s: int,
+    topology: str | None = None, mesh: str | None = None,
+) -> dict:
     """One compile-only probe in a fresh subprocess; returns the verdict."""
     cmd = [
         sys.executable,
@@ -63,7 +74,12 @@ def probe(dim: int, batch: int, flagset: str, timeout_s: int) -> dict:
         "--dim", str(dim), "--batch", str(batch), "--compile",
         *flagset_args(flagset),
     ]
-    point = {"dim": dim, "batch": batch, "flags": flagset}
+    if topology:
+        cmd += ["--topology", topology]
+    if mesh:
+        cmd += ["--mesh", mesh]
+    point = {"dim": dim, "batch": batch, "flags": flagset,
+             **({"topology": topology, "mesh": mesh} if topology else {})}
     try:
         r = subprocess.run(
             cmd, capture_output=True, text=True, timeout=timeout_s,
@@ -83,6 +99,7 @@ def probe(dim: int, batch: int, flagset: str, timeout_s: int) -> dict:
                 "stderr_tail": r.stderr[-400:]}
     comp = rep["compiled"]
     out = {**point, "backend": comp.get("backend"),
+           "n_chips": comp.get("n_chips", 1),
            "state_bytes": rep.get("total_per_chip_bytes")}
     if comp["fits"]:
         out["verdict"] = "fits"
@@ -110,12 +127,16 @@ def probe(dim: int, batch: int, flagset: str, timeout_s: int) -> dict:
 
 def headroom_images(res: dict, dim: int, hbm_bytes: int) -> int | None:
     """How many uint8 store images fit next to the step's peak (device_data
-    budgeting); None when the probe gave no peak."""
+    budgeting); None when the probe gave no peak.
+
+    Multi-chip: ``peak_bytes`` is per chip, and the sharded store spreads
+    every image's bytes evenly over the slice (rows over 'data'; rows AND
+    H-slabs under spatial), so capacity = per-chip free x n_chips."""
     peak = res.get("peak_bytes")
     if peak is None:
         return None
     per_image = dim * dim * 3  # uint8 HWC
-    return max(0, (hbm_bytes - peak) // per_image)
+    return max(0, (hbm_bytes - peak) * res.get("n_chips", 1) // per_image)
 
 
 def main() -> int:
@@ -136,6 +157,17 @@ def main() -> int:
         f"(flags: {sorted(FLAG_ARGS)})",
     )
     p.add_argument("--timeout", type=int, default=1500, help="seconds per probe")
+    p.add_argument(
+        "--topology", default=None, metavar="NAME",
+        help="probe the MULTI-chip production step AOT-compiled for a TPU "
+        "topology description (e.g. 'v5e:2x4') — per-chip verdicts for a "
+        "slice this host doesn't have; pairs with --mesh",
+    )
+    p.add_argument(
+        "--mesh", default=None, metavar="SPEC",
+        help="axis split for --topology, e.g. 'data=8' or 'data=4,model=2' "
+        "(a 'model' axis selects the spatial step)",
+    )
     p.add_argument(
         "--hbm-gib", type=float, default=15.75,
         help="usable HBM for the store-headroom column (v5e: 15.75)",
@@ -160,13 +192,15 @@ def main() -> int:
         for part in args.points.split(","):
             d, b = part.strip().split(":")
             for fs in flagsets:
-                record(probe(int(d), int(b), fs, args.timeout))
+                record(probe(int(d), int(b), fs, args.timeout,
+                             args.topology, args.mesh))
 
     if args.search is not None:
         for fs in flagsets:
             lo, hi = 0, args.max_batch  # invariant: lo fits (0 = vacuous), hi+1 unknown
             # first check the upper bound — if it fits, no search needed
-            top = probe(args.search, args.max_batch, fs, args.timeout)
+            top = probe(args.search, args.max_batch, fs, args.timeout,
+                        args.topology, args.mesh)
             record(top)
             if top["verdict"] == "fits":
                 lo = args.max_batch
@@ -174,7 +208,8 @@ def main() -> int:
                 hi = args.max_batch - 1
                 while lo < hi:
                     mid = (lo + hi + 1) // 2
-                    res = probe(args.search, mid, fs, args.timeout)
+                    res = probe(args.search, mid, fs, args.timeout,
+                                args.topology, args.mesh)
                     record(res)
                     if res["verdict"] == "fits":
                         lo = mid

@@ -31,9 +31,37 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def compiled_step_report(cfg, donate: bool = True) -> dict:
-    """Compile (never execute) the single-device train step on the current
-    backend and return XLA's memory analysis — or a parsed OOM verdict.
+def topology_mesh(topology: str, mesh_shape: dict | None):
+    """Mesh over a TPU *topology description* — AOT, no hardware needed.
+
+    ``topology`` is a PJRT topology name (e.g. ``v5e:2x4`` = 8 chips); the
+    plugin compiles for that chip count exactly as it would at run time, so
+    the compiled memory analysis is the real per-chip verdict for a slice
+    this container doesn't have. ``mesh_shape`` splits the chips over named
+    axes (default: all on ``data``)."""
+    import numpy as np
+    from jax.experimental import topologies
+
+    t = topologies.get_topology_desc(platform="tpu", topology_name=topology)
+    n = len(t.devices)
+    axes = dict(mesh_shape) if mesh_shape else {"data": n}
+    sz = 1
+    for v in axes.values():
+        sz *= v
+    if sz != n:
+        raise SystemExit(f"mesh {axes} needs {sz} chips but topology '{topology}' has {n}")
+
+    from littlegan_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(axis_names=tuple(axes), shape=tuple(axes.values()), devices=t.devices)
+
+
+def compiled_step_report(
+    cfg, donate: bool = True, topology: str | None = None,
+    mesh_shape: dict | None = None,
+) -> dict:
+    """Compile (never execute) the train step on the current backend and
+    return XLA's memory analysis — or a parsed OOM verdict.
 
     On the tunneled TPU backend compilation is AOT (chipless), so this is a
     cheap, chip-accurate "does one training step fit" probe: a config past
@@ -43,6 +71,13 @@ def compiled_step_report(cfg, donate: bool = True) -> dict:
     only the HTTP 500 — scripts/fit_frontier.py captures both). NOTE: this
     is the step alone — the production scan pipeline adds the device store
     (`device_data`) on top; budget that separately (uint8 dataset bytes).
+
+    ``topology`` compiles the MULTI-CHIP production step (DP, or spatial
+    when ``mesh_shape`` has a 'model' axis — honoring shard_opt_state /
+    shard_dense / moment_dtype) for a TPU topology description instead:
+    the memory analysis is then per chip OF THAT SLICE. This is how the
+    2048² "multi-chip by construction" claim gets a compiled verdict
+    without an actual multi-chip slice (docs/SCALING.md).
 
     ``donate=True`` matches the production step (trainer/bench donate the
     input state); donate=False double-counts the train state in the peak
@@ -58,9 +93,24 @@ def compiled_step_report(cfg, donate: bool = True) -> dict:
     )
     cond = jax.ShapeDtypeStruct((cfg.batch_size, cfg.cond_dim), jnp.dtype("float32"))
     b = (img, cond)
-    step = make_train_step(cfg, state_sh.params, donate=donate)
+    if topology is None:
+        step = make_train_step(cfg, state_sh.params, donate=donate)
+        backend = jax.devices()[0].platform
+    else:
+        mesh = topology_mesh(topology, mesh_shape)
+        if "model" in mesh.axis_names:
+            from littlegan_tpu.parallel.spatial import make_spatial_train_step
+
+            step = make_spatial_train_step(cfg, state_sh.params, mesh, donate=donate)
+        else:
+            from littlegan_tpu.parallel.train import make_parallel_train_step
+
+            step = make_parallel_train_step(cfg, state_sh.params, mesh, donate=donate)
+        backend = f"{mesh.devices.flat[0].platform} topology {topology}"
     lowered = step.lower(state_sh, b, b, jax.random.PRNGKey(0), jnp.int32(11))
-    comp = {"backend": jax.devices()[0].platform, "donate": donate}
+    comp = {"backend": backend, "donate": donate,
+            "topology": topology, "mesh": mesh_shape if topology else None,
+            "n_chips": int(mesh.size) if topology else 1}
     try:
         ma = lowered.compile().memory_analysis()
     except Exception as e:  # noqa: BLE001 — compile-OOM is a RESULT here
@@ -114,9 +164,17 @@ def main() -> int:
     )
     p.add_argument(
         "--compile", action="store_true",
-        help="also compile the (single-device, plain) train step on the "
-        "current backend and report XLA's memory analysis — the 'does this "
-        "resolution/batch fit one chip' number",
+        help="also compile the train step on the current backend and report "
+        "XLA's memory analysis — the 'does this resolution/batch fit one "
+        "chip' number (single-device unless --topology)",
+    )
+    p.add_argument(
+        "--topology", default=None, metavar="NAME",
+        help="AOT-compile the MULTI-chip production step for a TPU topology "
+        "description instead of the local device — e.g. 'v5e:2x4' (8 chips); "
+        "pairs with --mesh for the axis split (a 'model' axis selects the "
+        "spatial step; plain DP otherwise) and honors --shard-opt-state / "
+        "--shard-dense / --moment-dtype. Implies --compile.",
     )
     args = p.parse_args()
 
@@ -168,15 +226,16 @@ def main() -> int:
         **rep,
     }
 
-    if args.compile:
-        comp = compiled_step_report(cfg)
+    if args.compile or args.topology:
+        comp = compiled_step_report(cfg, topology=args.topology, mesh_shape=mesh_shape)
+        per = " per chip" if args.topology else ""
         if comp["fits"]:
             print(f"  compiled step ({comp['backend']}): args {_fmt(comp['argument_bytes'])}, "
                   f"out {_fmt(comp['output_bytes'])}, temp {_fmt(comp['temp_bytes'])}, "
-                  f"peak {_fmt(comp['peak_bytes'])}")
+                  f"peak {_fmt(comp['peak_bytes'])}{per}")
         else:
             used = comp.get("oom_used_bytes")
-            print(f"  compiled step ({comp['backend']}): DOES NOT FIT"
+            print(f"  compiled step ({comp['backend']}): DOES NOT FIT{per}"
                   + (f" — needs {_fmt(used)}" if used else " (compile OOM)"))
         out["compiled"] = comp
 

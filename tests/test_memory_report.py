@@ -145,7 +145,7 @@ def test_fit_frontier_search_and_out(tmp_path, monkeypatch, capsys):
     ff = _load("fit_frontier")
     calls = []
 
-    def fake_probe(dim, batch, flagset, timeout_s):
+    def fake_probe(dim, batch, flagset, timeout_s, topology=None, mesh=None):
         calls.append(batch)
         fits = batch <= 5
         res = {"dim": dim, "batch": batch, "flags": flagset,
@@ -174,3 +174,57 @@ def test_fit_frontier_search_and_out(tmp_path, monkeypatch, capsys):
     assert lines[-1]["max_fitting_batch"] == 5
     # every recorded probe gained the headroom column
     assert all("n_images_headroom" in l for l in lines if "batch" in l)
+
+
+def test_fit_frontier_multichip_headroom():
+    """Multi-chip probes scale the store headroom by the slice size (the
+    sharded uint8 store spreads every image's bytes over all chips)."""
+    ff = _load("fit_frontier")
+    hbm = 16 << 30
+    res = {"dim": 1024, "peak_bytes": hbm - 10 * 1024 * 1024 * 3, "n_chips": 8}
+    assert ff.headroom_images(res, 1024, hbm) == 80
+    assert ff.flagset_args("zero+sdense") == ["--shard-opt-state", "--shard-dense"]
+
+
+def test_topology_compile_path(sd_cfg, monkeypatch):
+    """--topology end to end on the virtual 8-device backend: a fake
+    topology description standing in for the TPU one (same .devices
+    contract), the spatial step compiled over a (4,2) mesh with every
+    sharding flag on, per-chip memory analysis returned."""
+    import jax.experimental.topologies as topo
+
+    mod = _load("memory_report")
+
+    class _FakeTopo:
+        devices = jax.devices()[:8]
+
+    seen = {}
+
+    def fake_desc(platform, topology_name):
+        seen["args"] = (platform, topology_name)
+        return _FakeTopo()
+
+    monkeypatch.setattr(topo, "get_topology_desc", fake_desc)
+
+    # axis product must match the chip count
+    with pytest.raises(SystemExit, match="needs 6 chips"):
+        mod.topology_mesh("v5e:2x4", {"data": 3, "model": 2})
+
+    mesh = mod.topology_mesh("v5e:2x4", {"data": 4, "model": 2})
+    assert seen["args"] == ("tpu", "v5e:2x4")
+    assert mesh.axis_names == ("data", "model") and mesh.devices.shape == (4, 2)
+
+    cfg = sd_cfg.replace(
+        debug=True, shard_opt_state=True, shard_dense=True,
+        moment_dtype="bfloat16", remat=True,
+    )
+    comp = mod.compiled_step_report(cfg, topology="v5e:2x4", mesh_shape={"data": 4, "model": 2})
+    assert comp["fits"] is True and comp["n_chips"] == 8
+    assert comp["mesh"] == {"data": 4, "model": 2}
+    assert comp["peak_bytes"] > 0
+
+    # default split: everything on 'data' -> the DP step (batch must divide)
+    comp_dp = mod.compiled_step_report(
+        cfg.replace(shard_dense=False, batch_size=8), topology="v5e:2x4"
+    )
+    assert comp_dp["fits"] is True and comp_dp["n_chips"] == 8

@@ -21,7 +21,6 @@ Usage: python scripts/make_structured_data.py <out_dir> [n_images] [dim]
 from __future__ import annotations
 
 import os
-import sys
 
 import numpy as np
 
@@ -73,7 +72,11 @@ def generate(out_dir: str, n: int = 6400, dim: int = 128, attr_indices=(8, 15, 2
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/structured_celeba"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 6400
-    dim = int(sys.argv[3]) if len(sys.argv) > 3 else 128
-    generate(out, n, dim)
+    import argparse
+
+    p = argparse.ArgumentParser(description="Generate the structured synthetic CelebA-shaped dataset.")
+    p.add_argument("out", nargs="?", default="/tmp/structured_celeba", help="output directory")
+    p.add_argument("n", nargs="?", type=int, default=6400, help="number of images")
+    p.add_argument("dim", nargs="?", type=int, default=128, help="square image size")
+    a = p.parse_args()
+    generate(a.out, a.n, a.dim)

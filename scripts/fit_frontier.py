@@ -22,7 +22,9 @@ Usage:
       --mesh data=4,model=2 --flagsets remat+zero+sdense+mbf16   # 8-chip AOT
 
 Flags inside a flag-set (joined with '+'): parity (none), remat, adjhalf,
-mbf16, ema, zero (shard_opt_state), sdense (shard_dense).
+mbf16, ema, zero (shard_opt_state), sdense (shard_dense), accumM (probe the
+gradient-accumulation step: M micro-pairs of `batch` rows per applied
+update — ONE micro-pair's activations live, effective batch M x batch).
 
 --topology compiles the MULTI-chip production step (DP, or the spatial
 ('data','model') step when --mesh has a 'model' axis) for a TPU topology
@@ -57,8 +59,13 @@ FLAG_ARGS = {
 def flagset_args(flagset: str) -> list[str]:
     args: list[str] = []
     for f in flagset.split("+"):
+        m = re.fullmatch(r"accum(\d+)", f)  # accumM: M micro-pairs per update
+        if m:
+            args += ["--grad-accum", m.group(1)]
+            continue
         if f not in FLAG_ARGS:
-            raise SystemExit(f"unknown flag '{f}' (know: {sorted(FLAG_ARGS)})")
+            raise SystemExit(
+                f"unknown flag '{f}' (know: {sorted(FLAG_ARGS)} + 'accumM')")
         args += FLAG_ARGS[f]
     return args
 

@@ -88,17 +88,29 @@ def compiled_step_report(
     from littlegan_tpu.training import create_train_state, make_train_step
 
     state_sh = jax.eval_shape(lambda: create_train_state(cfg, jax.random.PRNGKey(0)))
+    accum = (cfg.grad_accum,) if cfg.grad_accum > 1 else ()
     img = jax.ShapeDtypeStruct(
-        (cfg.batch_size, cfg.image_dim, cfg.image_dim, 3), jnp.dtype("float32")
+        (*accum, cfg.batch_size, cfg.image_dim, cfg.image_dim, 3), jnp.dtype("float32")
     )
-    cond = jax.ShapeDtypeStruct((cfg.batch_size, cfg.cond_dim), jnp.dtype("float32"))
+    cond = jax.ShapeDtypeStruct((*accum, cfg.batch_size, cfg.cond_dim), jnp.dtype("float32"))
     b = (img, cond)
     if topology is None:
-        step = make_train_step(cfg, state_sh.params, donate=donate)
+        if accum:
+            from littlegan_tpu.training.step import make_accum_train_step
+
+            step = make_accum_train_step(cfg, state_sh.params, donate=donate)
+        else:
+            step = make_train_step(cfg, state_sh.params, donate=donate)
         backend = jax.devices()[0].platform
     else:
         mesh = topology_mesh(topology, mesh_shape)
-        if "model" in mesh.axis_names:
+        if accum:
+            # accumulation composes with BOTH mesh kinds through one factory
+            # (micro-batches sharded P(None, 'data'[, H over 'model']))
+            from littlegan_tpu.training.step import make_accum_train_step
+
+            step = make_accum_train_step(cfg, state_sh.params, donate=donate, mesh=mesh)
+        elif "model" in mesh.axis_names:
             from littlegan_tpu.parallel.spatial import make_spatial_train_step
 
             step = make_spatial_train_step(cfg, state_sh.params, mesh, donate=donate)
@@ -158,6 +170,13 @@ def main() -> int:
         "affects only the --compile peak/temp numbers, not train-state bytes",
     )
     p.add_argument(
+        "--grad-accum", type=int, default=1, metavar="M",
+        help="compile the gradient-accumulation step instead: M micro-pairs "
+        "of --batch rows per applied update (effective batch M x batch x "
+        "n_data_chips) with ONE micro-pair's activations live — the lever "
+        "when the full-batch step's --compile verdict is oom",
+    )
+    p.add_argument(
         "--adj-half", action="store_true",
         help="adjuster on one alternating N-row batch (Config.adj_half_batch) — "
         "affects only the --compile numbers",
@@ -198,6 +217,7 @@ def main() -> int:
         moment_dtype=args.moment_dtype,
         ema_decay=args.ema,
         remat=args.remat,
+        grad_accum=args.grad_accum,
         adj_half_batch=args.adj_half,
         debug=True,
     )
@@ -222,7 +242,8 @@ def main() -> int:
         "dim": args.dim, "batch": args.batch, "mesh": mesh_shape,
         "moment_dtype": args.moment_dtype,
         "shard_opt_state": args.shard_opt_state, "shard_dense": args.shard_dense,
-        "ema_decay": args.ema, "remat": args.remat, "adj_half_batch": args.adj_half,
+        "ema_decay": args.ema, "remat": args.remat, "grad_accum": args.grad_accum,
+        "adj_half_batch": args.adj_half,
         **rep,
     }
 

@@ -228,3 +228,30 @@ def test_topology_compile_path(sd_cfg, monkeypatch):
         cfg.replace(shard_dense=False, batch_size=8), topology="v5e:2x4"
     )
     assert comp_dp["fits"] is True and comp_dp["n_chips"] == 8
+
+
+def test_compiled_step_report_grad_accum(sd_cfg, monkeypatch):
+    """--grad-accum compiles the ACCUMULATION step: (M, B, ...) stacked
+    batches, single-device and over a topology mesh (the 2048² fit lever —
+    scripts/fit_frontier.py probes it via the 'accumM' flag)."""
+    import jax.experimental.topologies as topo
+
+    mod = _load("memory_report")
+    cfg = sd_cfg.replace(debug=True, grad_accum=2)
+    comp = mod.compiled_step_report(cfg)
+    assert comp["fits"] is True and comp["peak_bytes"] > 0
+
+    class _FakeTopo:
+        devices = jax.devices()[:8]
+
+    monkeypatch.setattr(topo, "get_topology_desc", lambda platform, topology_name: _FakeTopo())
+    comp = mod.compiled_step_report(
+        cfg.replace(shard_opt_state=True, moment_dtype="bfloat16", remat=True),
+        topology="v5e:2x4", mesh_shape={"data": 4, "model": 2},
+    )
+    assert comp["fits"] is True and comp["n_chips"] == 8
+
+    ff = _load("fit_frontier")
+    assert ff.flagset_args("accum8+remat") == ["--grad-accum", "8", "--remat"]
+    with pytest.raises(SystemExit, match="unknown flag"):
+        ff.flagset_args("accumx")

@@ -225,6 +225,14 @@ def main():
         "_remat suffix to the metric name)",
     )
     ap.add_argument(
+        "--store-batches", type=int, default=0,
+        help="fixture HBM-store size in batches (0 = auto: max(16, 2K) "
+        "capped at 2 GiB). Smaller stores let HBM-frontier points run (ids "
+        "past the store clamp onto the last batch — timing-identical, "
+        "lax.dynamic_index_in_dim semantics); a non-auto value adds a "
+        "_storeN suffix to the metric name",
+    )
+    ap.add_argument(
         "--k", type=int, default=0,
         help="steps per dispatch (scan K — dispatch plumbing, identical "
         "math; sweep with scripts/autotune.py). Default 0 = auto: the "
@@ -265,7 +273,7 @@ def main():
     pair_bytes = 2 * 4 * args.batch * args.dim * args.dim * 3
     auto_k = max(1, min(STEPS_PER_DISPATCH, (1 << 30) // max(1, pair_bytes)))
     k = args.k or auto_k
-    state, dispatch = build_scan_harness(cfg, k=k)
+    state, dispatch = build_scan_harness(cfg, k=k, n_store=args.store_batches or None)
 
     step_s, state = time_scan_dispatches(state, dispatch, k=k)
     images_per_sec = 2 * cfg.batch_size / step_s
@@ -316,6 +324,8 @@ def main():
         suffix += "_remat"
     if args.k and args.k != auto_k:
         suffix += f"_k{args.k}"
+    if args.store_batches:
+        suffix += f"_store{args.store_batches}"
     out = {
         "metric": f"train_images_per_sec_per_chip_{args.dim}px_b{args.batch}{suffix}",
         "value": round(images_per_sec, 2),

@@ -21,6 +21,18 @@ Accounting matches the reference: each step consumes TWO batches
 (eager_trainer.py:117-118), so images/sec = 2 * batch * steps / time — the
 same quantity the reference's Progbar tracks (eager_trainer.py:213).
 
+WATCHDOG (round-4, BENCH_r03 was lost to a driver timeout): a bare
+``python bench.py`` runs as a SUPERVISOR that never initializes a backend
+itself. It stages bounded attempts — discovery probe, chip measurement in
+a killable subprocess, CPU measurement in a killable subprocess, and
+finally a provisional line from the last committed ``artifacts/`` bench —
+inside one hard wall-clock budget (``LITTLEGAN_BENCH_BUDGET_S``, default
+1200 s, chosen well under any plausible driver timeout). Whatever fails or
+hangs, the supervisor prints exactly ONE valid JSON line before the budget
+expires; degraded lines carry ``watchdog_note`` (and ``provisional`` for
+stage 4) so a fallback number is never mistaken for a chip measurement.
+The measurement itself runs with ``LITTLEGAN_BENCH_CHILD=1`` set.
+
 Emitted alongside images/sec (round-2 verdict #2 — the trustworthy
 north-star metrics are device step time and MFU):
 
@@ -43,54 +55,12 @@ assumption); the derivation and both knobs are emitted in the JSON.
 """
 
 import argparse
+import glob
 import json
 import os
+import subprocess
 import sys
 import time
-
-
-def _ensure_live_backend(timeout_s: float = 240.0) -> None:
-    """Fall back to CPU when the axon TPU tunnel is unresponsive.
-
-    The tunnel sometimes fails by making backend init HANG (jax.devices()
-    never returns — observed 2026-08-18), which would leave the driver with
-    no bench line at all. Probe device discovery in a subprocess
-    (utils/backend_probe.py); on hang/failure re-exec under
-    JAX_PLATFORMS=cpu with the axon plugin disabled, tagging the emitted
-    JSON so the number is never mistaken for a chip measurement. (The CLI
-    uses the same probe but fails fast instead — a silent CPU TRAINING run
-    would be wrong; a clearly-tagged CPU benchmark line is better than
-    none.)
-    """
-    from littlegan_tpu.utils.backend_probe import backend_may_hang, probe_backend
-
-    if not backend_may_hang() or probe_backend(timeout_s):
-        return
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["LITTLEGAN_BENCH_FALLBACK"] = "cpu (accelerator backend unresponsive)"
-    print(
-        f"WARNING: device discovery did not complete within {timeout_s:.0f}s; "
-        "re-running this benchmark on CPU (vs_baseline will NOT be a chip number)",
-        file=sys.stderr,
-    )
-    os.execve(sys.executable, [sys.executable] + sys.argv, env)
-
-
-_ensure_live_backend()
-
-from littlegan_tpu.utils.jax_cache import enable_compilation_cache
-
-enable_compilation_cache()
-
-import jax
-import jax.numpy as jnp
-
-from littlegan_tpu.config import Config
-from littlegan_tpu.data.synthetic import random_device_batch as make_batch
-from littlegan_tpu.training import create_train_state
-from littlegan_tpu.training.step import make_scan_train_step
 
 # Scan K (steps per XLA dispatch): dispatch plumbing, identical math —
 # K-step scan == K sequential steps (tests/test_train_step.py). Swept on
@@ -103,6 +73,23 @@ STEPS_PER_DISPATCH = 64
 WARMUP_DISPATCHES = 2
 MEASURE_DISPATCHES = 5
 N_STORE_BATCHES = 16
+
+# Supervisor budget knobs. BUDGET is the hard end-to-end wall-clock cap on
+# a bare `python bench.py` (driver contract: one JSON line, always). The
+# reserves carve the budget so a hung chip attempt cannot starve the CPU
+# fallback, and a hung CPU fallback cannot starve the provisional emit.
+BUDGET_ENV = "LITTLEGAN_BENCH_BUDGET_S"
+DEFAULT_BUDGET_S = 1200.0
+CPU_STAGE_RESERVE_S = 480.0  # 32²/b4 CPU schedule measured "a few minutes"
+FINAL_RESERVE_S = 20.0  # provisional emit is pure host-side file reading
+CHILD_ENV = "LITTLEGAN_BENCH_CHILD"
+# Test-only hang injection: the measurement child sleeps this many seconds
+# before its first backend touch, simulating a tunnel that wedges AFTER
+# device discovery passed (the BENCH_r03 failure shape). The supervisor
+# strips it from later stages unless ..._HANG_STAGES=all.
+TEST_HANG_ENV = "LITTLEGAN_BENCH_TEST_HANG_S"
+TEST_HANG_STAGES_ENV = "LITTLEGAN_BENCH_TEST_HANG_STAGES"
+ARTIFACTS_DIR_ENV = "LITTLEGAN_BENCH_ARTIFACTS_DIR"
 
 # bf16 peak TFLOP/s by device_kind substring (first match wins)
 _PEAK_TFLOPS = [
@@ -127,22 +114,32 @@ def _peak_flops(device) -> float | None:
     return None
 
 
+def auto_store_batches(cfg, k: int) -> int:
+    """Fixture HBM-store size when the caller does not pin one: one
+    dispatch consumes batch ids [0, 2k), so hold at least 2k batches (a
+    smaller store would clamp the gather onto repeated batches at large K —
+    timing-identical, but not the production access pattern), capped at
+    2 GiB so large --dim points measure the step instead of OOMing on the
+    fixture (ids past the store clamp onto the last batch,
+    lax.dynamic_index_in_dim semantics)."""
+    batch_bytes = cfg.batch_size * cfg.image_dim**2 * cfg.image_channel
+    return max(2, min(max(N_STORE_BATCHES, 2 * k), (2 << 30) // max(1, batch_bytes)))
+
+
 def build_scan_harness(cfg, k: int = STEPS_PER_DISPATCH, n_store: int | None = None):
     """The production-path measurement harness (HBM store + K-step scan),
     shared with scripts/{sweep_xla_options,autotune}.py so the scripts cannot
     drift apart. Returns ``(state, dispatch)``; the first ``dispatch`` call
-    compiles. One dispatch consumes batch ids [0, 2k), so the store holds at
-    least 2k batches (a smaller store would clamp the gather onto repeated
-    batches at large K — timing-identical, but not the production access
-    pattern)."""
+    compiles."""
+    import jax
+    import jax.numpy as jnp
+
+    from littlegan_tpu.data.synthetic import random_device_batch as make_batch
+    from littlegan_tpu.training import create_train_state
+    from littlegan_tpu.training.step import make_scan_train_step
+
     if n_store is None:
-        n_store = max(N_STORE_BATCHES, 2 * k)
-        # Cap the store at 2 GiB so large --dim points measure the step
-        # instead of OOMing on the fixture. Ids past the store clamp onto
-        # the last batch (lax.dynamic_index_in_dim semantics) —
-        # timing-identical.
-        batch_bytes = cfg.batch_size * cfg.image_dim**2 * cfg.image_channel
-        n_store = max(2, min(n_store, (2 << 30) // max(1, batch_bytes)))
+        n_store = auto_store_batches(cfg, k)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_scan_train_step(cfg, state.params, k)
     keys = jax.random.split(jax.random.PRNGKey(1), n_store)
@@ -184,6 +181,8 @@ def time_scan_dispatches(
     the minimum window is its closest host-side proxy. Each window is
     ``measure * k`` steps (~0.4 s at the 128-px contract point), so the
     whole schedule stays a few seconds."""
+    import jax
+
     repeats = 3
     for d in range(warmup):
         state = dispatch(state, start + d)
@@ -200,7 +199,14 @@ def time_scan_dispatches(
     return best, state
 
 
-def main():
+def _nonneg_int(value: str) -> int:
+    n = int(value)
+    if n < 0:
+        raise argparse.ArgumentTypeError(f"must be >= 0, got {n}")
+    return n
+
+
+def parse_args(argv=None):
     # No-arg invocation is the driver contract (128², b32, one JSON line).
     # The optional flags exist to measure OTHER points of the README
     # resolution table (e.g. --dim 512 --batch 8) with the same harness.
@@ -225,7 +231,7 @@ def main():
         "_remat suffix to the metric name)",
     )
     ap.add_argument(
-        "--store-batches", type=int, default=0,
+        "--store-batches", type=_nonneg_int, default=0,
         help="fixture HBM-store size in batches (0 = auto: max(16, 2K) "
         "capped at 2 GiB). Smaller stores let HBM-frontier points run (ids "
         "past the store clamp onto the last batch — timing-identical, "
@@ -233,7 +239,7 @@ def main():
         "_storeN suffix to the metric name",
     )
     ap.add_argument(
-        "--k", type=int, default=0,
+        "--k", type=_nonneg_int, default=0,
         help="steps per dispatch (scan K — dispatch plumbing, identical "
         "math; sweep with scripts/autotune.py). Default 0 = auto: the "
         "measured 128² optimum (64), shrunk so one dispatch's f32 "
@@ -241,9 +247,29 @@ def main():
         "store itself is capped at 2 GiB separately). A non-auto K adds a "
         "_kN suffix to the metric name",
     )
-    args = ap.parse_args()
-    # CPU-fallback runs (tunnel hang, see _ensure_live_backend) measure a
-    # SMALL config unless the caller pinned one: a CPU step at the 128²/b32
+    return ap.parse_args(argv)
+
+
+def measure(args) -> dict:
+    """The actual measurement (runs in the watchdogged child process).
+    Returns the JSON-able result dict."""
+    hang_s = float(os.environ.get(TEST_HANG_ENV, "0") or 0)
+    if hang_s > 0:  # test-only: simulate a tunnel wedge after discovery
+        time.sleep(hang_s)
+
+    from littlegan_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from littlegan_tpu.config import Config
+    from littlegan_tpu.data.synthetic import random_device_batch as make_batch
+    from littlegan_tpu.training.step import make_train_step
+
+    # CPU-fallback runs (tunnel hang — see the supervisor) measure a SMALL
+    # config unless the caller pinned one: a CPU step at the 128²/b32
     # contract size is ~3 min (measured 2026-08-18 — the full schedule blew
     # a 25-minute budget), while 32²/b4 completes in a few minutes end to
     # end. The metric NAME carries the dims, so the line stays honest.
@@ -273,7 +299,9 @@ def main():
     pair_bytes = 2 * 4 * args.batch * args.dim * args.dim * 3
     auto_k = max(1, min(STEPS_PER_DISPATCH, (1 << 30) // max(1, pair_bytes)))
     k = args.k or auto_k
-    state, dispatch = build_scan_harness(cfg, k=k, n_store=args.store_batches or None)
+    auto_store = auto_store_batches(cfg, k)
+    n_store = args.store_batches or auto_store
+    state, dispatch = build_scan_harness(cfg, k=k, n_store=n_store)
 
     step_s, state = time_scan_dispatches(state, dispatch, k=k)
     images_per_sec = 2 * cfg.batch_size / step_s
@@ -287,8 +315,6 @@ def main():
     # fail — at HBM-limit sizes (1024²/b32+) the probe program must not cost
     # the measurement its memory headroom, and an OOM here should lose the
     # MFU line, not the throughput line.
-    from littlegan_tpu.training.step import make_train_step
-
     probe = make_batch(cfg, jax.random.PRNGKey(1))
     # MODEL flops, not executed flops: under --remat the compiled program
     # re-runs application forwards in the backward, which would inflate the
@@ -324,7 +350,7 @@ def main():
         suffix += "_remat"
     if args.k and args.k != auto_k:
         suffix += f"_k{args.k}"
-    if args.store_batches:
+    if args.store_batches and args.store_batches != auto_store:
         suffix += f"_store{args.store_batches}"
     out = {
         "metric": f"train_images_per_sec_per_chip_{args.dim}px_b{args.batch}{suffix}",
@@ -360,8 +386,194 @@ def main():
         out["baseline_derivation"] = (
             flops_note or "unavailable (no 'flops' in cost_analysis)"
         )
-    print(json.dumps(out))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Supervisor: staged, watchdogged execution. Never initializes a backend in
+# this process; every potentially-hanging phase runs in a killable child.
+# ---------------------------------------------------------------------------
+
+
+def _run_child(argv, env_overrides, timeout_s, runner=None):
+    """Run `python bench.py <argv>` as a measurement child under a hard
+    timeout. Returns (result_dict | None, note | None). The child's stderr
+    is inherited (driver tail keeps showing progress); stdout is captured
+    and its LAST line parsed as the JSON result."""
+    env = dict(os.environ)
+    env[CHILD_ENV] = "1"
+    for key, value in env_overrides.items():
+        if value is None:
+            env.pop(key, None)
+        else:
+            env[key] = value
+    cmd = [sys.executable, os.path.abspath(__file__)] + list(argv)
+    run = runner or subprocess.run
+    try:
+        proc = run(
+            cmd, env=env, timeout=timeout_s, stdout=subprocess.PIPE, text=True
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"killed by watchdog after {timeout_s:.0f}s"
+    if proc.returncode != 0:
+        return None, f"exited rc={proc.returncode}"
+    for line in reversed((proc.stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                result = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(result, dict) and "metric" in result:
+                return result, None
+    return None, "produced no JSON result line"
+
+
+def _provisional_result(artifacts_dir: str) -> dict | None:
+    """Stage-4 fallback: the freshest committed measurement. Prefers a
+    bench_*.json (a verbatim past bench line), else an autotune_*.json's
+    parity block. Clearly tagged — never mistakable for a live number."""
+    bench_files = sorted(
+        glob.glob(os.path.join(artifacts_dir, "bench_*.json")),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    for path in bench_files:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(data, dict) and "metric" in data and "value" in data:
+            data["provisional"] = True
+            data["provisional_source"] = os.path.relpath(path)
+            return data
+    autotune_files = sorted(
+        glob.glob(os.path.join(artifacts_dir, "autotune_*.json")),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    for path in autotune_files:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            parity = data["parity"]
+            dim, batch = data["image_dim"], data["batch_size"]
+            value = float(parity["images_per_sec"])
+        except (OSError, json.JSONDecodeError, KeyError, TypeError, ValueError):
+            continue
+        return {
+            "metric": f"train_images_per_sec_per_chip_{dim}px_b{batch}",
+            "value": value,
+            "unit": "images/sec",
+            "step_ms": parity.get("step_ms"),
+            "device_kind": data.get("device_kind"),
+            "provisional": True,
+            "provisional_source": os.path.relpath(path),
+        }
+    return None
+
+
+def supervise(argv, runner=None, probe=None) -> int:
+    """Always prints exactly one JSON line within the wall-clock budget."""
+    budget = float(os.environ.get(BUDGET_ENV, "") or DEFAULT_BUDGET_S)
+    t_start = time.monotonic()
+    # Reserves scale down with small budgets (tests drive the whole ladder
+    # in ~a minute) but cap at the production constants.
+    final_reserve = min(FINAL_RESERVE_S, 0.10 * budget)
+    cpu_reserve = min(CPU_STAGE_RESERVE_S, 0.45 * budget)
+    min_stage_s = 10.0
+
+    def remaining() -> float:
+        return budget - (time.monotonic() - t_start)
+
+    notes = []
+
+    def emit(result: dict) -> int:
+        if notes and "watchdog_note" not in result:
+            result["watchdog_note"] = "; ".join(notes)
+        print(json.dumps(result))
+        return 0
+
+    # Stage 1: bounded device-discovery probe (subprocess — a hang cannot
+    # leak). Only runs when the hang-prone axon plugin would be used; a
+    # dead tunnel skips the chip attempt instead of burning its budget.
+    from littlegan_tpu.utils.backend_probe import backend_may_hang, probe_backend
+
+    attempt_accelerator = True
+    if backend_may_hang():
+        probe_s = min(240.0, max(10.0, 0.2 * budget))
+        probe_fn = probe or probe_backend
+        if not probe_fn(probe_s):
+            attempt_accelerator = False
+            notes.append(f"device discovery hung (> {probe_s:.0f}s probe)")
+            print(
+                f"WARNING: device discovery did not complete within {probe_s:.0f}s; "
+                "skipping the accelerator attempt",
+                file=sys.stderr,
+            )
+
+    # Stage 2: the accelerator measurement, under a timeout that leaves the
+    # CPU stage its reserve. The known failure mode is a wedge AFTER
+    # discovery (compile/dispatch over the tunnel, BENCH_r03 rc=124) — this
+    # bound is what rescues the driver's JSON line from it.
+    if attempt_accelerator:
+        chip_timeout = remaining() - cpu_reserve - final_reserve
+        if chip_timeout >= min_stage_s:
+            result, note = _run_child(argv, {}, chip_timeout, runner)
+            if result is not None:
+                return emit(result)
+            notes.append(f"accelerator attempt {note}")
+            print(
+                f"WARNING: accelerator measurement {note}; falling back to CPU",
+                file=sys.stderr,
+            )
+        else:
+            notes.append("accelerator attempt skipped (budget too small)")
+
+    # Stage 3: tagged small CPU measurement (vs_baseline will NOT be a chip
+    # number; the metric name carries the smaller dims).
+    cpu_timeout = remaining() - final_reserve
+    if cpu_timeout >= min_stage_s:
+        overrides = {
+            "JAX_PLATFORMS": "cpu",
+            "PALLAS_AXON_POOL_IPS": None,
+            "LITTLEGAN_BENCH_FALLBACK": "cpu (" + (notes[-1] if notes else "fallback") + ")",
+        }
+        if os.environ.get(TEST_HANG_STAGES_ENV) != "all":
+            overrides[TEST_HANG_ENV] = None
+        result, note = _run_child(argv, overrides, cpu_timeout, runner)
+        if result is not None:
+            return emit(result)
+        notes.append(f"cpu fallback {note}")
+        print(f"WARNING: CPU fallback {note}", file=sys.stderr)
+    else:
+        notes.append("cpu fallback skipped (budget exhausted)")
+
+    # Stage 4: provisional line from the freshest committed artifact. The
+    # driver ALWAYS gets a parsed JSON line, even with every backend wedged.
+    artifacts_dir = os.environ.get(ARTIFACTS_DIR_ENV) or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts"
+    )
+    result = _provisional_result(artifacts_dir)
+    if result is None:
+        result = {
+            "metric": "train_images_per_sec_per_chip_unavailable",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": 0.0,
+            "provisional": True,
+        }
+    return emit(result)
+
+
+def main():
+    args = parse_args()
+    if os.environ.get(CHILD_ENV):
+        print(json.dumps(measure(args)))
+        return 0
+    return supervise(sys.argv[1:])
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

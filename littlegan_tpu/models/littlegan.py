@@ -234,18 +234,35 @@ def decoder_apply(
     x: jnp.ndarray,
     skips: Sequence[Optional[jnp.ndarray]],
     cfg: Config,
+    spatial_mesh=None,
 ) -> jnp.ndarray:
     """Reference model.py:43-51 — optional skip-ADD before each deconv.
 
     With cfg.use_s2d, block4's output is produced directly in s2d form
     [N, H/2, W/2, 4*C] (a lane-aligned 128-channel tensor at reference
     scale); skips are unaffected — they add to block INPUTS, all <= H/2.
+
+    ``spatial_mesh`` (a ('data','model') mesh or None): pin each block
+    input's sharding explicitly — the head-reshape/skip-add junction is
+    where XLA's propagation otherwise falls back to involuntary full
+    rematerialization (parallel/act_sharding.py).
     """
+    if spatial_mesh is not None:
+        from littlegan_tpu.parallel.act_sharding import (
+            constrain_data,
+            constrain_spatial,
+            h_shardable,
+        )
+
     x = x.astype(_compute_dtype(cfg))
     for i in range(1, 5):
         blk = dec[f"block{i}"]
         if skips[i - 1] is not None:
             x = x + skips[i - 1].astype(x.dtype)
+        input_degenerate = False
+        if spatial_mesh is not None:
+            x = constrain_spatial(x, spatial_mesh)
+            input_degenerate = not h_shardable(x, spatial_mesh)
         if i == 4 and s2d_active(cfg):
             from littlegan_tpu.ops.s2d import s2d_deconv_kernel, tile_bias
 
@@ -254,6 +271,11 @@ def decoder_apply(
             )
         else:
             x = deconv2d(x, blk["conv"]["kernel"], blk["conv"]["bias"], stride=2)
+        if spatial_mesh is not None and input_degenerate:
+            # pin the conv's result batch-only too: with a sub-model-axis
+            # input height the partitioner would otherwise demand a
+            # degenerate H-sharded operand (act_sharding.constrain_data)
+            x = constrain_data(x, spatial_mesh)
         x = _norm_lrelu(x, blk["norm"], cfg)
     return x
 
@@ -288,7 +310,8 @@ def _out_conv(
 
 
 def generator_apply(
-    params: Params, noise: jnp.ndarray, cond: jnp.ndarray, cfg: Config, s2d_out: bool = False
+    params: Params, noise: jnp.ndarray, cond: jnp.ndarray, cfg: Config, s2d_out: bool = False,
+    spatial_mesh=None,
 ) -> jnp.ndarray:
     """Reference model.py:89-105. Returns an image in [-1,1], in
     cfg.compute_dtype (callers wanting f32 cast at the jit boundary).
@@ -300,7 +323,7 @@ def generator_apply(
     x = leaky_relu(x, cfg.leaky_alpha)
     x = x.reshape(-1, cfg.init_dim, cfg.init_dim, cfg.conv_filter[0])
     x = instance_norm(x, params["g_head"]["norm"]["gamma"], params["g_head"]["norm"]["beta"])
-    x = decoder_apply(params["decoder"], x, [None] * 4, cfg)
+    x = decoder_apply(params["decoder"], x, [None] * 4, cfg, spatial_mesh=spatial_mesh)
     y = _out_conv(params, x, cfg, cond=cond)
     if s2d_active(cfg) and not s2d_out:
         from littlegan_tpu.ops.s2d import depth_to_space
@@ -332,6 +355,7 @@ def adjuster_apply(
     dropout_rng: Optional[jax.Array] = None,
     s2d_in: bool = False,
     s2d_out: bool = False,
+    spatial_mesh=None,
 ) -> jnp.ndarray:
     """Reference model.py:125-136: encode image, embed cond, decode with
     REVERSED encoder feature maps as U-Net skip-adds, share G's output conv.
@@ -347,7 +371,7 @@ def adjuster_apply(
     c = leaky_relu(c, cfg.leaky_alpha)
     c = instance_norm(c, params["adj_head"]["norm"]["gamma"], params["adj_head"]["norm"]["beta"])
     c = c.reshape(-1, cfg.init_dim, cfg.init_dim, cfg.conv_filter[0])
-    x = decoder_apply(params["decoder"], c, fmaps[::-1], cfg)
+    x = decoder_apply(params["decoder"], c, fmaps[::-1], cfg, spatial_mesh=spatial_mesh)
     y = _out_conv(params, x, cfg, cond=cond)
     if s2d_active(cfg) and not s2d_out:
         from littlegan_tpu.ops.s2d import depth_to_space

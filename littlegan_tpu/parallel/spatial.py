@@ -65,7 +65,10 @@ def make_spatial_train_step(cfg: Config, params, mesh: Mesh, donate: bool | None
     from littlegan_tpu.parallel.zero import train_state_shardings
 
     part_masks = build_partition_masks(params)
-    fn = partial(train_step, cfg=cfg, part_masks=part_masks)
+    # spatial_mesh: explicit head/decoder activation shardings
+    # (parallel/act_sharding.py) — without them XLA's propagation falls back
+    # to involuntary full rematerialization at the dense-head junctions
+    fn = partial(train_step, cfg=cfg, part_masks=part_masks, spatial_mesh=mesh)
     donate = cfg.donate_state if donate is None else donate
     adj_sh = img_sh if cfg.train_adj else rep
     state_sh = train_state_shardings(cfg, params, mesh)  # ZeRO-1 when opted in

@@ -88,7 +88,7 @@ def gradient_penalty(params, real: jnp.ndarray, fake: jnp.ndarray, rng: jax.Arra
 
 def total_loss_fn(
     params, batch1, batch2, noise, new_image, gp_rng, cfg: Config,
-    inputs_s2d: bool = False, adj_sel=None,
+    inputs_s2d: bool = False, adj_sel=None, spatial_mesh=None,
 ):
     """Single differentiable scalar; stop_gradient routes each loss's grads.
 
@@ -141,11 +141,18 @@ def total_loss_fn(
     # epilogues already recompute block internals instead of storing them —
     # the win is cross-network liveness, not block internals. Identical
     # math either way (tests/test_train_step.py::test_remat_step_equivalence).
+    # spatial_mesh: explicit activation shardings at the head->decoder
+    # junctions under a ('data','model') mesh (parallel/act_sharding.py) —
+    # None everywhere else, keeping the step sharding-agnostic by default
     ck = jax.checkpoint if cfg.remat else (lambda f: f)
     d_apply = ck(lambda p, img: discriminator_apply(p, img, cfg, s2d_in=s2))
-    g_apply = ck(lambda p, nz, c: generator_apply(p, nz, c, cfg, s2d_out=s2))
+    g_apply = ck(
+        lambda p, nz, c: generator_apply(p, nz, c, cfg, s2d_out=s2, spatial_mesh=spatial_mesh)
+    )
     a_apply = ck(
-        lambda p, img, c: adjuster_apply(p, img, c, cfg, s2d_in=s2, s2d_out=s2)
+        lambda p, img, c: adjuster_apply(
+            p, img, c, cfg, s2d_in=s2, s2d_out=s2, spatial_mesh=spatial_mesh
+        )
     )
 
     fake = g_apply(params, noise, cond2)
@@ -222,7 +229,10 @@ def _prep_images(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _micro_grads(state, batch1, batch2, rng, cfg: Config, inputs_s2d: bool, adj_sel=None):
+def _micro_grads(
+    state, batch1, batch2, rng, cfg: Config, inputs_s2d: bool, adj_sel=None,
+    spatial_mesh=None,
+):
     """One micro-batch's (grads, aux): data prep, noise, augmentation, and
     the fused backward — everything in train_step up to the optimizer."""
     batch1 = (_prep_images(batch1[0]), batch1[1])
@@ -235,7 +245,8 @@ def _micro_grads(state, batch1, batch2, rng, cfg: Config, inputs_s2d: bool, adj_
     aug = augment_s2d if inputs_s2d else augment
     new_image = aug(k_aug, img1)
     return jax.grad(total_loss_fn, has_aux=True)(
-        state.params, batch1, batch2, noise, new_image, k_gp, cfg, inputs_s2d, adj_sel
+        state.params, batch1, batch2, noise, new_image, k_gp, cfg, inputs_s2d,
+        adj_sel, spatial_mesh,
     )
 
 
@@ -316,9 +327,12 @@ def train_step(
     cfg: Config,
     part_masks: Any,
     inputs_s2d: bool = False,
+    spatial_mesh=None,
 ) -> StepOutput:
     adj_sel = (batch_no % 2) if cfg.adj_half_batch else None
-    grads, aux = _micro_grads(state, batch1, batch2, rng, cfg, inputs_s2d, adj_sel)
+    grads, aux = _micro_grads(
+        state, batch1, batch2, rng, cfg, inputs_s2d, adj_sel, spatial_mesh
+    )
     return apply_updates(state, grads, aux, batch_no, cfg, part_masks)
 
 
@@ -330,6 +344,7 @@ def accum_train_step(
     batch_no: jnp.ndarray,
     cfg: Config,
     part_masks: Any,
+    spatial_mesh=None,
 ) -> StepOutput:
     """Gradient accumulation (OPT-IN, beyond the reference): MEAN gradients
     over M micro-batch pairs, then ONE optimizer application — effective
@@ -344,13 +359,15 @@ def accum_train_step(
     per-micro-batch. Metrics and artifact images are the last micro-step's.
     """
     adj_sel = (batch_no % 2) if cfg.adj_half_batch else None
-    grads, aux = accum_grads(state, batch1s, batch2s, rng, cfg, adj_sel=adj_sel)
+    grads, aux = accum_grads(
+        state, batch1s, batch2s, rng, cfg, adj_sel=adj_sel, spatial_mesh=spatial_mesh
+    )
     return apply_updates(state, grads, aux, batch_no, cfg, part_masks)
 
 
 def accum_grads(
     state: TrainState, batch1s, batch2s, rng: jax.Array, cfg: Config,
-    inputs_s2d: bool = False, adj_sel=None,
+    inputs_s2d: bool = False, adj_sel=None, spatial_mesh=None,
 ):
     """(mean grads over the M stacked micro-pairs, last micro-step's aux).
 
@@ -364,7 +381,9 @@ def accum_grads(
         acc, _ = carry
         b1 = jax.tree_util.tree_map(lambda x: x[i], batch1s)
         b2 = jax.tree_util.tree_map(lambda x: x[i], batch2s)
-        grads, aux = _micro_grads(state, b1, b2, jax.random.fold_in(rng, i), cfg, inputs_s2d, adj_sel)
+        grads, aux = _micro_grads(
+            state, b1, b2, jax.random.fold_in(rng, i), cfg, inputs_s2d, adj_sel, spatial_mesh
+        )
         acc = jax.tree_util.tree_map(lambda a, g: a + g.astype(jnp.float32), acc, grads)
         return (acc, aux), None
 
@@ -406,7 +425,8 @@ def make_accum_train_step(cfg: Config, params, donate: bool | None = None, mesh=
     donate = cfg.donate_state if donate is None else donate
     if mesh is not None and (cfg.use_pallas or cfg.use_pallas_boundary):
         cfg = cfg.replace(use_pallas=False, use_pallas_boundary=False)  # Mosaic is not auto-partitionable
-    fn = partial(accum_train_step, cfg=cfg, part_masks=part_masks)
+    smesh = mesh if (mesh is not None and "model" in mesh.axis_names) else None
+    fn = partial(accum_train_step, cfg=cfg, part_masks=part_masks, spatial_mesh=smesh)
     if mesh is None:
         return jax.jit(fn, donate_argnums=(0,) if donate else (), compiler_options=tpu_compiler_options(cfg))
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -439,7 +459,7 @@ def make_accum_train_step(cfg: Config, params, donate: bool | None = None, mesh=
             )
     if spatial and cfg.use_s2d:
         cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
-        fn = partial(accum_train_step, cfg=cfg, part_masks=part_masks)
+        fn = partial(accum_train_step, cfg=cfg, part_masks=part_masks, spatial_mesh=smesh)
     from littlegan_tpu.parallel.zero import train_state_shardings
 
     img_axes = ("data", "model") if spatial else ("data",)
@@ -584,10 +604,15 @@ def make_scan_train_step(
     snap to dispatch-group granularity). With ``mesh`` the store is sharded
     P(None, 'data'[, 'model']) and each scanned step runs data-parallel.
     """
+    smesh = mesh if (mesh is not None and "model" in mesh.axis_names) else None
+
     def update(st, images, conds, b1, b2, rng, batch_no, cfg, part_masks):
         batch1 = (_take_batch(images, b1), _take_batch(conds, b1))
         batch2 = (_take_batch(images, b2), _take_batch(conds, b2))
-        return train_step(st, batch1, batch2, rng, batch_no, cfg, part_masks, inputs_s2d=store_s2d)
+        return train_step(
+            st, batch1, batch2, rng, batch_no, cfg, part_masks,
+            inputs_s2d=store_s2d, spatial_mesh=smesh,
+        )
 
     return _make_scan_dispatch(cfg, params, n_steps, donate, mesh, update, store_s2d=store_s2d)
 
@@ -610,9 +635,13 @@ def make_scan_accum_train_step(
     the store is sharded P(None, 'data'[, 'model']); ids are replicated, so
     the gather is device-local and micro-batches come out step-sharded.
     """
+    smesh = mesh if (mesh is not None and "model" in mesh.axis_names) else None
+
     def update(st, images, conds, b1m, b2m, rng, batch_no, cfg, part_masks):
         gather = lambda ids: (jnp.take(images, ids, axis=0), jnp.take(conds, ids, axis=0))
-        grads, aux = accum_grads(st, gather(b1m), gather(b2m), rng, cfg, inputs_s2d=store_s2d)
+        grads, aux = accum_grads(
+            st, gather(b1m), gather(b2m), rng, cfg, inputs_s2d=store_s2d, spatial_mesh=smesh
+        )
         return apply_updates(st, grads, aux, batch_no, cfg, part_masks)
 
     return _make_scan_dispatch(cfg, params, n_steps, donate, mesh, update, store_s2d=store_s2d)
@@ -639,7 +668,10 @@ def make_gather_train_step(
     if mesh is not None and cfg.use_s2d and "model" in mesh.axis_names:
         cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
     _check_store_layout(cfg, store_s2d)
-    base = partial(train_step, cfg=cfg, part_masks=part_masks, inputs_s2d=store_s2d)
+    smesh = mesh if (mesh is not None and "model" in mesh.axis_names) else None
+    base = partial(
+        train_step, cfg=cfg, part_masks=part_masks, inputs_s2d=store_s2d, spatial_mesh=smesh
+    )
 
     def fn(state, images, conds, b1, b2, rng, batch_no):
         batch1 = (_take_batch(images, b1), _take_batch(conds, b1))

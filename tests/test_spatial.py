@@ -67,3 +67,44 @@ def test_spatial_step_matches_single_device(sp_cfg):
 
     # fake images really are sharded across all 8 devices
     assert len(out_sp.fake_image.sharding.device_set) == 8
+
+
+def test_spatial_compile_has_no_involuntary_remat(sp_cfg):
+    """Round-4 verdict #3 regression gate: the SPMD-partitioned spatial
+    program must compile without a single "Involuntary full
+    rematerialization" fallback (spmd_partitioner.cc:652). Round 3's
+    program had two — at the dense-head -> decoder junctions — fixed by
+    the explicit activation constraints in parallel/act_sharding.py.
+    The persistent compile cache is disabled for the check: a cache hit
+    skips partitioning and would let a regression through silently."""
+    from littlegan_tpu.parallel.diagnostics import capture_stderr, count_involuntary_remat
+
+    cfg = sp_cfg
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    b1, b2 = _batches(cfg)
+    mesh = make_mesh(8, axis_names=("data", "model"))
+    step = make_spatial_train_step(cfg, state.params, mesh, donate=False)
+    b1s, b2s = shard_spatial_batch(b1, mesh), shard_spatial_batch(b2, mesh)
+
+    saved_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        with capture_stderr() as cap:
+            step.lower(state, b1s, b2s, jax.random.PRNGKey(9), jnp.int32(30)).compile()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", saved_dir)
+    n = count_involuntary_remat(cap.text())
+    assert n == 0, f"{n} involuntary-remat warning(s) in the spatial program"
+
+
+def test_capture_stderr_sees_fd_writes():
+    """The diagnostics capture must see raw fd-2 writes (XLA's C++ logs
+    bypass sys.stderr) and replay them afterward."""
+    import os
+
+    from littlegan_tpu.parallel.diagnostics import capture_stderr
+
+    with capture_stderr() as cap:
+        os.write(2, b"raw-fd2-marker\n")
+        assert "raw-fd2-marker" in cap.text()  # live during the context
+    assert "raw-fd2-marker" in cap.text()  # final after the context

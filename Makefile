@@ -1,13 +1,18 @@
 # Developer entry points. The test suite forces the CPU backend itself
 # (tests/conftest.py); bench and train run on whatever JAX exposes (TPU here).
 
-.PHONY: test test-fast bench native clean-native smoke dryrun
+.PHONY: test test-fast test-core bench native clean-native smoke dryrun
 
 test:
 	python -m pytest tests/ -q
 
 test-fast:
 	python -m pytest tests/ -q -m "not slow"
+
+# sub-5-minute gate tier for time-boxed contexts (driver/CI/end-of-round):
+# config + models + ops/losses + s2d algebra + step routing + one trainer e2e
+test-core:
+	python -m pytest tests/ -q -m core
 
 bench:
 	python bench.py

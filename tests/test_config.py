@@ -2,6 +2,10 @@
 
 import json
 
+import pytest
+
+pytestmark = pytest.mark.core  # sub-5-min gate tier (round-4 verdict #4)
+
 from littlegan_tpu.config import Config, load_config
 
 

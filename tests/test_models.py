@@ -3,6 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.core  # sub-5-min gate tier (round-4 verdict #4)
 
 from littlegan_tpu.models import (
     adjuster_apply,

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.core  # sub-5-min gate tier (round-4 verdict #4)
+
 from littlegan_tpu.ops.augment import adjust_hue, augment
 from littlegan_tpu.ops.conv import conv2d, deconv2d, dense
 from littlegan_tpu.ops.losses import (

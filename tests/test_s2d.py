@@ -26,6 +26,7 @@ def cfgs(tiny_cfg):
     return base, base.replace(use_s2d=True)
 
 
+@pytest.mark.core
 def test_s2d_roundtrip():
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 3)), jnp.float32)
     y = space_to_depth(x)
@@ -37,6 +38,7 @@ def test_s2d_roundtrip():
     )
 
 
+@pytest.mark.core
 def test_generator_s2d_exact(cfgs):
     cfg, cfg_s = cfgs
     params = init_params(cfg, jax.random.PRNGKey(0))

@@ -46,6 +46,7 @@ def setup(tiny_cfg):
     return cfg, state
 
 
+@pytest.mark.core
 def test_gradient_routing(setup, rng):
     """Each loss's gradient reaches exactly its reference tape's params."""
     cfg, state = setup
@@ -63,6 +64,7 @@ def test_gradient_routing(setup, rng):
         assert total_mag > 0, f"{key} got no gradient"
 
 
+@pytest.mark.core
 def test_gradient_isolation_adjuster(setup, rng):
     """adj_loss alone must produce gradients ONLY in adj_head
     (reference trains only weights[16:20], eager_trainer.py:59-63)."""
@@ -81,6 +83,7 @@ def test_gradient_isolation_adjuster(setup, rng):
     assert sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(grads["adj_head"])) > 0
 
 
+@pytest.mark.core
 def test_gradient_isolation_gen_vs_disc(setup, rng):
     """gen_loss -> G subtrees only; disc_loss -> D subtrees only."""
     cfg, state = setup
@@ -115,6 +118,7 @@ def test_step_updates_all_when_unpartitioned(setup, rng):
     assert out.adj_image.shape == (2 * cfg.batch_size, cfg.image_dim, cfg.image_dim, 3)
 
 
+@pytest.mark.core
 def test_adjuster_warmup_gate(setup, rng):
     """batch_no <= 10: adj_head must NOT move (eager_trainer.py:152)."""
     cfg, state = setup
@@ -135,6 +139,7 @@ def test_adjuster_warmup_gate(setup, rng):
     assert any(_changed(state.params["encoder"], out.state.params["encoder"]).values())
 
 
+@pytest.mark.core
 def test_partition_schedule_masks(tiny_cfg):
     """Mask resolution reproduces eager_trainer.py:104-113 arithmetic."""
     cfg = tiny_cfg
@@ -174,6 +179,7 @@ def test_partition_schedule_masks(tiny_cfg):
     assert all(float(v) == 1.0 for v in jax.tree_util.tree_leaves(m))
 
 
+@pytest.mark.core
 def test_partitioned_step_only_updates_group(tiny_cfg, rng):
     """1-step integration: on a partition batch only the scheduled subtree
     changes (SURVEY §4's required partition-semantics test)."""
@@ -193,6 +199,7 @@ def test_partitioned_step_only_updates_group(tiny_cfg, rng):
             assert not v, f"{k} should NOT have changed"
 
 
+@pytest.mark.core
 def test_masked_adam_matches_unmasked_adam(rng):
     """mask=1 must reproduce textbook TF-v1 Adam exactly."""
     from littlegan_tpu.training.optimizer import adam_init, masked_adam_update
@@ -282,6 +289,7 @@ def test_higher_resolution_config(rng):
     assert pr.shape == (2, 1) and c.shape == (2, 3)
 
 
+@pytest.mark.core
 def test_adam_tf_parity_matches_v1_simulation():
     """tick_all=True must reproduce TF v1 Adam EXACTLY under a rotating
     partition mask: v1 ticks its shared beta-power pair on every

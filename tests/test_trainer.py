@@ -32,6 +32,7 @@ def run_cfg(tiny_cfg, tmp_path):
     )
 
 
+@pytest.mark.core
 def test_train_one_epoch_produces_artifacts(run_cfg):
     ds = SyntheticDataset(run_cfg, num_items=8 * run_cfg.batch_size)
     tr = Trainer(run_cfg, ds)

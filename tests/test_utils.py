@@ -1,6 +1,9 @@
 """Utility tests vs reference utils.py math."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.core  # sub-5-min gate tier (round-4 verdict #4)
 
 from littlegan_tpu.utils.image import data_rescale, inverse_rescale, soft, to_grid
 
@@ -125,8 +128,6 @@ def test_slerp_goldens():
 def test_batch_image_writer(tmp_path):
     """Pooled writes are byte-identical to serial save_image; worker errors
     re-raise on close instead of vanishing in the pool."""
-    import pytest
-
     from littlegan_tpu.utils.image import BatchImageWriter, save_image
 
     rng = np.random.default_rng(0)

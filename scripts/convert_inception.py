@@ -1,24 +1,45 @@
-"""Convert torchvision InceptionV3 weights to littlegan-tpu's FID npz format.
+"""Convert InceptionV3 weights to littlegan-tpu's FID npz format.
 
 The reference pins FID to a 2015 frozen InceptionV3 GraphDef downloaded at
 runtime (fid.py:273-288). This environment has zero egress, so conversion is
-offline: point this script at a torchvision ``inception_v3`` checkpoint
-(.pth state_dict, the standard pytorch-FID weights) and it emits the npz
-consumed by ``Config.fid_weights`` / eval/inception.py.
+offline, from whatever checkpoint format a container DOES carry:
 
-Usage: python scripts/convert_inception.py /path/to/inception_v3.pth out.npz
-       (add --allow-full-unpickle ONLY for trusted full-module checkpoints
-        that fail the safe weights_only load — full unpickling runs code
-        from the file)
+- torchvision ``inception_v3`` .pth state_dict (the standard pytorch-FID
+  weights),
+- Keras ``inception_v3`` .h5 weight files (keras.applications download
+  cache, ``~/.keras/models``) — round-4 verdict #6,
+- a TF SavedModel directory holding a keras InceptionV3,
+- an .npz with torchvision key names (test fixtures).
 
-Mapping: torchvision module names -> our layer names; conv weights are
-transposed OIHW -> HWIO; each BatchNorm is folded into an affine
-(scale, offset) pair: scale = gamma / sqrt(var + eps), offset = beta -
-mean * scale (eps = 1e-3, torchvision's value).
+Usage:
+  python scripts/convert_inception.py /path/to/inception_v3.{pth,h5} out.npz
+  python scripts/convert_inception.py /path/to/saved_model_dir out.npz
+  python scripts/convert_inception.py --probe      # search local caches
+       (add --allow-full-unpickle ONLY for trusted full-module .pth
+        checkpoints that fail the safe weights_only load — full unpickling
+        runs code from the file)
+
+Mapping: source layer names -> our layer names; conv weights end HWIO
+(torchvision OIHW is transposed; Keras is HWIO already); each BatchNorm is
+folded into an affine (scale, offset) pair: scale = gamma / sqrt(var +
+eps), offset = beta - mean * scale (eps = 1e-3 in both torchvision and
+keras.applications; keras builds its BNs with scale=False, i.e. gamma=1).
+Keras layers carry no branch names — only creation-order indices
+(``conv2d_N``/``batch_normalization_N``) — so the Keras paths map by the
+keras.applications build order (``keras_order()``, validated against a
+live ``tf.keras.applications.InceptionV3`` in tests/test_fid.py).
+
+NOTE on comparability: the torchvision and keras checkpoints are both
+ports of the same 2015 slim training run, but their weights differ
+slightly, so FID values are only comparable between runs using the SAME
+weight file — every emitted metric line is tagged with the weight source
+(eval/evaluate.py::fid_label) for exactly this reason.
 """
 
 from __future__ import annotations
 
+import os
+import re
 import sys
 
 import numpy as np
@@ -140,6 +161,190 @@ def synthetic_state_dict(seed: int = 0) -> dict:
     return sd
 
 
+def keras_order() -> list[str]:
+    """Our 94 conv-bn block names in keras.applications.inception_v3 BUILD
+    order — the order keras assigns its ``conv2d_N`` /
+    ``batch_normalization_N`` layer indices. Branch order inside every
+    mixed block matches torchvision's concat order (verified sub-branch by
+    sub-branch against both sources; shape-sequence-validated against a
+    live keras model in tests/test_fid.py::test_keras_order_matches_live_model)."""
+    names = [f"stem/c{i}" for i in range(1, 6)]
+    for mix in ("mix5b", "mix5c", "mix5d"):
+        names += [f"{mix}/{b}" for b in ("b1x1", "b5x5_1", "b5x5_2", "b3x3_1", "b3x3_2", "b3x3_3", "bpool")]
+    names += ["mix6a/b3x3", "mix6a/bd_1", "mix6a/bd_2", "mix6a/bd_3"]
+    for mix in ("mix6b", "mix6c", "mix6d", "mix6e"):
+        names += [f"{mix}/{b}" for b in ("b1x1", "b7_1", "b7_2", "b7_3", "bd_1", "bd_2", "bd_3", "bd_4", "bd_5", "bpool")]
+    names += [f"mix7a/{b}" for b in ("b3_1", "b3_2", "b7_1", "b7_2", "b7_3", "b7_4")]
+    for mix in ("mix7b", "mix7c"):
+        names += [f"{mix}/{b}" for b in ("b1x1", "b3_1", "b3_2a", "b3_2b", "bd_1", "bd_2", "bd_3a", "bd_3b", "bpool")]
+    assert len(names) == 94
+    return names
+
+
+def convert_keras_arrays(convs, bns, fc=None, eps: float = 1e-3) -> dict:
+    """Fold ordered keras conv kernels (HWIO) + BN tuples into our npz keys.
+
+    ``convs``: 94 kernels in build order. ``bns``: 94 matching
+    ``(gamma_or_None, beta, moving_mean, moving_var)`` tuples (keras
+    builds its inception BNs with scale=False -> gamma None = 1).
+    ``fc``: optional (kernel (2048, 1000), bias) from the 'predictions'
+    dense — enables Inception Score."""
+    order = keras_order()
+    if len(convs) != len(order) or len(bns) != len(order):
+        raise SystemExit(
+            f"expected {len(order)} conv-bn blocks in keras build order, got "
+            f"{len(convs)} convs / {len(bns)} bns — not an InceptionV3?"
+        )
+    out = {}
+    for ours, w, (gamma, beta, mean, var) in zip(order, convs, bns):
+        w = np.asarray(w, np.float32)
+        if w.ndim != 4:
+            raise SystemExit(f"{ours}: conv kernel must be HWIO 4-D, got {w.shape}")
+        out[f"{ours}/w"] = w
+        g = np.ones_like(np.asarray(var)) if gamma is None else np.asarray(gamma)
+        scale = g / np.sqrt(np.asarray(var) + eps)
+        out[f"{ours}/scale"] = scale.astype(np.float32)
+        out[f"{ours}/offset"] = (np.asarray(beta) - np.asarray(mean) * scale).astype(np.float32)
+    if fc is not None:
+        out["fc/w"] = np.asarray(fc[0], np.float32)
+        out["fc/b"] = np.asarray(fc[1], np.float32)
+    else:
+        print("NOTE: no 'predictions' dense found — Inception Score unavailable", file=sys.stderr)
+    return out
+
+
+def load_keras_h5(path: str) -> dict:
+    """Read a keras InceptionV3 .h5 weight file into our npz mapping.
+
+    Handles both historical naming bases: the downloadable
+    ``inception_v3_weights_tf_dim_ordering_tf_kernels[_notop].h5`` files use
+    ``conv2d_1..conv2d_94``; models saved from modern keras use
+    ``conv2d, conv2d_1, ..`` (0-based, unsuffixed first)."""
+    import h5py
+
+    flat = {}
+    with h5py.File(path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                flat[name] = np.asarray(obj)
+
+        root.visititems(visit)
+
+    def collect(layer: str, leaf: str) -> dict[int, np.ndarray]:
+        """index -> array for datasets under ``<layer>[_N]/...<leaf>``."""
+        found = {}
+        pat = re.compile(rf"(?:^|/){layer}(?:_(\d+))?/.*{leaf}")
+        for name, arr in flat.items():
+            m = pat.search(name)
+            if m:
+                found[int(m.group(1) or 0)] = arr
+        return found
+
+    kernels = collect("conv2d", "kernel")
+    betas = collect("batch_normalization", "beta")
+    means = collect("batch_normalization", "moving_mean")
+    variances = collect("batch_normalization", "moving_variance")
+    gammas = collect("batch_normalization", "gamma")  # absent: scale=False
+    if not kernels:
+        raise SystemExit(f"{path}: no conv2d kernels found — not a keras weight file?")
+    base = min(kernels)  # 0-based (modern) or 1-based (downloaded files)
+    convs, bns = [], []
+    for i in range(base, base + len(kernels)):
+        if i not in kernels or i not in betas:
+            raise SystemExit(f"{path}: missing conv2d/bn index {i} (base {base})")
+        convs.append(kernels[i])
+        bns.append((gammas.get(i), betas[i], means[i], variances[i]))
+    fc = None
+    fc_kernel = [a for n, a in flat.items() if "predictions" in n and n.endswith("kernel:0") or ("predictions" in n and n.endswith("/kernel"))]
+    fc_bias = [a for n, a in flat.items() if "predictions" in n and (n.endswith("bias:0") or n.endswith("/bias"))]
+    if fc_kernel and fc_bias:
+        fc = (fc_kernel[0], fc_bias[0])
+    return convert_keras_arrays(convs, bns, fc)
+
+
+def load_keras_savedmodel(path: str) -> dict:
+    """Read a TF SavedModel / .keras model holding a keras InceptionV3.
+
+    Loads through keras (trusted files only — a SavedModel can run code on
+    load). NOTE ``model.layers`` of a functional model is TOPOLOGICALLY
+    sorted, not creation-ordered — the creation order keras_order() maps
+    against lives in the ``conv2d_N`` / ``batch_normalization_N`` layer
+    NAMES, so layers are re-sorted by their name index."""
+    import tensorflow as tf
+
+    model = tf.keras.models.load_model(path, compile=False)
+    convs_by_idx, bns_by_idx, fc = {}, {}, None
+
+    def name_idx(name: str, stem: str) -> int:
+        rest = name[len(stem):]
+        return int(rest[1:]) if rest.startswith("_") else 0
+
+    for layer in model.layers:
+        cls = type(layer).__name__
+        if cls == "Conv2D" and layer.name.startswith("conv2d"):
+            convs_by_idx[name_idx(layer.name, "conv2d")] = layer.get_weights()[0]
+        elif cls == "BatchNormalization" and layer.name.startswith("batch_normalization"):
+            ws = layer.get_weights()
+            if layer.scale:
+                gamma, beta, mean, var = ws
+            else:
+                gamma, (beta, mean, var) = None, ws
+            bns_by_idx[name_idx(layer.name, "batch_normalization")] = (gamma, beta, mean, var)
+        elif cls == "Dense" and layer.name == "predictions":
+            fc = tuple(layer.get_weights())
+    convs = [convs_by_idx[i] for i in sorted(convs_by_idx)]
+    bns = [bns_by_idx[i] for i in sorted(bns_by_idx)]
+    return convert_keras_arrays(convs, bns, fc)
+
+
+# cache locations a no-egress container might still carry weights in
+_CACHE_GLOBS = (
+    "~/.cache/torch/hub/checkpoints/*.pth",
+    "~/.cache/torch/checkpoints/*.pth",
+    "~/.torch/models/*.pth",
+    "~/.keras/models/*.h5",
+    "~/.cache/keras/models/*.h5",
+    "~/.cache/huggingface/hub/**/*.bin",
+    "~/.cache/huggingface/hub/**/*.h5",
+)
+
+
+def probe_weight_caches(verbose: bool = True) -> list[str]:
+    """Search the standard local weight caches for InceptionV3-ish files.
+
+    Zero-egress containers sometimes ship a torch/keras download cache even
+    though they can't fetch; this says exactly what exists so runbook step 1
+    (docs/fid_real_weights.md) starts from facts."""
+    import glob as _glob
+
+    hits, seen = [], []
+    for pattern in _CACHE_GLOBS:
+        for path in sorted(_glob.glob(os.path.expanduser(pattern), recursive=True)):
+            seen.append(path)
+            if "inception" in os.path.basename(path).lower():
+                hits.append(path)
+    if verbose:
+        if hits:
+            print("InceptionV3 candidates found:")
+            for h in hits:
+                print(f"  {h}  ({os.path.getsize(h)/1e6:.1f} MB)")
+            print(f"next: python scripts/convert_inception.py {hits[0]} inception_fid.npz")
+        elif seen:
+            print("cached model files found, none named like inception:")
+            for s in seen[:20]:
+                print(f"  {s}")
+        else:
+            print(
+                "no cached model weights in "
+                + ", ".join(p.split("/*")[0] for p in _CACHE_GLOBS[:5])
+                + " — obtain a torchvision .pth or keras .h5 out of band "
+                "(docs/fid_real_weights.md)"
+            )
+    return hits
+
+
 def load_state_dict(src: str, allow_full_unpickle: bool = False) -> dict:
     """Load a torchvision state_dict from a .pth (torch) or a .npz holding
     the same key->array mapping (lets the conversion path be validated
@@ -170,16 +375,33 @@ def load_state_dict(src: str, allow_full_unpickle: bool = False) -> dict:
     return sd
 
 
+def convert_any(src: str, allow_full_unpickle: bool = False) -> dict:
+    """Dispatch on the source format; returns the npz mapping."""
+    if os.path.isdir(src) or src.endswith(".keras"):
+        return load_keras_savedmodel(src)
+    if src.endswith((".h5", ".hdf5")):
+        return load_keras_h5(src)
+    return convert(load_state_dict(src, allow_full_unpickle))
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     allow_full = "--allow-full-unpickle" in argv
     if allow_full:
         argv.remove("--allow-full-unpickle")
+    if "--probe" in argv:
+        probe_weight_caches()
+        return 0
     if len(argv) != 2:
         print(__doc__)
+        probe_weight_caches()
         return 2
     src, dst = argv
-    np.savez_compressed(dst, **convert(load_state_dict(src, allow_full)))
+    if not os.path.exists(src):
+        print(f"ERROR: {src} does not exist; probing local caches instead:", file=sys.stderr)
+        probe_weight_caches()
+        return 2
+    np.savez_compressed(dst, **convert_any(src, allow_full))
     print(f"converted {len(_NAME_MAP)} conv-bn blocks -> {dst}")
     return 0
 

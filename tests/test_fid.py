@@ -757,3 +757,159 @@ def test_precalculate_from_zip_matches_directory(tmp_path, tiny_cfg):
     a, b = np.load(tmp_path / "dir.npz"), np.load(tmp_path / "zip.npz")
     np.testing.assert_array_equal(a["mu"], b["mu"])
     np.testing.assert_array_equal(a["sigma"], b["sigma"])
+
+
+# ---------------------------- real-weights on-ramp (round-4 verdict #6) ----
+# The container has no egress and no weight file; these tests validate every
+# edge of the on-ramp that CAN be validated in-tree: the keras .h5 /
+# SavedModel conversion paths (synthetic weights in keras's exact layout),
+# the build-order mapping against a LIVE keras InceptionV3, the cache
+# probe, and a committed torch-generated golden-feature fixture that lets a
+# future conversion validate in seconds.
+
+_GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "inception_synthetic_goldens.npz")
+
+
+def test_golden_fixture_validates_conversion():
+    """Converter + JAX extractor must reproduce the committed torch-generated
+    features (tests/golden/, generated by torch_inception_ref on
+    synthetic_state_dict(seed=6)) — the fast forward-path validator."""
+    import jax.numpy as jnp
+
+    from littlegan_tpu.eval.inception import inception_features
+
+    conv = _converter()
+    params = conv.convert(conv.synthetic_state_dict(seed=6))
+    with np.load(_GOLDEN) as z:
+        imgs, want = z["images"].astype(np.float32), z["features"]
+    got = np.asarray(inception_features(params, jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def _write_keras_h5(path, sd, with_gamma=True, base=1):
+    """Synthetic torchvision state_dict -> keras-layout .h5 (the downloaded
+    inception_v3_weights_* structure: 1-based conv2d_N layer groups, HWIO
+    kernels, optional gamma for scale=False parity)."""
+    import h5py
+
+    conv = _converter()
+    order = conv.keras_order()
+    with h5py.File(path, "w") as f:
+        for i, ours in enumerate(order):
+            tv = conv._NAME_MAP[ours]
+            idx = i + base
+            suffix = f"_{idx}" if idx else ""
+            cname, bname = f"conv2d{suffix}", f"batch_normalization{suffix}"
+            w = np.transpose(sd[f"{tv}.conv.weight"], (2, 3, 1, 0))
+            f.create_dataset(f"{cname}/{cname}/kernel:0", data=w)
+            if with_gamma:
+                f.create_dataset(f"{bname}/{bname}/gamma:0", data=sd[f"{tv}.bn.weight"])
+            f.create_dataset(f"{bname}/{bname}/beta:0", data=sd[f"{tv}.bn.bias"])
+            f.create_dataset(f"{bname}/{bname}/moving_mean:0", data=sd[f"{tv}.bn.running_mean"])
+            f.create_dataset(f"{bname}/{bname}/moving_variance:0", data=sd[f"{tv}.bn.running_var"])
+        f.create_dataset("predictions/predictions/kernel:0", data=np.transpose(sd["fc.weight"], (1, 0)))
+        f.create_dataset("predictions/predictions/bias:0", data=sd["fc.bias"])
+
+
+def test_keras_h5_matches_torchvision_conversion(tmp_path):
+    """Same underlying weights through the keras .h5 path and the
+    torchvision path must produce identical npz mappings (order mapping +
+    BN folding + fc transpose all agree)."""
+    conv = _converter()
+    sd = conv.synthetic_state_dict(seed=8)
+    want = conv.convert(sd)
+    h5 = tmp_path / "keras_inception.h5"
+    _write_keras_h5(h5, sd)
+    got = conv.load_keras_h5(str(h5))
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+def test_keras_h5_zero_based_and_scale_false(tmp_path):
+    """Modern keras naming (conv2d, conv2d_1, ...) and scale=False BNs
+    (no gamma dataset -> gamma folded as 1)."""
+    conv = _converter()
+    sd = conv.synthetic_state_dict(seed=9)
+    h5 = tmp_path / "keras_modern.h5"
+    _write_keras_h5(h5, sd, with_gamma=False, base=0)
+    got = conv.load_keras_h5(str(h5))
+    sd1 = dict(sd)
+    for k in list(sd1):
+        if k.endswith(".bn.weight"):
+            sd1[k] = np.ones_like(sd1[k])
+    want = conv.convert(sd1)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+@pytest.mark.slow
+def test_keras_order_matches_live_model():
+    """keras_order() is validated against an actual
+    tf.keras.applications.InceptionV3: same conv count, kernel-shape
+    sequence in build order, and scale=False BNs."""
+    tf = pytest.importorskip("tensorflow")
+
+    from littlegan_tpu.eval.inception import _conv_specs
+
+    conv = _converter()
+    spec = {n: (kh, kw, cin, cout) for n, kh, kw, cin, cout in _conv_specs()}
+    want_shapes = [
+        (spec[n][0], spec[n][1], spec[n][2], spec[n][3]) for n in conv.keras_order()
+    ]
+    model = tf.keras.applications.InceptionV3(weights=None)
+    # model.layers is TOPOLOGICALLY sorted; the conv2d_N NAMES carry the
+    # creation order keras_order() maps against — sort by name index
+    by_idx, bn_scales = {}, []
+    for layer in model.layers:
+        cls = type(layer).__name__
+        if cls == "Conv2D" and layer.name.startswith("conv2d"):
+            rest = layer.name[len("conv2d"):]
+            by_idx[int(rest[1:]) if rest else 0] = tuple(layer.get_weights()[0].shape)
+        elif cls == "BatchNormalization":
+            bn_scales.append(layer.scale)
+    got_shapes = [by_idx[i] for i in sorted(by_idx)]
+    assert len(got_shapes) == 94
+    assert got_shapes == want_shapes
+    assert not any(bn_scales)  # keras.applications builds scale=False
+
+
+@pytest.mark.slow
+def test_keras_model_file_conversion(tmp_path):
+    """A saved keras InceptionV3 model file converts through
+    load_keras_savedmodel with the extractor's exact keyset/shapes."""
+    tf = pytest.importorskip("tensorflow")
+
+    from littlegan_tpu.eval.inception import init_inception_params
+
+    conv = _converter()
+    model = tf.keras.applications.InceptionV3(weights=None)
+    path = tmp_path / "inception.keras"
+    model.save(str(path))
+    got = conv.load_keras_savedmodel(str(path))
+    ref = init_inception_params("", seed=0)
+    assert set(got) == set(ref)
+    for k in got:
+        assert got[k].shape == ref[k].shape, k
+
+
+def test_probe_reports_cached_weights(tmp_path, monkeypatch, capsys):
+    """The cache probe finds inception-named files in the standard cache
+    locations and says what it found (or that nothing exists)."""
+    conv = _converter()
+    fake_home = tmp_path / "home"
+    keras_dir = fake_home / ".keras" / "models"
+    keras_dir.mkdir(parents=True)
+    (keras_dir / "inception_v3_weights_tf_dim_ordering_tf_kernels.h5").write_bytes(b"x")
+    (keras_dir / "vgg16_weights.h5").write_bytes(b"x")
+    monkeypatch.setattr(
+        conv.os.path, "expanduser", lambda p: p.replace("~", str(fake_home))
+    )
+    hits = conv.probe_weight_caches()
+    out = capsys.readouterr().out
+    assert len(hits) == 1 and "inception_v3_weights" in hits[0]
+    assert "convert_inception.py" in out  # prints the next command to run
+
+    monkeypatch.setattr(conv.os.path, "expanduser", lambda p: p.replace("~", str(tmp_path / "empty")))
+    assert conv.probe_weight_caches() == []
+    assert "no cached model weights" in capsys.readouterr().out

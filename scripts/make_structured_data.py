@@ -16,6 +16,16 @@ measured mechanically (scripts/verify_conditioning.py's `stat` regions):
            ROADMAP #7 / Config.cond_bias)
 
 Usage: python scripts/make_structured_data.py <out_dir> [n_images] [dim]
+       [--geometry celeba] [--zip] [--attr-rows 202599]
+
+``--geometry celeba`` emits real-CelebA-shaped JPEGs — 178x218 (WxH,
+img_align_celeba geometry) with the structured pattern occupying the
+178x178 center-crop square — exercising the ingest crop+resize path
+exactly as the real dataset would (round-4 verdict #8). ``--zip`` writes
+``img_align.zip`` instead of an img/ tree (the zip-ingest path), and
+``--attr-rows N`` pads the attribute file to N rows (the real file has
+202,599) with entries for images that don't exist locally, which the
+filename join must skip.
 """
 
 from __future__ import annotations
@@ -50,25 +60,78 @@ def make_image(rng: np.random.Generator, bits: np.ndarray, dim: int) -> np.ndarr
     return (np.clip(x, 0, 1) * 255).astype(np.uint8)
 
 
-def generate(out_dir: str, n: int = 6400, dim: int = 128, attr_indices=(8, 15, 20, 22, 26, 36, 39), seed: int = 0) -> None:
+def make_celeba_geometry_image(rng: np.random.Generator, bits: np.ndarray) -> np.ndarray:
+    """A 218x178 (HxW) image — img_align_celeba's exact geometry — whose
+    structured pattern fills the 178x178 CENTER-CROP square (rows 20..198),
+    so the ingest pipeline's center-crop + resize recovers the full
+    pattern. The 20-row bands above/below are edge-padding (cropped away)."""
+    sq = make_image(rng, bits, 178)
+    return np.pad(sq, ((20, 20), (0, 0), (0, 0)), mode="edge")
+
+
+def generate(
+    out_dir: str,
+    n: int = 6400,
+    dim: int = 128,
+    attr_indices=(8, 15, 20, 22, 26, 36, 39),
+    seed: int = 0,
+    geometry: str = "square",
+    as_zip: bool = False,
+    attr_rows: int = 0,
+) -> None:
+    """``geometry='celeba'`` -> 178x218 JPEGs (``dim`` ignored for pixels;
+    the TRAINING dim stays a config choice). ``as_zip`` -> img_align.zip
+    instead of img/. ``attr_rows`` pads attrs.txt to that many rows (real
+    CelebA: 202,599) with rows for files that don't exist locally."""
+    import io
+    import zipfile
+
     from PIL import Image
 
-    img_dir = os.path.join(out_dir, "img")
-    os.makedirs(img_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
-    lines = [str(n), " ".join(f"A{i}" for i in range(40))]
+    os.makedirs(out_dir, exist_ok=True)
+    zf = None
+    if as_zip:
+        zf = zipfile.ZipFile(
+            os.path.join(out_dir, "img_align.zip"), "w", zipfile.ZIP_STORED
+        )
+    else:
+        os.makedirs(os.path.join(out_dir, "img"), exist_ok=True)
+
+    total_rows = max(n, attr_rows)
+    lines = [str(total_rows), " ".join(f"A{i}" for i in range(40))]
     for i in range(n):
         bits = np.where(rng.random(7) < 0.5, -1, 1)
         name = f"{i:06d}.jpg"
-        Image.fromarray(make_image(rng, bits, dim)).save(
-            os.path.join(img_dir, name), quality=95
+        arr = (
+            make_celeba_geometry_image(rng, bits)
+            if geometry == "celeba"
+            else make_image(rng, bits, dim)
         )
+        if zf is not None:
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+            zf.writestr(name, buf.getvalue())
+        else:
+            Image.fromarray(arr).save(os.path.join(out_dir, "img", name), quality=95)
         row = np.full(40, -1, np.int64)
         row[list(attr_indices)] = bits
         lines.append(name + " " + " ".join(str(v) for v in row))
+    if zf is not None:
+        zf.close()
+    # pad the attr file toward real-CelebA scale: rows for images this host
+    # does NOT have — the filename join must skip them without shifting labels
+    for i in range(n, total_rows):
+        row = np.where(rng.random(40) < 0.5, -1, 1)
+        lines.append(f"{900000 + i:06d}.jpg " + " ".join(str(v) for v in row))
     with open(os.path.join(out_dir, "attrs.txt"), "w") as f:
         f.write("\n".join(lines))
-    print(f"structured dataset: {n} images ({dim}x{dim}) -> {out_dir}")
+    shape = "178x218 (celeba)" if geometry == "celeba" else f"{dim}x{dim}"
+    dest = "img_align.zip" if as_zip else "img/"
+    print(
+        f"structured dataset: {n} images ({shape}) -> {out_dir}/{dest}"
+        + (f", attrs padded to {total_rows} rows" if total_rows > n else "")
+    )
 
 
 if __name__ == "__main__":
@@ -78,5 +141,14 @@ if __name__ == "__main__":
     p.add_argument("out", nargs="?", default="/tmp/structured_celeba", help="output directory")
     p.add_argument("n", nargs="?", type=int, default=6400, help="number of images")
     p.add_argument("dim", nargs="?", type=int, default=128, help="square image size")
+    p.add_argument(
+        "--geometry", choices=("square", "celeba"), default="square",
+        help="celeba = 178x218 JPEGs (img_align geometry; pattern fills the center-crop square)",
+    )
+    p.add_argument("--zip", action="store_true", dest="as_zip", help="write img_align.zip instead of img/")
+    p.add_argument(
+        "--attr-rows", type=int, default=0,
+        help="pad attrs.txt to this many rows (real CelebA: 202599); extra rows name absent files",
+    )
     a = p.parse_args()
-    generate(a.out, a.n, a.dim)
+    generate(a.out, a.n, a.dim, geometry=a.geometry, as_zip=a.as_zip, attr_rows=a.attr_rows)

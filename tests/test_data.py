@@ -409,3 +409,87 @@ def test_zip_nonsquare_crop_resize_parity(tiny_cfg, tmp_path):
     (ni, _), (pi, _) = next(nat.epoch_iterator(0)), next(pil.epoch_iterator(0))
     assert ni.shape == (4, 16, 16, 3)
     np.testing.assert_array_equal(ni, pi)
+
+
+def test_celeba_geometry_structured_zip_join_and_crop(tmp_path, tiny_cfg):
+    """Round-4 verdict #8 regression: the celeba-geometry structured ZIP
+    (178x218 JPEGs, padded attr file) ingests with the label JOINED to the
+    RIGHT image through crop+resize. For every decoded row, each of the
+    region bits 0..5 must agree with the parsed label — a one-off label
+    shift (the failure the padded attr file could cause) or a wrong crop
+    window breaks the agreement immediately."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "make_structured_data",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "make_structured_data.py"),
+    )
+    msd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(msd)
+
+    out = tmp_path / "celeba_geom"
+    msd.generate(str(out), n=16, geometry="celeba", as_zip=True, attr_rows=400, seed=3)
+    attr_lines = open(out / "attrs.txt").read().splitlines()
+    assert attr_lines[0] == "400" and len(attr_lines) == 402  # padded + header
+
+    cfg = tiny_cfg.replace(
+        image_dim=64,
+        init_dim=4,
+        batch_size=8,
+        image_path=str(out / "img_align.zip"),
+        attr_path=str(out / "attrs.txt"),
+        attr=[8, 15, 20, 22, 26, 36, 39],
+    )
+    ds = CelebA(cfg)
+    assert ds.num_items == 16  # padded attr rows for absent files are skipped
+    img, cond = next(ds.epoch_iterator(0, shuffle=False))
+    assert img.shape == (8, 64, 64, 3) and cond.shape == (8, 7)
+
+    # Replicate the generator's deterministic RNG stream to recover each
+    # file's ground-truth bits AND pixel content, then check the pipeline's
+    # output row-for-row: the label must be soft(bits) of the SAME index
+    # (join correctness through the padded attr file) and the image must be
+    # the 178-square center crop resized to 64 (crop-window correctness).
+    from PIL import Image
+
+    from littlegan_tpu.utils.image import soft as _soft
+
+    gen_rng = np.random.default_rng(3)
+    for k in range(8):
+        bits = np.where(gen_rng.random(7) < 0.5, -1, 1)
+        full = msd.make_celeba_geometry_image(gen_rng, bits)
+        np.testing.assert_allclose(cond[k], _soft(bits.astype(np.float32)), atol=1e-6)
+        want = np.asarray(
+            Image.fromarray(full[20:198]).resize((64, 64), Image.BILINEAR),
+            np.float32,
+        )
+        diff = np.abs(img[k].astype(np.float32) - want) / 255.0
+        # JPEG q95 round-trip + decoder resize differences stay small; a
+        # wrong crop window (e.g. no crop, or top-anchored) blows this up
+        assert diff.mean() < 0.03 and diff.max() < 0.5, (
+            f"row {k}: decoded image deviates from expected crop+resize "
+            f"(mean {diff.mean():.4f}, max {diff.max():.3f})"
+        )
+
+
+@pytest.mark.slow
+def test_attr_parse_at_real_celeba_scale(tmp_path):
+    """parse_attr_file at the real file's 202,599-row scale: correct count,
+    correct filtered values, and a sane parse time."""
+    import time
+
+    n = 202_599
+    rng = np.random.default_rng(0)
+    rows = rng.choice([-1, 1], size=(n, 40)).astype(np.int64)
+    path = tmp_path / "list_attr_celeba.txt"
+    with open(path, "w") as f:
+        f.write(f"{n}\n" + " ".join(f"A{i}" for i in range(40)) + "\n")
+        for i in range(n):
+            f.write(f"{i + 1:06d}.jpg " + " ".join(str(v) for v in rows[i]) + "\n")
+    t0 = time.monotonic()
+    by_name, by_line = parse_attr_file(str(path), [8, 15, 20, 22, 26, 36, 39])
+    dt = time.monotonic() - t0
+    assert len(by_name) == n and len(by_line) == n
+    np.testing.assert_array_equal(by_name["000001.jpg"], rows[0][[8, 15, 20, 22, 26, 36, 39]])
+    np.testing.assert_array_equal(by_name[f"{n:06d}.jpg"], rows[-1][[8, 15, 20, 22, 26, 36, 39]])
+    assert dt < 60, f"attr parse took {dt:.1f}s at 200k rows"

@@ -231,6 +231,13 @@ def parse_args(argv=None):
         "_remat suffix to the metric name)",
     )
     ap.add_argument(
+        "--no-s2d", action="store_true",
+        help="disable the space-to-depth boundary layout (Config.use_s2d) — "
+        "measures what an H-sharded spatial mesh pays for silently losing "
+        "s2d (training/step.py flips it off under a 'model' mesh); adds a "
+        "_nos2d suffix to the metric name",
+    )
+    ap.add_argument(
         "--store-batches", type=_nonneg_int, default=0,
         help="fixture HBM-store size in batches (0 = auto: max(16, 2K) "
         "capped at 2 GiB). Smaller stores let HBM-frontier points run (ids "
@@ -288,6 +295,7 @@ def measure(args) -> dict:
         adj_half_batch=args.adj_half,
         moment_dtype=args.moment_dtype,
         remat=args.remat,
+        use_s2d=not args.no_s2d,
         donate_state=True,
         debug=True,
     )
@@ -348,6 +356,8 @@ def measure(args) -> dict:
         suffix += "_mbf16"
     if args.remat:
         suffix += "_remat"
+    if args.no_s2d:
+        suffix += "_nos2d"
     if args.k and args.k != auto_k:
         suffix += f"_k{args.k}"
     if args.store_batches and args.store_batches != auto_store:

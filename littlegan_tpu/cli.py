@@ -233,12 +233,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                         f"dataset yields ZERO full batches (needs >= "
                         f"{cfg.batch_size} images); add data or lower batch_size"
                     ) from None
-            image = ensure_pm1(image)
             noise = rng.normal(size=(cond.shape[0], cfg.noise_dim)).astype(np.float32)
-            gen_image, _, adj_real, adj_fake = trainer.predict(
-                noise, cond, image, None,
-                os.path.join(cfg.result_dir, "evaluate", "disc", f"{b}.json"), None,
-            )
+            # fused uint8 path (trainer.sample_u8): one dispatch per batch,
+            # uint8 images both ways — the 30k protocol was transfer-bound
+            # through predict()'s four f32 image moves per batch
+            gen_image, d_scores, adj_real, adj_fake = trainer.sample_u8(noise, cond, image)
+            if getattr(trainer, "_host0", True):
+                with open(
+                    os.path.join(cfg.result_dir, "evaluate", "disc", f"{b}.json"), "w"
+                ) as f:
+                    json.dump(d_scores, f)
             for i in range(gen_image.shape[0]):
                 writer.save(gen_image[i], os.path.join(cfg.result_dir, "evaluate", "gen", f"{base + i}.jpg"))
                 if adj_real is not None and adj_fake is not None:

@@ -90,11 +90,16 @@ def save_image(image, path: Optional[str] = None, shape: Tuple[Optional[int], Op
     """Save a [-1,1] image or batch as a tiled uint8 JPEG (reference: utils.py:6-44).
 
     3D input -> single image; 4D input -> tiled grid. ``path=None`` shows the
-    image interactively like the reference (utils.py:41-42).
+    image interactively like the reference (utils.py:41-42). uint8 input is
+    taken as already-quantized [0,255] pixels (the fused sample path
+    quantizes on DEVICE with the identical round((y+1)*127.5)) and passes
+    through untouched.
     """
     from PIL import Image  # local import: keep jit-side modules PIL-free
 
-    arr = inverse_rescale(image).astype(np.uint8)
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = inverse_rescale(arr).astype(np.uint8)
     if arr.ndim == 4:
         arr = to_grid(arr, shape)
     if arr.shape[2] == 1:

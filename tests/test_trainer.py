@@ -1242,3 +1242,58 @@ def test_tb_reader_roundtrip_and_framing(tmp_path):
     (bad / fname).write_bytes(bytes(blob))
     with pytest.raises(ValueError, match="CRC"):
         read_scalars(str(bad))
+
+
+def test_sample_u8_matches_predict(run_cfg):
+    """The fused uint8 evaluate-sample dispatch (trainer.sample_u8) must
+    reproduce predict()'s outputs: device-side round((y+1)*127.5)
+    quantization == the host writer's inverse_rescale (±1 count on
+    fusion-order knife edges), identical D-score JSON semantics, and
+    adjusted images for both real and generated inputs."""
+    from littlegan_tpu.utils.image import inverse_rescale
+
+    from littlegan_tpu.utils.image import ensure_pm1
+
+    ds = SyntheticDataset(run_cfg, num_items=4 * run_cfg.batch_size)
+    tr = Trainer(run_cfg, ds)
+    # both paths see the same uint8-derived pixels (the pipeline ships uint8;
+    # the f32 fixture must be quantized first or the comparison measures
+    # quantization of the INPUT, not path parity)
+    img_u8 = np.round((np.asarray(tr.test_image) + 1) * 127.5).astype(np.uint8)
+    gen_f32, save_ref, adj_r_f32, adj_f_f32 = tr.predict(
+        tr.test_noise, tr.test_cond, ensure_pm1(img_u8), None, None, None
+    )
+    gen_u8, save, adj_r_u8, adj_f_u8 = tr.sample_u8(
+        tr.test_noise, tr.test_cond, img_u8
+    )
+
+    def close_u8(got, want_f32, tag):
+        want = inverse_rescale(want_f32).astype(np.uint8)
+        assert got.dtype == np.uint8 and got.shape == want.shape, tag
+        diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1 and (diff == 0).mean() > 0.98, (
+            f"{tag}: max diff {diff.max()}, equal frac {(diff == 0).mean():.4f}"
+        )
+
+    close_u8(gen_u8, gen_f32, "gen")
+    close_u8(adj_r_u8, adj_r_f32, "adj_real")
+    close_u8(adj_f_u8, adj_f_f32, "adj_fake")
+
+    assert set(save) == set(save_ref)
+    for k in ("real_pr_mse", "real_c_mse", "fake_pr_mse", "fake_c_mse"):
+        assert abs(save[k] - save_ref[k]) < 1e-4, k
+    for k in ("real_cond", "real_pr", "real_c", "fake_pr", "fake_c"):
+        a, b = np.asarray(save[k]), np.asarray(save_ref[k])
+        assert np.abs(a - b).max() <= 1, k  # rounded percentages
+
+
+def test_sample_u8_uint8_input_and_no_adj(run_cfg):
+    """uint8 pipeline rows feed sample_u8 directly (device-side rescale),
+    and train_adj=False returns None adjusted images."""
+    cfg = run_cfg.replace(train_adj=False)
+    ds = SyntheticDataset(cfg, num_items=4 * cfg.batch_size)
+    tr = Trainer(cfg, ds)
+    img_u8 = inverse = np.round((np.asarray(tr.test_image) + 1) * 127.5).astype(np.uint8)
+    gen_u8, save, adj_r, adj_f = tr.sample_u8(tr.test_noise, tr.test_cond, img_u8)
+    assert gen_u8.dtype == np.uint8 and adj_r is None and adj_f is None
+    assert "real_pr_mse" in save

@@ -52,11 +52,12 @@ def make_spatial_train_step(cfg: Config, params, mesh: Mesh, donate: bool | None
         )
     if cfg.use_pallas or cfg.use_pallas_boundary:
         cfg = cfg.replace(use_pallas=False, use_pallas_boundary=False)  # Mosaic is not auto-partitionable
-    if cfg.use_s2d:
-        # space-to-depth folds 2x2 pixel blocks into channels; under an
-        # H-sharded mesh that reshape would reshard every image — keep the
-        # spatial path in raw layout (s2d is a single-chip/DP optimization)
-        cfg = cfg.replace(use_s2d=False)
+    # s2d composes with the H-sharded mesh when block space tiles the model
+    # axis (round-4: the blanket disable measured 1.43x/1.69x per-chip at
+    # 256²/512² — training/step.py::spatial_s2d_compatible)
+    from littlegan_tpu.training.step import _resolve_mesh_s2d
+
+    cfg = _resolve_mesh_s2d(cfg, mesh)
     rep = NamedSharding(mesh, P())
     img_sh = NamedSharding(mesh, P("data", "model"))
     cond_sh = NamedSharding(mesh, P("data"))

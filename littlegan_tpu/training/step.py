@@ -457,8 +457,8 @@ def make_accum_train_step(cfg: Config, params, donate: bool | None = None, mesh=
             raise ValueError(
                 f"batch_size {cfg.batch_size} must be divisible by the data-axis size ({n_data})"
             )
-    if spatial and cfg.use_s2d:
-        cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
+    if spatial and cfg.use_s2d and not spatial_s2d_compatible(cfg, mesh):
+        cfg = cfg.replace(use_s2d=False)  # block space can't tile this model axis
         fn = partial(accum_train_step, cfg=cfg, part_masks=part_masks, spatial_mesh=smesh)
     from littlegan_tpu.parallel.zero import train_state_shardings
 
@@ -477,6 +477,31 @@ def make_accum_train_step(cfg: Config, params, donate: bool | None = None, mesh=
         donate_argnums=(0,) if donate else (),
         compiler_options=tpu_compiler_options(cfg),
     )
+
+
+def spatial_s2d_compatible(cfg: Config, mesh) -> bool:
+    """Does the s2d boundary layout compose with this H-sharded mesh?
+
+    The 2x2-block rearrangement splits H into (H/2, 2); when the BLOCK-space
+    height H/2 tiles the 'model' axis, that reshape keeps every shard
+    boundary on whole blocks (local, no resharding) and the 3x3 block-space
+    convolutions halo-exchange like any conv. Round-4: the blanket disable
+    measured 1.43x/1.69x per-chip cost at 256²/512² (bench --no-s2d,
+    SCALING.md), so spatial meshes now KEEP s2d whenever the tiling works;
+    equality + clean-SPMD gates in tests/test_spatial.py."""
+    if mesh is None or "model" not in mesh.axis_names:
+        return True
+    msize = dict(zip(mesh.axis_names, mesh.devices.shape))["model"]
+    return (cfg.image_dim // 2) % msize == 0
+
+
+def _resolve_mesh_s2d(cfg: Config, mesh) -> Config:
+    """Flip use_s2d off ONLY when the mesh's model axis cannot tile block
+    space (the pre-round-4 behavior was an unconditional disable)."""
+    if mesh is not None and cfg.use_s2d and "model" in mesh.axis_names:
+        if not spatial_s2d_compatible(cfg, mesh):
+            cfg = cfg.replace(use_s2d=False)
+    return cfg
 
 
 def _take_batch(store, b):
@@ -544,8 +569,7 @@ def _make_scan_dispatch(
     donate = cfg.donate_state if donate is None else donate
     if mesh is not None and (cfg.use_pallas or cfg.use_pallas_boundary):
         cfg = cfg.replace(use_pallas=False, use_pallas_boundary=False)  # Mosaic is not auto-partitionable
-    if mesh is not None and cfg.use_s2d and "model" in mesh.axis_names:
-        cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
+    cfg = _resolve_mesh_s2d(cfg, mesh)  # keep s2d when block space tiles the model axis
     _check_store_layout(cfg, store_s2d)
 
     def fn(state, images, conds, b1s, b2s, base_rng, global_step0, batch_no0):
@@ -665,8 +689,7 @@ def make_gather_train_step(
     donate = cfg.donate_state if donate is None else donate
     if mesh is not None and (cfg.use_pallas or cfg.use_pallas_boundary):
         cfg = cfg.replace(use_pallas=False, use_pallas_boundary=False)  # Mosaic is not auto-partitionable
-    if mesh is not None and cfg.use_s2d and "model" in mesh.axis_names:
-        cfg = cfg.replace(use_s2d=False)  # s2d reshapes H: not for H-sharded meshes
+    cfg = _resolve_mesh_s2d(cfg, mesh)  # keep s2d when block space tiles the model axis
     _check_store_layout(cfg, store_s2d)
     smesh = mesh if (mesh is not None and "model" in mesh.axis_names) else None
     base = partial(

@@ -108,3 +108,40 @@ def test_capture_stderr_sees_fd_writes():
         os.write(2, b"raw-fd2-marker\n")
         assert "raw-fd2-marker" in cap.text()  # live during the context
     assert "raw-fd2-marker" in cap.text()  # final after the context
+
+
+def test_spatial_s2d_compatibility_gate():
+    """s2d survives an H-sharded mesh iff BLOCK-space height tiles the model
+    axis (round-4: the blanket disable cost a measured 1.43x/1.69x per chip
+    at 256²/512² — SCALING.md)."""
+    from littlegan_tpu.config import Config
+    from littlegan_tpu.training.step import spatial_s2d_compatible
+
+    mesh2 = make_mesh(8, axis_names=("data", "model"))  # (4, 2)
+    cfg16 = Config(image_dim=16, init_dim=1, debug=True)
+    assert spatial_s2d_compatible(cfg16, mesh2)  # block H 8 % 2 == 0
+    assert spatial_s2d_compatible(cfg16, None)  # no mesh: no constraint
+    mesh4 = make_mesh(8, axis_names=("model", "data"))  # model axis first: 4
+    assert dict(zip(mesh4.axis_names, mesh4.devices.shape))["model"] == 4
+    cfg20 = Config(image_dim=20, init_dim=1, debug=True)
+    # image 20 tiles 4-way but block space (10) does not -> must disable
+    assert not spatial_s2d_compatible(cfg20, mesh4)
+
+
+def test_spatial_step_keeps_s2d_blocks(sp_cfg):
+    """The compiled spatial program must actually run in BLOCK space when
+    compatible: the boundary convs consume 4*C=12-channel tensors. (Before
+    round 4, make_spatial_train_step silently flipped use_s2d off.)"""
+    assert sp_cfg.use_s2d  # default-on config
+    state = create_train_state(sp_cfg, jax.random.PRNGKey(0))
+    b1, b2 = _batches(sp_cfg)
+    mesh = make_mesh(8, axis_names=("data", "model"))
+    step = make_spatial_train_step(sp_cfg, state.params, mesh, donate=False)
+    b1s, b2s = shard_spatial_batch(b1, mesh), shard_spatial_batch(b2, mesh)
+    txt = step.lower(state, b1s, b2s, jax.random.PRNGKey(9), jnp.int32(30)).as_text()
+    # StableHLO text: the (3,3,12,C) block-space boundary kernel built from
+    # the reference-shaped 5x5 parameter (ops/s2d.py::s2d_conv1_kernel)
+    assert "tensor<3x3x12x" in txt, (
+        "no 12-channel (4*3) block-space boundary conv in the spatial "
+        "program — s2d was disabled under the mesh"
+    )

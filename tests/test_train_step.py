@@ -617,10 +617,12 @@ def test_accum_dp_mesh_divisibility_validated(tiny_cfg):
 
 
 def test_store_s2d_requires_active_s2d(tiny_cfg):
-    """store_s2d=True with the s2d step inactive (H-sharded 'model' mesh, or
-    use_s2d off) must fail at build time with the RAW-store remediation —
-    the silent former behavior fed 12-channel block images to the raw model
-    and died in an opaque conv shape error at trace time."""
+    """store_s2d=True with the s2d step inactive (use_s2d off, or a 'model'
+    mesh block space cannot tile) must fail at build time with the RAW-store
+    remediation — the silent former behavior fed 12-channel block images to
+    the raw model and died in an opaque conv shape error at trace time.
+    Round-4 update: a COMPATIBLE spatial mesh keeps s2d active
+    (spatial_s2d_compatible), so an s2d store now BUILDS there."""
     from littlegan_tpu.parallel import make_mesh
     from littlegan_tpu.training.step import (
         make_gather_train_step,
@@ -630,21 +632,26 @@ def test_store_s2d_requires_active_s2d(tiny_cfg):
 
     cfg = tiny_cfg.replace(use_s2d=True, device_data=True)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    smesh = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+    # s2d inactive via the flag (the mesh-driven disable needs a model axis
+    # >= 16 for any 16-multiple image — spatial_s2d_compatible's truth table
+    # is unit-tested in tests/test_spatial.py); the s2d store must refuse
+    smesh4 = make_mesh(8, axis_names=("data", "model"), shape=(2, 4))
+    off = cfg.replace(use_s2d=False)
     for build in (
-        lambda: make_scan_train_step(cfg, state.params, 2, donate=False, mesh=smesh, store_s2d=True),
+        lambda: make_scan_train_step(off, state.params, 2, donate=False, mesh=smesh4, store_s2d=True),
         lambda: make_scan_accum_train_step(
-            cfg.replace(grad_accum=2), state.params, 2, donate=False, mesh=smesh, store_s2d=True
+            off.replace(grad_accum=2), state.params, 2, donate=False, mesh=smesh4, store_s2d=True
         ),
-        lambda: make_gather_train_step(cfg, state.params, donate=False, mesh=smesh, store_s2d=True),
-        lambda: make_gather_train_step(
-            cfg.replace(use_s2d=False), state.params, donate=False, store_s2d=True
-        ),
+        lambda: make_gather_train_step(off, state.params, donate=False, mesh=smesh4, store_s2d=True),
+        lambda: make_gather_train_step(off, state.params, donate=False, store_s2d=True),
     ):
         with pytest.raises(ValueError, match="RAW-layout"):
             build()
-    # raw store under the same mesh still builds (the supported layout)
-    make_scan_train_step(cfg, state.params, 2, donate=False, mesh=smesh, store_s2d=False)
+    # a COMPATIBLE mesh (block space 8 tiles model=2) keeps s2d: both the
+    # s2d store and the raw store build
+    smesh2 = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+    make_scan_train_step(cfg, state.params, 2, donate=False, mesh=smesh2, store_s2d=True)
+    make_scan_train_step(cfg, state.params, 2, donate=False, mesh=smesh2, store_s2d=False)
 
 
 def test_lr_schedule_factory_goldens():

@@ -212,3 +212,13 @@ def test_wedged_tunnel_integration(tmp_path):
     out = json.loads(lines[0])
     assert out["provisional"] is True and out["value"] == GOOD["value"]
     assert "killed by watchdog" in out["watchdog_note"]
+
+
+def test_fallback_schedule_is_tiny(bench):
+    """The CPU-fallback measurement must fit the supervisor's CPU reserve:
+    a 32²/b4 CPU step is ~1.5 s on this 1-core host, so the schedule is
+    capped at (1 warmup + 2 measured) dispatches of K<=4 (~12 steps)."""
+    k, warmup, measure, repeats = bench.fallback_schedule(64)
+    total_steps = (warmup + measure * repeats) * k
+    assert k <= 4 and total_steps <= 16, (k, warmup, measure, repeats)
+    assert bench.fallback_schedule(2)[0] == 2  # never raises K above auto

@@ -533,7 +533,16 @@ def supervise(argv, runner=None, probe=None) -> int:
     from littlegan_tpu.utils.backend_probe import backend_may_hang, probe_backend
 
     attempt_accelerator = True
-    if backend_may_hang():
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu" and not os.environ.get(
+        "PALLAS_AXON_POOL_IPS"
+    ):
+        # explicitly CPU-pinned run: the full-size accelerator attempt would
+        # crawl on CPU until the watchdog kills it (~1.5 s/step at 32²/b4 on
+        # this host; minutes/step at 128²) — go straight to the small tagged
+        # CPU measurement
+        attempt_accelerator = False
+        notes.append("accelerator attempt skipped (JAX_PLATFORMS=cpu)")
+    elif backend_may_hang():
         probe_s = min(240.0, max(10.0, 0.2 * budget))
         probe_fn = probe or probe_backend
         if not probe_fn(probe_s):

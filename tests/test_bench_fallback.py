@@ -64,6 +64,7 @@ GOOD = {"metric": "train_images_per_sec_per_chip_128px_b32", "value": 6500.0,
 
 def test_accelerator_success_passes_through(bench, capsys, monkeypatch):
     monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "")  # not CPU-pinned
     runner = _FakeRunner([GOOD])
     assert bench.supervise([], runner=runner) == 0
     out = _emitted(capsys)
@@ -77,6 +78,7 @@ def test_accelerator_success_passes_through(bench, capsys, monkeypatch):
 
 def test_hung_chip_falls_back_to_cpu(bench, capsys, monkeypatch):
     monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "")
     cpu_line = dict(GOOD, metric="train_images_per_sec_per_chip_32px_b4",
                     value=11.0, backend_fallback="cpu (...)")
     runner = _FakeRunner(["hang", cpu_line])
@@ -119,6 +121,7 @@ def test_live_probe_attempts_chip(bench, capsys, monkeypatch):
 
 def test_all_stages_dead_emits_provisional(bench, capsys, monkeypatch, tmp_path):
     monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "")
     past = dict(GOOD, value=6582.2)
     (tmp_path / "bench_r3_chip.json").write_text(json.dumps(past))
     monkeypatch.setenv(bench.ARTIFACTS_DIR_ENV, str(tmp_path))
@@ -157,6 +160,7 @@ def test_provisional_prefers_bench_over_autotune(bench, tmp_path):
 
 def test_no_artifacts_still_emits_valid_line(bench, capsys, monkeypatch, tmp_path):
     monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "")
     monkeypatch.setenv(bench.ARTIFACTS_DIR_ENV, str(tmp_path / "empty"))
     runner = _FakeRunner(["garbage", "hang"])
     assert bench.supervise([], runner=runner) == 0
@@ -222,3 +226,20 @@ def test_fallback_schedule_is_tiny(bench):
     total_steps = (warmup + measure * repeats) * k
     assert k <= 4 and total_steps <= 16, (k, warmup, measure, repeats)
     assert bench.fallback_schedule(2)[0] == 2  # never raises K above auto
+
+
+def test_cpu_pin_skips_accelerator_attempt(bench, capsys, monkeypatch):
+    """An explicitly CPU-pinned run (JAX_PLATFORMS=cpu, no axon plugin) goes
+    straight to the small tagged CPU measurement — the full-size
+    accelerator attempt would crawl on CPU until the watchdog killed it."""
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    cpu_line = dict(GOOD, metric="train_images_per_sec_per_chip_32px_b4", value=5.0)
+    runner = _FakeRunner([cpu_line])
+    assert bench.supervise([], runner=runner) == 0
+    out = _emitted(capsys)
+    assert out["value"] == 5.0
+    assert "JAX_PLATFORMS=cpu" in out["watchdog_note"]
+    assert len(runner.calls) == 1
+    _, env, _ = runner.calls[0]
+    assert env["JAX_PLATFORMS"] == "cpu" and "LITTLEGAN_BENCH_FALLBACK" in env

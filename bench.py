@@ -27,7 +27,7 @@ itself. It stages bounded attempts — discovery probe, chip measurement in
 a killable subprocess, CPU measurement in a killable subprocess, and
 finally a provisional line from the last committed ``artifacts/`` bench —
 inside one hard wall-clock budget (``LITTLEGAN_BENCH_BUDGET_S``, default
-1200 s, chosen well under any plausible driver timeout). Whatever fails or
+900 s, chosen well under any plausible driver timeout). Whatever fails or
 hangs, the supervisor prints exactly ONE valid JSON line before the budget
 expires; degraded lines carry ``watchdog_note`` (and ``provisional`` for
 stage 4) so a fallback number is never mistaken for a chip measurement.
@@ -79,7 +79,7 @@ N_STORE_BATCHES = 16
 # reserves carve the budget so a hung chip attempt cannot starve the CPU
 # fallback, and a hung CPU fallback cannot starve the provisional emit.
 BUDGET_ENV = "LITTLEGAN_BENCH_BUDGET_S"
-DEFAULT_BUDGET_S = 1200.0
+DEFAULT_BUDGET_S = 900.0
 CPU_STAGE_RESERVE_S = 480.0  # 32²/b4 CPU schedule measured "a few minutes"
 FINAL_RESERVE_S = 20.0  # provisional emit is pure host-side file reading
 CHILD_ENV = "LITTLEGAN_BENCH_CHILD"

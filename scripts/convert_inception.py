@@ -4,8 +4,15 @@ The reference pins FID to a 2015 frozen InceptionV3 GraphDef downloaded at
 runtime (fid.py:273-288). This environment has zero egress, so conversion is
 offline, from whatever checkpoint format a container DOES carry:
 
-- torchvision ``inception_v3`` .pth state_dict (the standard pytorch-FID
-  weights),
+- pytorch-FID ``pt_inception-2015-12-05-*.pth`` (the **FIDInception**
+  checkpoint behind virtually all published FID numbers — round-4 verdict
+  #1): same key names as torchvision but a 1008-class fc and three pooling
+  deviations (InceptionA/C/E_1 avg-pools count_include_pad=False, E_2 a
+  3x3/stride-1 max-pool). Detected by the 1008-row fc; the output npz gets
+  a ``meta/fid2015_pool`` marker that switches eval/inception.py onto the
+  FIDInception pooling graph — converting these weights onto the
+  torchvision graph would be a silently wrong network,
+- torchvision ``inception_v3`` .pth state_dict (ImageNet weights),
 - Keras ``inception_v3`` .h5 weight files (keras.applications download
   cache, ``~/.keras/models``) — round-4 verdict #6,
 - a TF SavedModel directory holding a keras InceptionV3,
@@ -113,7 +120,16 @@ for mix, tv in (("mix7b", "Mixed_7b"), ("mix7c", "Mixed_7c")):
     )
 
 
-def convert(state_dict, eps: float = 1e-3) -> dict:
+def convert(state_dict, eps: float = 1e-3, variant: str = "auto") -> dict:
+    """torchvision-keyed state_dict -> our npz mapping.
+
+    ``variant``: "auto" detects the pytorch-FID FIDInception checkpoint by
+    its 1008-class fc (the 2015 graph's class count; torchvision's is
+    1000) and stamps the ``meta/fid2015_pool`` marker the extractor
+    switches pooling on. "tv"/"fid2015" force it (fc-less partial dumps
+    can't auto-detect)."""
+    if variant not in ("auto", "tv", "fid2015"):
+        raise SystemExit(f"unknown variant {variant!r} (auto|tv|fid2015)")
     out = {}
     get = lambda k: np.asarray(state_dict[k].cpu().numpy() if hasattr(state_dict[k], "cpu") else state_dict[k])
     for ours, tv in _NAME_MAP.items():
@@ -126,22 +142,40 @@ def convert(state_dict, eps: float = 1e-3) -> dict:
         scale = gamma / np.sqrt(var + eps)
         out[f"{ours}/scale"] = scale.astype(np.float32)
         out[f"{ours}/offset"] = (beta - mean * scale).astype(np.float32)
-    # classifier head (torchvision fc: (1000, 2048) + bias) — not used by
-    # FID's pool features, but Inception Score needs the class logits
+    # classifier head — not used by FID's pool features, but Inception
+    # Score needs the class logits (torchvision fc: (1000, 2048) + bias;
+    # pt_inception: (1008, 2048), the 2015 graph's background-class layout)
     if "fc.weight" in state_dict:
-        out["fc/w"] = np.transpose(get("fc.weight"), (1, 0)).astype(np.float32)
+        fc_w = get("fc.weight")
+        out["fc/w"] = np.transpose(fc_w, (1, 0)).astype(np.float32)
         out["fc/b"] = get("fc.bias").astype(np.float32)
+        if variant == "auto":
+            variant = "fid2015" if fc_w.shape[0] == 1008 else "tv"
     else:  # pragma: no cover - partial dumps only
         print("NOTE: state_dict has no fc.weight — Inception Score unavailable", file=sys.stderr)
+        if variant == "auto":
+            print(
+                "NOTE: no fc to auto-detect the pooling variant from — "
+                "assuming torchvision; pass --variant fid2015 for a "
+                "pt_inception partial dump",
+                file=sys.stderr,
+            )
+            variant = "tv"
+    if variant == "fid2015":
+        out["meta/fid2015_pool"] = np.zeros((), np.float32)
     return out
 
 
-def synthetic_state_dict(seed: int = 0) -> dict:
+def synthetic_state_dict(seed: int = 0, variant: str = "tv") -> dict:
     """Random-valued state_dict with torchvision ``inception_v3``'s exact key
     names and tensor shapes (conv weights OIHW, BN vectors), He-scaled so a
     full forward stays finite. Validates the conversion path in-tree — name
     mapping, OIHW->HWIO transpose, BN folding — without a downloaded
-    checkpoint (this container has no egress and no torchvision)."""
+    checkpoint (this container has no egress and no torchvision).
+
+    ``variant="fid2015"`` emits the pt_inception layout: identical conv/bn
+    keys (pytorch-FID loads its weights into torchvision module names), fc
+    with the 2015 graph's 1008 classes."""
     from littlegan_tpu.eval.inception import _conv_specs
 
     rng = np.random.default_rng(seed)
@@ -156,8 +190,9 @@ def synthetic_state_dict(seed: int = 0) -> dict:
         sd[f"{tv}.bn.bias"] = rng.normal(0, 0.1, (cout,)).astype(np.float32)
         sd[f"{tv}.bn.running_mean"] = rng.normal(0, 0.1, (cout,)).astype(np.float32)
         sd[f"{tv}.bn.running_var"] = rng.uniform(0.5, 1.5, (cout,)).astype(np.float32)
-    sd["fc.weight"] = rng.normal(0, np.sqrt(1.0 / 2048), (1000, 2048)).astype(np.float32)
-    sd["fc.bias"] = rng.normal(0, 0.01, (1000,)).astype(np.float32)
+    n_classes = 1008 if variant == "fid2015" else 1000
+    sd["fc.weight"] = rng.normal(0, np.sqrt(1.0 / 2048), (n_classes, 2048)).astype(np.float32)
+    sd["fc.bias"] = rng.normal(0, 0.01, (n_classes,)).astype(np.float32)
     return sd
 
 
@@ -294,6 +329,15 @@ def load_keras_savedmodel(path: str) -> dict:
             bns_by_idx[name_idx(layer.name, "batch_normalization")] = (gamma, beta, mean, var)
         elif cls == "Dense" and layer.name == "predictions":
             fc = tuple(layer.get_weights())
+    for label, by_idx in (("conv2d", convs_by_idx), ("batch_normalization", bns_by_idx)):
+        if by_idx:
+            base = min(by_idx)
+            missing = [i for i in range(base, base + len(by_idx)) if i not in by_idx]
+            if missing:
+                raise SystemExit(
+                    f"{path}: missing {label} index {missing[0]} (base {base}) "
+                    "— not a plain InceptionV3 layer numbering?"
+                )
     convs = [convs_by_idx[i] for i in sorted(convs_by_idx)]
     bns = [bns_by_idx[i] for i in sorted(bns_by_idx)]
     return convert_keras_arrays(convs, bns, fc)
@@ -329,8 +373,17 @@ def probe_weight_caches(verbose: bool = True) -> list[str]:
         if hits:
             print("InceptionV3 candidates found:")
             for h in hits:
-                print(f"  {h}  ({os.path.getsize(h)/1e6:.1f} MB)")
-            print(f"next: python scripts/convert_inception.py {hits[0]} inception_fid.npz")
+                tag = (
+                    "  <- pytorch-FID FIDInception (published-FID standard)"
+                    if "pt_inception" in os.path.basename(h).lower()
+                    else ""
+                )
+                print(f"  {h}  ({os.path.getsize(h)/1e6:.1f} MB){tag}")
+            best = next(
+                (h for h in hits if "pt_inception" in os.path.basename(h).lower()),
+                hits[0],
+            )
+            print(f"next: python scripts/convert_inception.py {best} inception_fid.npz")
         elif seen:
             print("cached model files found, none named like inception:")
             for s in seen[:20]:
@@ -375,13 +428,17 @@ def load_state_dict(src: str, allow_full_unpickle: bool = False) -> dict:
     return sd
 
 
-def convert_any(src: str, allow_full_unpickle: bool = False) -> dict:
-    """Dispatch on the source format; returns the npz mapping."""
+def convert_any(src: str, allow_full_unpickle: bool = False, variant: str = "auto") -> dict:
+    """Dispatch on the source format; returns the npz mapping.
+
+    The keras paths are always torchvision-lineage pooling (keras
+    .applications has no FIDInception port); ``variant`` only affects the
+    torch/.npz state_dict path."""
     if os.path.isdir(src) or src.endswith(".keras"):
         return load_keras_savedmodel(src)
     if src.endswith((".h5", ".hdf5")):
         return load_keras_h5(src)
-    return convert(load_state_dict(src, allow_full_unpickle))
+    return convert(load_state_dict(src, allow_full_unpickle), variant=variant)
 
 
 def main() -> int:
@@ -389,6 +446,14 @@ def main() -> int:
     allow_full = "--allow-full-unpickle" in argv
     if allow_full:
         argv.remove("--allow-full-unpickle")
+    variant = "auto"
+    if "--variant" in argv:
+        i = argv.index("--variant")
+        if i + 1 >= len(argv):
+            print("ERROR: --variant needs a value (auto|tv|fid2015)", file=sys.stderr)
+            return 2
+        variant = argv[i + 1]
+        del argv[i : i + 2]
     if "--probe" in argv:
         probe_weight_caches()
         return 0
@@ -401,8 +466,11 @@ def main() -> int:
         print(f"ERROR: {src} does not exist; probing local caches instead:", file=sys.stderr)
         probe_weight_caches()
         return 2
-    np.savez_compressed(dst, **convert_any(src, allow_full))
-    print(f"converted {len(_NAME_MAP)} conv-bn blocks -> {dst}")
+    out = convert_any(src, allow_full, variant=variant)
+    np.savez_compressed(dst, **out)
+    n_blocks = sum(1 for k in out if k.endswith("/w") and k != "fc/w")
+    pool = "FIDInception/pytorch-FID" if "meta/fid2015_pool" in out else "torchvision"
+    print(f"converted {n_blocks} conv-bn blocks [{pool} pooling] -> {dst}")
     return 0
 
 

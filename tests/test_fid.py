@@ -913,3 +913,194 @@ def test_probe_reports_cached_weights(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(conv.os.path, "expanduser", lambda p: p.replace("~", str(tmp_path / "empty")))
     assert conv.probe_weight_caches() == []
     assert "no cached model weights" in capsys.readouterr().out
+
+
+# ----------------- pytorch-FID FIDInception variant (round-5 verdict #1) ----
+# pt_inception-2015-12-05-*.pth — the weights behind virtually all published
+# FID numbers — is a DIFFERENT network from torchvision's InceptionV3
+# (FIDInceptionA/C/E_1 avg-pools count_include_pad=False, E_2 max-pools its
+# branch). These tests pin the variant's converter detection, the extractor's
+# pooling switch, full-network torch parity, and a committed golden fixture.
+
+_GOLDEN_FID2015 = os.path.join(
+    os.path.dirname(__file__), "golden", "inception_synthetic_goldens_fid2015.npz"
+)
+
+
+@pytest.mark.core
+def test_converter_detects_pt_inception_variant():
+    """A 1008-class fc (the 2015 graph layout pytorch-FID ships) flips the
+    conversion to the FIDInception variant: marker key present, fc kept at
+    1008 columns; the torchvision layout stays unmarked."""
+    from littlegan_tpu.eval.inception import FID2015_MARKER, inception_variant
+
+    conv = _converter()
+    pt = conv.convert(conv.synthetic_state_dict(seed=11, variant="fid2015"))
+    assert FID2015_MARKER in pt and inception_variant(pt) == "fid2015"
+    assert pt["fc/w"].shape == (2048, 1008)
+
+    tv = conv.convert(conv.synthetic_state_dict(seed=11))
+    assert FID2015_MARKER not in tv and inception_variant(tv) == "tv"
+    assert tv["fc/w"].shape == (2048, 1000)
+
+    # explicit override for fc-less partial dumps
+    sd = conv.synthetic_state_dict(seed=11, variant="fid2015")
+    forced = conv.convert(sd, variant="fid2015")
+    assert FID2015_MARKER in forced
+    with pytest.raises(SystemExit):
+        conv.convert(sd, variant="nonsense")
+
+
+@pytest.fixture(scope="module")
+def fid2015_pair():
+    """(state_dict, converted params, 299 input, jax features) for the
+    FIDInception variant."""
+    import jax.numpy as jnp
+
+    from littlegan_tpu.eval.inception import inception_features
+
+    conv = _converter()
+    sd = conv.synthetic_state_dict(seed=12, variant="fid2015")
+    params = conv.convert(sd)
+    img299 = np.random.default_rng(13).integers(0, 256, (1, 299, 299, 3)).astype(np.float32)
+    f299 = np.asarray(inception_features(params, jnp.asarray(img299)))
+    return sd, params, img299, f299
+
+
+@pytest.mark.slow
+def test_fid2015_full_network_matches_torch_299(fid2015_pair):
+    """JAX FIDInception graph == torch transcription with the exact
+    pytorch-FID block patches (count_include_pad=False A/C/E_1 pools, E_2
+    max-pool), native 299 input."""
+    from tests.torch_inception_ref import Mutation, torch_inception_features
+
+    sd, _, img299, f299 = fid2015_pair
+    want = torch_inception_features(sd, img299, Mutation(fid_pool=True)).numpy()
+    np.testing.assert_allclose(f299, want, rtol=_PARITY_RTOL, atol=_PARITY_ATOL)
+
+
+@pytest.mark.slow
+def test_fid2015_full_network_matches_torch_128_resize(fid2015_pair):
+    """Same through the bilinear 128->299 preprocessing path (the geometry
+    FID evals of this model family exercise)."""
+    import jax.numpy as jnp
+
+    from littlegan_tpu.eval.inception import inception_features
+    from tests.torch_inception_ref import Mutation, torch_inception_features
+
+    sd, params = fid2015_pair[0], fid2015_pair[1]
+    img128 = np.random.default_rng(14).integers(0, 256, (1, 128, 128, 3)).astype(np.float32)
+    got = np.asarray(inception_features(params, jnp.asarray(img128)))
+    want = torch_inception_features(sd, img128, Mutation(fid_pool=True)).numpy()
+    np.testing.assert_allclose(got, want, rtol=_PARITY_RTOL, atol=_PARITY_ATOL)
+
+
+@pytest.mark.slow
+def test_fid2015_pooling_differs_from_tv(fid2015_pair):
+    """Sensitivity proof: the SAME weights through torchvision pooling land
+    outside the parity tolerance — i.e. loading pt_inception weights onto
+    the torchvision graph (what the pre-round-5 converter would have done)
+    is a detectably wrong network, and the marker actually switches it."""
+    from littlegan_tpu.eval.inception import FID2015_MARKER, inception_features
+
+    import jax.numpy as jnp
+
+    sd, params, img299, f299 = fid2015_pair
+    tv_params = {k: v for k, v in params.items() if k != FID2015_MARKER}
+    f_tv = np.asarray(inception_features(tv_params, jnp.asarray(img299)))
+    assert np.abs(f_tv - f299).max() > 10 * _PARITY_ATOL
+
+
+@pytest.mark.slow
+def test_fid2015_torch_ref_mutation_sensitivity(fid2015_pair):
+    """The torch reference itself distinguishes the variants: fid_pool flips
+    features beyond tolerance, so the parity tests above can't silently pass
+    with the wrong reference."""
+    from tests.torch_inception_ref import Mutation, torch_inception_features
+
+    sd, _, img299, _ = fid2015_pair
+    a = torch_inception_features(sd, img299, Mutation(fid_pool=True)).numpy()
+    b = torch_inception_features(sd, img299).numpy()
+    assert np.abs(a - b).max() > 10 * _PARITY_ATOL
+
+
+def test_fid2015_golden_fixture_validates_conversion():
+    """Converter + extractor reproduce the committed torch-generated
+    FIDInception features (generated by torch_inception_ref with
+    fid_pool=True on synthetic_state_dict(seed=12, variant='fid2015')) —
+    the seconds-fast validator a future real pt_inception conversion runs
+    against."""
+    import jax.numpy as jnp
+
+    from littlegan_tpu.eval.inception import inception_features
+
+    conv = _converter()
+    params = conv.convert(conv.synthetic_state_dict(seed=12, variant="fid2015"))
+    with np.load(_GOLDEN_FID2015) as z:
+        imgs, want = z["images"].astype(np.float32), z["features"]
+    got = np.asarray(inception_features(params, jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_pt_inception_cli_end_to_end(tmp_path):
+    """pt_inception-layout .npz through the converter CLI: auto-detects the
+    variant (says so), output npz drives the extractor with the marker
+    riding along, and Inception Score works over the 1008-class head."""
+    import subprocess
+    import sys as _sys
+
+    import jax.numpy as jnp
+
+    from littlegan_tpu.eval.inception import (
+        FID2015_MARKER,
+        class_probs_from_features,
+        inception_features,
+        init_inception_params,
+    )
+
+    conv = _converter()
+    src = tmp_path / "pt_inception_state.npz"
+    dst = tmp_path / "fid_weights.npz"
+    np.savez_compressed(src, **conv.synthetic_state_dict(seed=15, variant="fid2015"))
+    proc = subprocess.run(
+        [_sys.executable, "scripts/convert_inception.py", str(src), str(dst)],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "FIDInception" in proc.stdout
+    assert "94 conv-bn blocks" in proc.stdout
+
+    loaded = init_inception_params(str(dst))
+    assert FID2015_MARKER in loaded
+    imgs = jnp.asarray(
+        np.random.default_rng(16).integers(0, 255, (2, 64, 64, 3)), jnp.float32
+    )
+    feats = np.asarray(inception_features(loaded, imgs))
+    assert feats.shape == (2, 2048) and np.isfinite(feats).all()
+    probs = class_probs_from_features(loaded, feats)
+    assert probs.shape == (2, 1008)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-9)
+
+
+def test_probe_flags_pt_inception(tmp_path, monkeypatch, capsys):
+    """The cache probe names the pt_inception file as the published-FID
+    standard and recommends converting IT over other inception candidates."""
+    conv = _converter()
+    fake_home = tmp_path / "home"
+    hub = fake_home / ".cache" / "torch" / "hub" / "checkpoints"
+    hub.mkdir(parents=True)
+    (hub / "inception_v3_google-0cc3c7bd.pth").write_bytes(b"x")
+    (hub / "pt_inception-2015-12-05-6726825d.pth").write_bytes(b"x")
+    monkeypatch.setattr(
+        conv.os.path, "expanduser", lambda p: p.replace("~", str(fake_home))
+    )
+    hits = conv.probe_weight_caches()
+    out = capsys.readouterr().out
+    assert len(hits) == 2
+    assert "pytorch-FID FIDInception" in out
+    assert "convert_inception.py" in out
+    next_line = [l for l in out.splitlines() if l.startswith("next:")][0]
+    assert "pt_inception" in next_line

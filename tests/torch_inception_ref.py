@@ -31,12 +31,20 @@ import torch.nn.functional as F
 
 @dataclasses.dataclass(frozen=True)
 class Mutation:
-    """Structural perturbations; all-off == faithful torchvision forward."""
+    """Structural perturbations; all-off == faithful torchvision forward.
+
+    ``fid_pool=True`` is not a perturbation but the pytorch-FID
+    **FIDInception** variant (pt_inception-2015 checkpoints): InceptionA/
+    C/E_1 branch-pool avg-pools run count_include_pad=False and E_2
+    (Mixed_7c) pools its branch with max_pool2d(3, stride=1, padding=1) —
+    the exact block patches pytorch_fid/inception.py applies on top of
+    torchvision's InceptionV3."""
 
     swap_concat_5b: bool = False        # InceptionA Mixed_5b branch order
     avgpool_exclude_pad: bool = False   # count_include_pad=False everywhere
     stem_c3_pad0: bool = False          # Conv2d_2b_3x3 padding 1 -> 0 (breaks shapes downstream? no: VALID just shrinks)
     maxpool_window2: bool = False       # stem/grid maxpool 3x3 -> 2x2
+    fid_pool: bool = False              # FIDInception pooling (see above)
 
 
 def _conv_bn(sd, prefix: str, x, stride=1, padding=0):
@@ -55,9 +63,8 @@ def _conv_bn(sd, prefix: str, x, stride=1, padding=0):
 
 
 def _avgpool(x, mut: Mutation):
-    return F.avg_pool2d(
-        x, 3, stride=1, padding=1, count_include_pad=not mut.avgpool_exclude_pad
-    )
+    include = not (mut.avgpool_exclude_pad or mut.fid_pool)
+    return F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=include)
 
 
 def _maxpool(x, mut: Mutation):
@@ -108,7 +115,7 @@ def _inception_d(sd, tv: str, x, mut: Mutation):
     return torch.cat([b3, b7, _maxpool(x, mut)], dim=1)
 
 
-def _inception_e(sd, tv: str, x, mut: Mutation):
+def _inception_e(sd, tv: str, x, mut: Mutation, e2: bool = False):
     b1 = _conv_bn(sd, f"{tv}.branch1x1", x)
     b3 = _conv_bn(sd, f"{tv}.branch3x3_1", x)
     b3 = torch.cat(
@@ -127,7 +134,12 @@ def _inception_e(sd, tv: str, x, mut: Mutation):
         ],
         dim=1,
     )
-    bp = _conv_bn(sd, f"{tv}.branch_pool", _avgpool(x, mut))
+    if e2 and mut.fid_pool:
+        # FIDInceptionE_2: max-pool branch (matches the original 2015 graph)
+        pooled = F.max_pool2d(x, 3, stride=1, padding=1)
+    else:
+        pooled = _avgpool(x, mut)
+    bp = _conv_bn(sd, f"{tv}.branch_pool", pooled)
     return torch.cat([b1, b3, bd, bp], dim=1)
 
 
@@ -167,5 +179,5 @@ def torch_inception_features(
     x = _inception_c(sd, "Mixed_6e", x, mut)
     x = _inception_d(sd, "Mixed_7a", x, mut)
     x = _inception_e(sd, "Mixed_7b", x, mut)
-    x = _inception_e(sd, "Mixed_7c", x, mut)
+    x = _inception_e(sd, "Mixed_7c", x, mut, e2=True)
     return x.mean(dim=(2, 3))  # adaptive_avg_pool2d((1,1)) -> (N, 2048)

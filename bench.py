@@ -245,9 +245,11 @@ def parse_args(argv=None):
     ap.add_argument(
         "--no-s2d", action="store_true",
         help="disable the space-to-depth boundary layout (Config.use_s2d) — "
-        "measures what an H-sharded spatial mesh pays for silently losing "
-        "s2d (training/step.py flips it off under a 'model' mesh); adds a "
-        "_nos2d suffix to the metric name",
+        "measures what an H-sharded spatial mesh pays when s2d must be "
+        "dropped: since round 4 that happens only when block-space height "
+        "(image_dim/2) does NOT tile the model axis "
+        "(training/step.py::spatial_s2d_compatible); adds a _nos2d suffix "
+        "to the metric name",
     )
     ap.add_argument(
         "--store-batches", type=_nonneg_int, default=0,
@@ -533,8 +535,13 @@ def supervise(argv, runner=None, probe=None) -> int:
     from littlegan_tpu.utils.backend_probe import backend_may_hang, probe_backend
 
     attempt_accelerator = True
-    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu" and not os.environ.get(
-        "PALLAS_AXON_POOL_IPS"
+    _platforms = [
+        p.strip() for p in os.environ.get("JAX_PLATFORMS", "").split(",") if p.strip()
+    ]
+    if (
+        _platforms
+        and all(p == "cpu" for p in _platforms)
+        and not os.environ.get("PALLAS_AXON_POOL_IPS")
     ):
         # explicitly CPU-pinned run: the full-size accelerator attempt would
         # crawl on CPU until the watchdog kills it (~1.5 s/step at 32²/b4 on

@@ -178,6 +178,7 @@ def encoder_apply(
     cfg: Config,
     dropout_rng: Optional[jax.Array] = None,
     s2d_in: bool = False,
+    spatial_mesh=None,
 ) -> List[jnp.ndarray]:
     """Reference model.py:18-27 — returns ALL four feature maps.
 
@@ -185,6 +186,14 @@ def encoder_apply(
     (tf.compat.v1.layers.dropout training=False default, model.py:25).
     With cfg.use_s2d, block1 runs in 2x2-block space (exact math, ops/s2d.py);
     ``s2d_in`` marks an input already in s2d form.
+
+    ``spatial_mesh``: pin each feature map's sharding under a
+    ('data','model') mesh (parallel/act_sharding.py policy: H-sharded when
+    the height tiles the model axis, batch-only otherwise). Without it a
+    sub-model-axis-height e4 gets a degenerate H-sharded guess that
+    conflicts with the (pinned) decoder skip-add cotangents inside the
+    scan-accum while body — the round-5 accum x spatial involuntary-remat
+    source.
     """
     x = x.astype(_compute_dtype(cfg))
     if s2d_active(cfg) and not s2d_in:
@@ -194,6 +203,23 @@ def encoder_apply(
     outputs = []
     for i in range(1, 5):
         blk = enc[f"block{i}"]
+        if spatial_mesh is not None:
+            from littlegan_tpu.parallel.act_sharding import (
+                constrain_data,
+                model_axis_size,
+            )
+
+            # mirror of decoder_apply's degenerate-output pin: when this
+            # block's conv will produce a sub-model-axis height, pin the
+            # OPERAND batch-only so forward AND backward convs run
+            # model-replicated — otherwise the dx conv demands a degenerate
+            # H-sharded cotangent (transposed device order) and the
+            # partitioner falls back to involuntary full remat inside the
+            # scan-accum while body (round-5 accum x spatial finding)
+            out_h = x.shape[1] if (i == 1 and s2d_active(cfg)) else x.shape[1] // 2
+            msize = model_axis_size(spatial_mesh)
+            if msize > 1 and out_h % msize != 0:
+                x = constrain_data(x, spatial_mesh)
         normed = False
         if i == 1 and s2d_active(cfg):
             from littlegan_tpu.ops.s2d import s2d_conv1_kernel
@@ -225,6 +251,10 @@ def encoder_apply(
             keep = 1.0 - cfg.dropout_rate
             mask = jax.random.bernoulli(sub, keep, x.shape)
             x = jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+        if spatial_mesh is not None:
+            from littlegan_tpu.parallel.act_sharding import constrain_spatial
+
+            x = constrain_spatial(x, spatial_mesh)
         outputs.append(x)
     return outputs
 
@@ -338,9 +368,12 @@ def discriminator_apply(
     cfg: Config,
     dropout_rng: Optional[jax.Array] = None,
     s2d_in: bool = False,
+    spatial_mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference model.py:65-73. Returns (pr, cond) sigmoid outputs in f32."""
-    fmaps = encoder_apply(params["encoder"], image, cfg, dropout_rng, s2d_in=s2d_in)
+    fmaps = encoder_apply(
+        params["encoder"], image, cfg, dropout_rng, s2d_in=s2d_in, spatial_mesh=spatial_mesh
+    )
     flat = fmaps[-1].reshape(fmaps[-1].shape[0], -1)
     pr = dense(flat, params["d_head"]["pr"]["kernel"], params["d_head"]["pr"]["bias"])
     cond = dense(flat, params["d_head"]["cond"]["kernel"], params["d_head"]["cond"]["bias"])
@@ -366,7 +399,9 @@ def adjuster_apply(
     reshape-invariant, but order is kept faithful anyway).
     """
     dt = _compute_dtype(cfg)
-    fmaps = encoder_apply(params["encoder"], image, cfg, dropout_rng, s2d_in=s2d_in)
+    fmaps = encoder_apply(
+        params["encoder"], image, cfg, dropout_rng, s2d_in=s2d_in, spatial_mesh=spatial_mesh
+    )
     c = dense(cond.astype(dt), params["adj_head"]["dense"]["kernel"], params["adj_head"]["dense"]["bias"])
     c = leaky_relu(c, cfg.leaky_alpha)
     c = instance_norm(c, params["adj_head"]["norm"]["gamma"], params["adj_head"]["norm"]["beta"])

@@ -66,8 +66,9 @@ def capture_stderr():
         cap._final = replay.decode("utf-8", "replace")
         cap._tmp.close()
         cap._tmp = None
-        if replay:
-            os.write(2, replay)
+        while replay:  # POSIX os.write may be partial for large logs
+            n = os.write(2, replay)
+            replay = replay[n:]
 
 
 def count_involuntary_remat(captured: str) -> int:

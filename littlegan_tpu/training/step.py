@@ -145,7 +145,9 @@ def total_loss_fn(
     # junctions under a ('data','model') mesh (parallel/act_sharding.py) —
     # None everywhere else, keeping the step sharding-agnostic by default
     ck = jax.checkpoint if cfg.remat else (lambda f: f)
-    d_apply = ck(lambda p, img: discriminator_apply(p, img, cfg, s2d_in=s2))
+    d_apply = ck(
+        lambda p, img: discriminator_apply(p, img, cfg, s2d_in=s2, spatial_mesh=spatial_mesh)
+    )
     g_apply = ck(
         lambda p, nz, c: generator_apply(p, nz, c, cfg, s2d_out=s2, spatial_mesh=spatial_mesh)
     )

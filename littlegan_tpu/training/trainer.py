@@ -1228,7 +1228,9 @@ class Trainer:
         if arr.dtype != np.uint8:
             from littlegan_tpu.utils.image import inverse_rescale
 
-            arr = inverse_rescale(arr).astype(np.uint8)
+            # clip like the device-side q(): an input marginally outside
+            # [-1,1] must saturate, not wrap (1.01 -> 256 -> 0)
+            arr = np.clip(inverse_rescale(arr), 0, 255).astype(np.uint8)
         out = self._sample_jit(
             params, jnp.asarray(np.asarray(noise)), jnp.asarray(np.asarray(cond)), jnp.asarray(arr)
         )

@@ -38,9 +38,12 @@ import numpy as np
 def make_image(rng: np.random.Generator, bits: np.ndarray, dim: int) -> np.ndarray:
     """One [0,255] uint8 image whose visible properties encode ``bits``."""
     # smooth low-frequency background so the model has texture to learn
+    # (ceil-kron then crop: dims not divisible by 8 — e.g. the 178 celeba
+    # square — must still come out EXACTLY dim x dim; the old floor-kron
+    # silently emitted 176x216 "celeba geometry" JPEGs)
     low = rng.uniform(0.25, 0.55, (8, 8, 3)).astype(np.float32)
-    reps = dim // 8
-    x = np.kron(low, np.ones((reps, reps, 1), np.float32))
+    reps = -(-dim // 8)
+    x = np.kron(low, np.ones((reps, reps, 1), np.float32))[:dim, :dim]
     d = dim
     if bits[0] > 0:
         x[:, :, 0] += 0.25

@@ -397,8 +397,10 @@ def _tf_reference_step(o, cfg, img1, img2, cond1, cond2, noise, new_image, with_
     l1 = cfg.l1_lambda
     mbce = lambda t, p: tf.reduce_mean(_tf1_keras_bce(t, p))
     with tf.GradientTape() as gen_tape, tf.GradientTape() as disc_tape:
-        fake = o.generator(tf.constant(noise), tf.constant(cond2))
-        real_pr, real_c = o.discriminator(tf.constant(new_image))
+        # convert_to_tensor (not tf.constant): identity on symbolic tensors,
+        # so the recipe also traces under tf.function (scripts/baseline_anchor.py)
+        fake = o.generator(tf.convert_to_tensor(noise), tf.convert_to_tensor(cond2))
+        real_pr, real_c = o.discriminator(tf.convert_to_tensor(new_image))
         fake_pr, fake_c = o.discriminator(fake)
         d_loss = (
             2.0 * mbce(cond1, real_c)

@@ -1,7 +1,10 @@
-"""Worker for tests/test_multihost.py: one process of a 2-process CPU
-'multi-host' cluster (4 virtual devices each), running 2 DP train steps over
-the global 8-device mesh via jax.distributed. Must run in a FRESH process
-(jax.distributed can't initialize after jax is already in use)."""
+"""Worker for tests/test_multihost.py: one process of an n-process CPU
+'multi-host' cluster (8 virtual devices total — 2 x 4 by default, 4 x 2 with
+MULTIHOST_NPROC=4), running DP train steps over the global 8-device mesh via
+jax.distributed. Must run in a FRESH process (jax.distributed can't
+initialize after jax is already in use). Round-5: the 4-process variant
+exists because two symmetric ranks can mask process_index arithmetic errors
+(rank-0 special-casing, off-by-one slicing that cancels at n=2)."""
 
 import os
 import sys
@@ -9,16 +12,18 @@ import sys
 proc_id = int(sys.argv[1])
 port = sys.argv[2]
 phase = sys.argv[3] if len(sys.argv) > 3 else "all"  # dp | store | all
+n_proc = int(os.environ.get("MULTIHOST_NPROC", "2"))
+n_local = 8 // n_proc  # global mesh is always 8 devices
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local}"
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(
-    coordinator_address=f"localhost:{port}", num_processes=2, process_id=proc_id
+    coordinator_address=f"localhost:{port}", num_processes=n_proc, process_id=proc_id
 )
 
 import jax.numpy as jnp
@@ -29,7 +34,7 @@ from littlegan_tpu.data.synthetic import random_device_batch
 from littlegan_tpu.parallel import make_mesh, make_parallel_train_step, replicate_state, shard_batch
 from littlegan_tpu.training import create_train_state
 
-assert jax.process_count() == 2, jax.process_count()
+assert jax.process_count() == n_proc, jax.process_count()
 assert len(jax.devices()) == 8, len(jax.devices())
 
 from tests.multihost_common import STORE_K, make_cfg, make_store_data
@@ -65,7 +70,7 @@ if phase in ("store", "all"):
 
     K = STORE_K
     g_imgs, g_conds = make_store_data(cfg)
-    b_local = cfg.batch_size // 2
+    b_local = cfg.batch_size // n_proc
     lo, hi = proc_id * b_local, (proc_id + 1) * b_local
     img_sh = NamedSharding(mesh, P(None, "data"))
     store = (
@@ -96,10 +101,10 @@ if phase in ("spatial_store",):
     from littlegan_tpu.training.step import make_scan_train_step
 
     K = STORE_K
-    scfg = cfg.replace(mesh_axes=["data", "model"], mesh_shape=[2, 4])
-    smesh = make_mesh(8, axis_names=("data", "model"), shape=(2, 4))
+    scfg = cfg.replace(mesh_axes=["data", "model"], mesh_shape=[n_proc, 8 // n_proc])
+    smesh = make_mesh(8, axis_names=("data", "model"), shape=(n_proc, 8 // n_proc))
     g_imgs, g_conds = make_store_data(scfg)
-    b_local = scfg.batch_size // 2
+    b_local = scfg.batch_size // n_proc
     lo, hi = proc_id * b_local, (proc_id + 1) * b_local
     img_sh = NamedSharding(smesh, P(None, "data", "model"))
     cond_sh = NamedSharding(smesh, P(None, "data"))
@@ -141,10 +146,10 @@ if phase in ("hostfed",):
         test_data_dir=os.path.join(out_root, f"proc{proc_id}", "td"),
         exp_name="mh", debug=True, use_native_loader=False, train_adj=True,
     )
-    ds = CelebA(hcfg, shard_index=proc_id, shard_count=2)
+    ds = CelebA(hcfg, shard_index=proc_id, shard_count=n_proc)
     tr = Trainer(hcfg, ds)
     assert tr.mesh is not None, "expected the DP mesh"
-    assert ds.rows_per_batch == hcfg.batch_size // 2, ds.rows_per_batch
+    assert ds.rows_per_batch == hcfg.batch_size // n_proc, ds.rows_per_batch
     tr.train()
     grids = os.listdir(os.path.join(hcfg.result_dir, "train", "gen"))
     if proc_id == 0:
@@ -178,10 +183,10 @@ if phase in ("hostfed_accum",):
         test_data_dir=os.path.join(out_root, f"accum_proc{proc_id}", "td"),
         exp_name="mha", debug=True, use_native_loader=False, train_adj=True,
     )
-    ds = CelebA(acfg, shard_index=proc_id, shard_count=2)
+    ds = CelebA(acfg, shard_index=proc_id, shard_count=n_proc)
     tr = Trainer(acfg, ds)
     assert tr.mesh is not None, "expected the DP mesh"
-    assert ds.rows_per_batch == acfg.batch_size // 2, ds.rows_per_batch
+    assert ds.rows_per_batch == acfg.batch_size // n_proc, ds.rows_per_batch
     tr.train()
     # 32 items/2 hosts/4 rows = 4 batches -> 2 pairs -> 1 accum group
     print(
@@ -267,7 +272,7 @@ if phase in ("trainer_sharded",):
         test_data_dir=os.path.join(out_root, "shared", "td"),
         exp_name="mhz", debug=True, use_native_loader=False, train_adj=True,
     )
-    ds = CelebA(tcfg, shard_index=proc_id, shard_count=2)
+    ds = CelebA(tcfg, shard_index=proc_id, shard_count=n_proc)
     tr = Trainer(tcfg, ds)
     assert tr.mesh is not None
     sharded = [
@@ -279,7 +284,7 @@ if phase in ("trainer_sharded",):
     tr.train()
     assert os.path.isdir(os.path.join(tcfg.result_dir, "checkpoint", "ocp-1"))
 
-    tr2 = Trainer(tcfg.replace(epoch=2), CelebA(tcfg, shard_index=proc_id, shard_count=2))
+    tr2 = Trainer(tcfg.replace(epoch=2), CelebA(tcfg, shard_index=proc_id, shard_count=n_proc))
     assert tr2.global_epoch == 2, tr2.global_epoch  # resumed from shared orbax ckpt
     tr2.train()
     assert os.path.isdir(os.path.join(tcfg.result_dir, "checkpoint", "ocp-2"))
@@ -301,16 +306,16 @@ if phase in ("hostfed_spatial", "hostfed_spatial_accum"):
         image_path=os.path.join(data_root, "img"),
         attr_path=os.path.join(data_root, "attrs.txt"),
         image_dim=16, attr=[0, 1, 2, 3, 4, 5, 6],
-        mesh_axes=["data", "model"], mesh_shape=[2, 4], grad_accum=accum,
+        mesh_axes=["data", "model"], mesh_shape=[n_proc, 8 // n_proc], grad_accum=accum,
         epoch=1, freq_gen=1000, freq_test=1000, restore=False, reuse=False,
         all_result_dir=os.path.join(out_root, f"{phase}_proc{proc_id}"),
         test_data_dir=os.path.join(out_root, f"{phase}_proc{proc_id}", "td"),
         exp_name="mhs", debug=True, use_native_loader=False, train_adj=True,
     )
-    ds = CelebA(scfg, shard_index=proc_id, shard_count=2)
+    ds = CelebA(scfg, shard_index=proc_id, shard_count=n_proc)
     tr = Trainer(scfg, ds)
-    assert tr._spatial and tr.mesh.devices.shape == (2, 4), tr.mesh
-    assert tr._hostfed_rows_sliced and ds.rows_per_batch == scfg.batch_size // 2
+    assert tr._spatial and tr.mesh.devices.shape == (n_proc, 8 // n_proc), tr.mesh
+    assert tr._hostfed_rows_sliced and ds.rows_per_batch == scfg.batch_size // n_proc
     tr.train()
     print(
         f"MULTIHOST_SPATIAL_HOSTFED_OK proc={proc_id} steps={tr.global_step} "

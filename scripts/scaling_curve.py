@@ -214,7 +214,20 @@ def main(argv=None) -> int:
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
-        json.dump({"results": results, "iters": args.iters}, f, indent=1)
+        json.dump(
+            {
+                "results": results,
+                "iters": args.iters,
+                "timing_note": (
+                    "per-step dispatches (no scan): over a tunneled chip the "
+                    "absolute rate includes host RTT per step — compare points "
+                    "ACROSS n_devices; the single-chip absolute headline is "
+                    "bench.py's scan-path number"
+                ),
+            },
+            f,
+            indent=1,
+        )
     print(f"curve -> {out}")
     if args.trace:
         print(

@@ -69,14 +69,40 @@ def _load_images(paths: Iterable[str], dim: Optional[int] = None, open_fn=None) 
     return np.stack(out)
 
 
+_STANDARD_CACHE: dict = {}
+
+
+def weights_standard(path: str) -> str:
+    """Which published standard a converted weights npz pins: 'pytorch-FID'
+    (pt_inception-2015 FIDInception pooling, the literature's standard) or
+    'torchvision'. Cross-standard values are NOT comparable, so every metric
+    line names the one it used (round-5: the variant switch made one label
+    ambiguous)."""
+    if path not in _STANDARD_CACHE:
+        try:
+            with np.load(path) as z:
+                _STANDARD_CACHE[path] = (
+                    "pytorch-FID standard"
+                    if "meta/fid2015_pool" in z.files
+                    else "torchvision standard"
+                )
+        except Exception:
+            _STANDARD_CACHE[path] = "torchvision standard"
+    return _STANDARD_CACHE[path]
+
+
 def fid_label(cfg: Config) -> str:
-    """'FID' only when real Inception weights are loaded; tagged otherwise."""
-    return "FID" if cfg.fid_weights else "FID[RANDOM-INIT Inception, NOT comparable]"
+    """Names the standard when real weights are loaded; tagged otherwise."""
+    if not cfg.fid_weights:
+        return "FID[RANDOM-INIT Inception, NOT comparable]"
+    return f"FID[{weights_standard(cfg.fid_weights)}]"
 
 
 def is_label(cfg: Config) -> str:
     """Same honesty contract for Inception Score."""
-    return "IS" if cfg.fid_weights else "IS[RANDOM-INIT Inception, NOT comparable]"
+    if not cfg.fid_weights:
+        return "IS[RANDOM-INIT Inception, NOT comparable]"
+    return f"IS[{weights_standard(cfg.fid_weights)}]"
 
 
 _FEAT_FN_CACHE: dict = {}
@@ -307,7 +333,11 @@ def evaluate_generated(
         from littlegan_tpu.eval.kid import kid
 
         m, s = kid(real_feats, feats)
-        label = "KID" if cfg.fid_weights else "KID[RANDOM-INIT Inception, NOT comparable]"
+        label = (
+            f"KID[{weights_standard(cfg.fid_weights)}]"
+            if cfg.fid_weights
+            else "KID[RANDOM-INIT Inception, NOT comparable]"
+        )
         lines.append(f"{label}: {m} +/- {s}")
         print(lines[-1])
     if with_prdc:
@@ -323,7 +353,11 @@ def evaluate_generated(
         if k < prdc_k:
             print(f"prdc: lowering k {prdc_k} -> {k} for the small sample", file=sys.stderr)
         vals = prdc(np.asarray(real_feats, np.float64), feats, k=k)
-        tag = "" if cfg.fid_weights else "[RANDOM-INIT Inception, NOT comparable]"
+        tag = (
+            f"[{weights_standard(cfg.fid_weights)}]"
+            if cfg.fid_weights
+            else "[RANDOM-INIT Inception, NOT comparable]"
+        )
         lines.append(
             f"PRDC{tag} (k={k}): precision={vals['precision']} recall={vals['recall']} "
             f"density={vals['density']} coverage={vals['coverage']}"

@@ -1104,3 +1104,25 @@ def test_probe_flags_pt_inception(tmp_path, monkeypatch, capsys):
     assert "convert_inception.py" in out
     next_line = [l for l in out.splitlines() if l.startswith("next:")][0]
     assert "pt_inception" in next_line
+
+
+@pytest.mark.core
+def test_metric_labels_name_the_standard(tmp_path, tiny_cfg):
+    """With weights loaded, FID/IS labels name WHICH published standard the
+    file pins (pytorch-FID vs torchvision) — one ambiguous 'FID' label
+    stopped being enough the moment both variants were supported."""
+    from littlegan_tpu.eval.evaluate import fid_label, is_label
+
+    conv = _converter()
+    tv = tmp_path / "tv.npz"
+    pt = tmp_path / "pt.npz"
+    np.savez_compressed(tv, **conv.convert(conv.synthetic_state_dict(seed=20)))
+    np.savez_compressed(
+        pt, **conv.convert(conv.synthetic_state_dict(seed=20, variant="fid2015"))
+    )
+    assert fid_label(tiny_cfg.replace(fid_weights="")) == (
+        "FID[RANDOM-INIT Inception, NOT comparable]"
+    )
+    assert fid_label(tiny_cfg.replace(fid_weights=str(tv))) == "FID[torchvision standard]"
+    assert fid_label(tiny_cfg.replace(fid_weights=str(pt))) == "FID[pytorch-FID standard]"
+    assert is_label(tiny_cfg.replace(fid_weights=str(pt))) == "IS[pytorch-FID standard]"
